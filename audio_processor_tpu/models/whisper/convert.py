@@ -1,0 +1,239 @@
+"""Checkpoint conversion: OpenAI-whisper / HuggingFace -> our param trees.
+
+The reference downloads openai-whisper checkpoints at runtime
+(reference: app/services/audio_processor.py:863).  This module converts
+either checkpoint family offline into the (d_in, d_out) functional layout
+used by models/whisper/model.py, and saves/loads a plain .npz so serving
+never needs torch.
+"""
+from __future__ import annotations
+
+import io
+from typing import Any, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import WhisperConfig, get_config
+from .model import Params
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / array -> float32 numpy (no torch import needed here)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace transformers layout
+# ---------------------------------------------------------------------------
+
+def _hf_attn(sd: Mapping[str, Any], prefix: str) -> dict:
+    p = {
+        "q": {"w": _t(sd[f"{prefix}.q_proj.weight"]).T, "b": _t(sd[f"{prefix}.q_proj.bias"])},
+        "k": {"w": _t(sd[f"{prefix}.k_proj.weight"]).T},
+        "v": {"w": _t(sd[f"{prefix}.v_proj.weight"]).T, "b": _t(sd[f"{prefix}.v_proj.bias"])},
+        "out": {"w": _t(sd[f"{prefix}.out_proj.weight"]).T, "b": _t(sd[f"{prefix}.out_proj.bias"])},
+    }
+    return p
+
+
+def _hf_ln(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _hf_block(sd, prefix, cross: bool) -> dict:
+    p = {
+        "attn_ln": _hf_ln(sd, f"{prefix}.self_attn_layer_norm"),
+        "attn": _hf_attn(sd, f"{prefix}.self_attn"),
+        "mlp_ln": _hf_ln(sd, f"{prefix}.final_layer_norm"),
+        "fc1": {"w": _t(sd[f"{prefix}.fc1.weight"]).T, "b": _t(sd[f"{prefix}.fc1.bias"])},
+        "fc2": {"w": _t(sd[f"{prefix}.fc2.weight"]).T, "b": _t(sd[f"{prefix}.fc2.bias"])},
+    }
+    if cross:
+        p["cross_attn_ln"] = _hf_ln(sd, f"{prefix}.encoder_attn_layer_norm")
+        p["cross_attn"] = _hf_attn(sd, f"{prefix}.encoder_attn")
+    return p
+
+
+def _stack(blocks: list) -> dict:
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *blocks)
+
+
+def from_hf_state_dict(sd: Mapping[str, Any], cfg: WhisperConfig) -> Params:
+    """transformers WhisperForConditionalGeneration / WhisperModel -> Params."""
+    # tolerate both "model.encoder..." and "encoder..." key roots
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    enc_blocks = [
+        _hf_block(sd, f"encoder.layers.{i}", cross=False)
+        for i in range(cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _hf_block(sd, f"decoder.layers.{i}", cross=True)
+        for i in range(cfg.n_text_layer)
+    ]
+    return {
+        "encoder": {
+            "conv1": {
+                # torch conv1d weight (out, in, k) -> ours (k, in, out)
+                "w": jnp.asarray(_t(sd["encoder.conv1.weight"]).transpose(2, 1, 0)),
+                "b": jnp.asarray(_t(sd["encoder.conv1.bias"])),
+            },
+            "conv2": {
+                "w": jnp.asarray(_t(sd["encoder.conv2.weight"]).transpose(2, 1, 0)),
+                "b": jnp.asarray(_t(sd["encoder.conv2.bias"])),
+            },
+            "pos_emb": jnp.asarray(_t(sd["encoder.embed_positions.weight"])),
+            "blocks": _stack(enc_blocks),
+            "ln_post": _hf_ln(sd, "encoder.layer_norm"),
+        },
+        "decoder": {
+            "token_emb": jnp.asarray(_t(sd["decoder.embed_tokens.weight"])),
+            "pos_emb": jnp.asarray(_t(sd["decoder.embed_positions.weight"])),
+            "blocks": _stack(dec_blocks),
+            "ln": _hf_ln(sd, "decoder.layer_norm"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# OpenAI whisper checkpoint layout (the .pt files whisper.load_model pulls)
+# ---------------------------------------------------------------------------
+
+def _oa_attn(sd, prefix):
+    return {
+        "q": {"w": _t(sd[f"{prefix}.query.weight"]).T, "b": _t(sd[f"{prefix}.query.bias"])},
+        "k": {"w": _t(sd[f"{prefix}.key.weight"]).T},
+        "v": {"w": _t(sd[f"{prefix}.value.weight"]).T, "b": _t(sd[f"{prefix}.value.bias"])},
+        "out": {"w": _t(sd[f"{prefix}.out.weight"]).T, "b": _t(sd[f"{prefix}.out.bias"])},
+    }
+
+
+def _oa_block(sd, prefix, cross: bool):
+    p = {
+        "attn_ln": {"scale": _t(sd[f"{prefix}.attn_ln.weight"]), "bias": _t(sd[f"{prefix}.attn_ln.bias"])},
+        "attn": _oa_attn(sd, f"{prefix}.attn"),
+        "mlp_ln": {"scale": _t(sd[f"{prefix}.mlp_ln.weight"]), "bias": _t(sd[f"{prefix}.mlp_ln.bias"])},
+        "fc1": {"w": _t(sd[f"{prefix}.mlp.0.weight"]).T, "b": _t(sd[f"{prefix}.mlp.0.bias"])},
+        "fc2": {"w": _t(sd[f"{prefix}.mlp.2.weight"]).T, "b": _t(sd[f"{prefix}.mlp.2.bias"])},
+    }
+    if cross:
+        p["cross_attn_ln"] = {
+            "scale": _t(sd[f"{prefix}.cross_attn_ln.weight"]),
+            "bias": _t(sd[f"{prefix}.cross_attn_ln.bias"]),
+        }
+        p["cross_attn"] = _oa_attn(sd, f"{prefix}.cross_attn")
+    return p
+
+
+def from_openai_state_dict(sd: Mapping[str, Any], cfg: WhisperConfig) -> Params:
+    enc_blocks = [
+        _oa_block(sd, f"encoder.blocks.{i}", cross=False)
+        for i in range(cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _oa_block(sd, f"decoder.blocks.{i}", cross=True)
+        for i in range(cfg.n_text_layer)
+    ]
+    return {
+        "encoder": {
+            "conv1": {
+                "w": jnp.asarray(_t(sd["encoder.conv1.weight"]).transpose(2, 1, 0)),
+                "b": jnp.asarray(_t(sd["encoder.conv1.bias"])),
+            },
+            "conv2": {
+                "w": jnp.asarray(_t(sd["encoder.conv2.weight"]).transpose(2, 1, 0)),
+                "b": jnp.asarray(_t(sd["encoder.conv2.bias"])),
+            },
+            "pos_emb": jnp.asarray(_t(sd["encoder.positional_embedding"])),
+            "blocks": _stack(enc_blocks),
+            "ln_post": {
+                "scale": _t(sd["encoder.ln_post.weight"]),
+                "bias": _t(sd["encoder.ln_post.bias"]),
+            },
+        },
+        "decoder": {
+            "token_emb": jnp.asarray(_t(sd["decoder.token_embedding.weight"])),
+            "pos_emb": jnp.asarray(_t(sd["decoder.positional_embedding"])),
+            "blocks": _stack(dec_blocks),
+            "ln": {"scale": _t(sd["decoder.ln.weight"]), "bias": _t(sd["decoder.ln.bias"])},
+        },
+    }
+
+
+def load_openai_checkpoint(path: str) -> tuple[Params, WhisperConfig]:
+    """Load an openai-whisper .pt checkpoint (requires torch, offline)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    dims = ckpt["dims"]
+    cfg = WhisperConfig(
+        name="converted",
+        n_mels=dims["n_mels"],
+        n_audio_ctx=dims["n_audio_ctx"],
+        n_audio_state=dims["n_audio_state"],
+        n_audio_head=dims["n_audio_head"],
+        n_audio_layer=dims["n_audio_layer"],
+        n_vocab=dims["n_vocab"],
+        n_text_ctx=dims["n_text_ctx"],
+        n_text_state=dims["n_text_state"],
+        n_text_head=dims["n_text_head"],
+        n_text_layer=dims["n_text_layer"],
+    )
+    return from_openai_state_dict(ckpt["model_state_dict"], cfg), cfg
+
+
+# ---------------------------------------------------------------------------
+# Native .npz serialisation (serving never needs torch)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_params(path: str, params: Params, cfg: WhisperConfig) -> None:
+    flat = _flatten(params)
+    meta = np.array(
+        [cfg.n_mels, cfg.n_audio_ctx, cfg.n_audio_state, cfg.n_audio_head,
+         cfg.n_audio_layer, cfg.n_vocab, cfg.n_text_ctx, cfg.n_text_state,
+         cfg.n_text_head, cfg.n_text_layer],
+        dtype=np.int64,
+    )
+    np.savez(path, __config__=meta, **flat)
+
+
+def load_params(path: str) -> tuple[Params, WhisperConfig]:
+    with np.load(path) as z:
+        meta = z["__config__"]
+        flat = {k: z[k] for k in z.files if k != "__config__"}
+    cfg = WhisperConfig(
+        name="loaded",
+        n_mels=int(meta[0]), n_audio_ctx=int(meta[1]), n_audio_state=int(meta[2]),
+        n_audio_head=int(meta[3]), n_audio_layer=int(meta[4]), n_vocab=int(meta[5]),
+        n_text_ctx=int(meta[6]), n_text_state=int(meta[7]), n_text_head=int(meta[8]),
+        n_text_layer=int(meta[9]),
+    )
+    return _unflatten(flat), cfg

@@ -1,0 +1,490 @@
+"""Batched KV-cache autoregressive decode for Whisper, fully on-device.
+
+Replaces openai-whisper's torch decode loop (the reference's HOT LOOP #1,
+SURVEY.md §3.2 step 4c; reference: app/services/audio_processor.py:1056-1098).
+
+TPU-first design:
+  * The whole decode — prefill + token loop + logit rules — runs inside ONE
+    jit region built on lax.while_loop; there is no host sync per token.
+  * KV caches are preallocated (L, B, T_max, H, Dh) arrays updated with
+    dynamic_update_slice; layers are scanned (stacked params) so compile
+    time is depth-independent.
+  * Long audio scales over the BATCH axis (30 s chunks decoded in parallel)
+    rather than the sequence axis (SURVEY.md §5.7) — shard the batch with
+    pjit over the data axis of the mesh (parallel/sharding.py).
+  * Whisper's timestamp/suppress sampling rules are implemented as
+    vectorised logit masks, not Python branching.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .model import (
+    Params,
+    _merge_heads,
+    _split_heads,
+    layer_norm,
+    linear,
+    mlp,
+)
+
+NEG_INF = float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# Special-token layout (derived from vocab size — no vocab file needed)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SpecialTokens:
+    """Whisper special-token ids, derived from the vocabulary size.
+
+    Multilingual vocab (>=51865): text tokens end at 50257 (GPT-2 vocab),
+    then eot, sot, language tokens, task tokens, timestamps.  The .en models
+    are shifted down by one (50256-base).
+    """
+
+    eot: int
+    sot: int
+    lang_begin: int
+    num_languages: int
+    translate: int
+    transcribe: int
+    startoflm: int
+    startofprev: int
+    no_speech: int
+    no_timestamps: int
+    timestamp_begin: int
+    n_vocab: int
+
+    @classmethod
+    def for_config(cls, cfg: WhisperConfig) -> "SpecialTokens":
+        multilingual = cfg.n_vocab >= 51865
+        if cfg.n_vocab >= 51865:
+            eot = 50257
+            num_languages = cfg.n_vocab - 51765 - 1  # 99 (v2) or 100 (v3)
+        elif cfg.n_vocab == 51864:
+            eot = 50256
+            num_languages = 99
+        else:  # tiny test vocabs: reserve the tail of the vocab
+            num_languages = 2
+            eot = cfg.n_vocab - (num_languages + 10 + 16)
+        sot = eot + 1
+        lang_begin = sot + 1
+        translate = lang_begin + num_languages
+        transcribe = translate + 1
+        startoflm = transcribe + 1
+        startofprev = startoflm + 1
+        no_speech = startofprev + 1
+        no_timestamps = no_speech + 1
+        timestamp_begin = no_timestamps + 1
+        return cls(
+            eot=eot,
+            sot=sot,
+            lang_begin=lang_begin,
+            num_languages=num_languages,
+            translate=translate,
+            transcribe=transcribe,
+            startoflm=startoflm,
+            startofprev=startofprev,
+            no_speech=no_speech,
+            no_timestamps=no_timestamps,
+            timestamp_begin=timestamp_begin,
+            n_vocab=cfg.n_vocab,
+        )
+
+    def sot_sequence(
+        self, language: int | None = None, task: str = "transcribe",
+        timestamps: bool = True,
+    ) -> list[int]:
+        seq = [self.sot]
+        if self.n_vocab >= 51865:
+            seq.append(self.lang_begin if language is None else self.lang_begin + language)
+            seq.append(self.transcribe if task == "transcribe" else self.translate)
+        if not timestamps:
+            seq.append(self.no_timestamps)
+        return seq
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+class Cache(NamedTuple):
+    self_k: jnp.ndarray  # (L, B, T_max, H, Dh)
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray  # (L, B, T_audio, H, Dh)
+    cross_v: jnp.ndarray
+
+
+def precompute_cross_attn(
+    params: Params, cfg: WhisperConfig, audio_states: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """K/V over encoder states for every decoder layer: (L, B, Ta, H, Dh)."""
+    blocks = params["decoder"]["blocks"]
+
+    def layer_kv(_, bp):
+        k = _split_heads(linear(bp["cross_attn"]["k"], audio_states), cfg.n_text_head)
+        v = _split_heads(linear(bp["cross_attn"]["v"], audio_states), cfg.n_text_head)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(layer_kv, None, blocks)
+    return ks, vs
+
+
+def init_cache(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,
+    max_len: int,
+    dtype=jnp.float32,
+) -> Cache:
+    b = audio_states.shape[0]
+    h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+    shape = (cfg.n_text_layer, b, max_len, h, dh)
+    ck, cv = precompute_cross_attn(params, cfg, audio_states.astype(dtype))
+    return Cache(
+        self_k=jnp.zeros(shape, dtype),
+        self_v=jnp.zeros(shape, dtype),
+        cross_k=ck.astype(dtype),
+        cross_v=cv.astype(dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cached decoder forward (prefill with T>1, or single-step with T=1)
+# ---------------------------------------------------------------------------
+
+def _cached_attention(q, k_cache, v_cache, t_valid):
+    """q (B,T,H,Dh) against a (B,T_max,H,Dh) cache; positions >= t_valid masked.
+
+    t_valid: (T,) absolute position of each query token + 1 (how much of the
+    cache it may see) — implements causality inside the prefill window too.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(dh))
+    pos = jnp.arange(k_cache.shape[1])
+    mask = pos[None, :] < t_valid[:, None]  # (T, T_max)
+    scores = jnp.where(mask[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def decoder_forward_cached(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, T)
+    cache: Cache,
+    pos: jnp.ndarray,  # scalar int: write offset into the cache
+) -> tuple[jnp.ndarray, Cache]:
+    """Run the decoder over T new tokens, appending K/V to the cache at pos.
+
+    Returns (logits (B, T, V), updated cache).  Layers are scanned; the
+    carry is the hidden stream, the scanned xs are the stacked layer params
+    plus that layer's cache slabs.
+    """
+    p = params["decoder"]
+    b, t = tokens.shape
+    dtype = cache.self_k.dtype
+    x = p["token_emb"][tokens].astype(dtype)
+    x = x + jax.lax.dynamic_slice_in_dim(p["pos_emb"], pos, t, axis=0).astype(dtype)
+
+    t_valid = pos + jnp.arange(t) + 1  # each new token sees cache[: pos+i+1]
+
+    def block_fn(x, scanned):
+        bp, sk, sv, ck, cv = scanned
+        # --- causal self-attention against the running cache
+        xn = layer_norm(bp["attn_ln"], x)
+        q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
+        k_new = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
+        v_new = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
+        sk = jax.lax.dynamic_update_slice_in_dim(sk, k_new.astype(dtype), pos, axis=1)
+        sv = jax.lax.dynamic_update_slice_in_dim(sv, v_new.astype(dtype), pos, axis=1)
+        o = _cached_attention(q, sk, sv, t_valid)
+        x = x + linear(bp["attn"]["out"], _merge_heads(o))
+        # --- cross-attention against precomputed encoder K/V
+        xa = layer_norm(bp["cross_attn_ln"], x)
+        qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
+        ta = ck.shape[1]
+        ox = _cached_attention(qx, ck, cv, jnp.full((t,), ta))
+        x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
+        # --- MLP
+        x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
+        return x, (sk, sv)
+
+    x, (new_sk, new_sv) = jax.lax.scan(
+        block_fn, x, (p["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    )
+    x = layer_norm(p["ln"], x)
+    logits = jnp.dot(
+        x, p["token_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits.astype(jnp.float32), Cache(new_sk, new_sv, cache.cross_k, cache.cross_v)
+
+
+# ---------------------------------------------------------------------------
+# Logit rules (vectorised ApplyTimestampRules / SuppressBlank / SuppressTokens)
+# ---------------------------------------------------------------------------
+
+def apply_logit_rules(
+    logits: jnp.ndarray,  # (B, V) float32
+    st: SpecialTokens,
+    *,
+    step: jnp.ndarray,  # scalar: tokens sampled so far (0 at first sample)
+    last_token: jnp.ndarray,  # (B,)
+    penultimate_token: jnp.ndarray,  # (B,)
+    max_ts_token: jnp.ndarray,  # (B,) highest timestamp sampled so far (or tb-1)
+    suppress_mask: jnp.ndarray | None,  # (V,) bool — True = suppress
+    use_timestamps: bool,
+    max_initial_timestamp_index: int = 50,
+    space_blank_id: int | None = None,
+) -> jnp.ndarray:
+    """All Whisper sampling constraints as one vectorised mask pass."""
+    v = logits.shape[-1]
+    vocab_ids = jnp.arange(v)
+    tb = st.timestamp_begin
+
+    # 1. static suppress list (non-speech symbols, sot/notimestamps/...)
+    if suppress_mask is not None:
+        logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+
+    # 2. suppress blank at the first sample: " " and EOT
+    if space_blank_id is not None:
+        blank = (vocab_ids == space_blank_id) | (vocab_ids == st.eot)
+        logits = jnp.where((step == 0) & blank[None, :], NEG_INF, logits)
+
+    if not use_timestamps:
+        return logits
+
+    is_ts = vocab_ids >= tb  # (V,)
+    last_was_ts = last_token >= tb
+    penult_was_ts = (step < 2) | (penultimate_token >= tb)
+
+    # 3. ts-pairing: after <ts> <ts> force text; after text <ts> force ts/EOT
+    mask_ts = last_was_ts & penult_was_ts  # cannot sample another timestamp
+    mask_text = last_was_ts & ~penult_was_ts  # must sample timestamp or EOT
+    text_ids = (vocab_ids < st.eot)
+    logits = jnp.where(mask_ts[:, None] & is_ts[None, :], NEG_INF, logits)
+    logits = jnp.where(mask_text[:, None] & text_ids[None, :], NEG_INF, logits)
+
+    # 4. timestamps are non-decreasing: suppress ts tokens below the max seen.
+    #    (openai: strictly greater if last was a timestamp, >= otherwise)
+    floor = jnp.where(last_was_ts, max_ts_token + 1, max_ts_token)
+    below = vocab_ids[None, :] < floor[:, None]
+    logits = jnp.where(below & is_ts[None, :], NEG_INF, logits)
+
+    # 5. first sample must be a timestamp, capped at max_initial_timestamp
+    first = step == 0
+    logits = jnp.where(first & ~is_ts[None, :], NEG_INF, logits)
+    too_late = vocab_ids > tb + max_initial_timestamp_index
+    logits = jnp.where(first & too_late[None, :], NEG_INF, logits)
+
+    # 6. if total timestamp probability beats the best text token, force ts
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_lp = jax.nn.logsumexp(jnp.where(is_ts[None, :], logprobs, NEG_INF), axis=-1)
+    max_text_lp = jnp.max(jnp.where(is_ts[None, :], NEG_INF, logprobs), axis=-1)
+    force_ts = ts_lp > max_text_lp
+    logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], NEG_INF, logits)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode loop
+# ---------------------------------------------------------------------------
+
+class DecodeResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, max_new) int32, EOT-padded
+    lengths: jnp.ndarray  # (B,) number of valid tokens (excluding EOT)
+    sum_logprob: jnp.ndarray  # (B,)
+    no_speech_prob: jnp.ndarray  # (B,) P(no_speech) at the SOT position
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
+        "space_blank_id",
+    ),
+    donate_argnames=(),
+)
+def greedy_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,  # (B, Ta, d) encoder output
+    *,
+    sot_sequence: tuple[int, ...],
+    max_new_tokens: int = 224,
+    use_timestamps: bool = True,
+    suppress_mask: jnp.ndarray | None = None,
+    space_blank_id: int | None = None,
+    dtype_name: str = "float32",
+) -> DecodeResult:
+    """Batched greedy decode with Whisper sampling rules, one jit region.
+
+    The loop is a lax.while_loop that exits as soon as every row has hit
+    EOT — decisive for RTFx since typical 30 s segments need ~40-120 tokens,
+    far fewer than the 224 cap.
+    """
+    st = SpecialTokens.for_config(cfg)
+    dtype = jnp.dtype(dtype_name)
+    b = audio_states.shape[0]
+    prompt_len = len(sot_sequence)
+    max_len = prompt_len + max_new_tokens
+
+    cache = init_cache(params, cfg, audio_states, max_len, dtype=dtype)
+
+    # --- prefill the SOT sequence
+    prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b, 1))
+    logits, cache = decoder_forward_cached(params, cfg, prompt, cache, jnp.int32(0))
+    sot_probs = jax.nn.softmax(logits[:, 0], axis=-1)
+    no_speech_prob = sot_probs[:, st.no_speech] if st.no_speech < cfg.n_vocab else jnp.zeros((b,))
+    last_logits = logits[:, -1]
+
+    tb = st.timestamp_begin
+
+    class LoopState(NamedTuple):
+        step: jnp.ndarray
+        cache: Cache
+        logits: jnp.ndarray  # (B, V) logits for the next sample
+        tokens: jnp.ndarray  # (B, max_new_tokens)
+        last: jnp.ndarray  # (B,)
+        penult: jnp.ndarray  # (B,)
+        max_ts: jnp.ndarray  # (B,)
+        finished: jnp.ndarray  # (B,) bool
+        sum_logprob: jnp.ndarray  # (B,)
+
+    init = LoopState(
+        step=jnp.int32(0),
+        cache=cache,
+        logits=last_logits,
+        tokens=jnp.full((b, max_new_tokens), st.eot, jnp.int32),
+        last=jnp.full((b,), sot_sequence[-1], jnp.int32),
+        penult=jnp.full((b,), sot_sequence[0], jnp.int32),
+        max_ts=jnp.full((b,), tb, jnp.int32),
+        finished=jnp.zeros((b,), bool),
+        sum_logprob=jnp.zeros((b,), jnp.float32),
+    )
+
+    def cond(s: LoopState):
+        return (s.step < max_new_tokens) & ~jnp.all(s.finished)
+
+    def body(s: LoopState):
+        masked = apply_logit_rules(
+            s.logits,
+            st,
+            step=s.step,
+            last_token=s.last,
+            penultimate_token=s.penult,
+            max_ts_token=s.max_ts,
+            suppress_mask=suppress_mask,
+            use_timestamps=use_timestamps,
+            space_blank_id=space_blank_id,
+        )
+        next_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        logprob = jnp.take_along_axis(
+            jax.nn.log_softmax(masked, axis=-1), next_tok[:, None], axis=-1
+        )[:, 0]
+        next_tok = jnp.where(s.finished, st.eot, next_tok)
+        now_finished = s.finished | (next_tok == st.eot)
+        sum_lp = s.sum_logprob + jnp.where(s.finished, 0.0, logprob)
+
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            s.tokens, next_tok[:, None], s.step, axis=1
+        )
+        new_max_ts = jnp.where(
+            (next_tok >= tb) & ~s.finished, jnp.maximum(s.max_ts, next_tok), s.max_ts
+        )
+
+        logits, cache = decoder_forward_cached(
+            params, cfg, next_tok[:, None], s.cache, prompt_len + s.step
+        )
+        return LoopState(
+            step=s.step + 1,
+            cache=cache,
+            logits=logits[:, -1],
+            tokens=tokens,
+            last=next_tok,
+            penult=s.last,
+            max_ts=new_max_ts,
+            finished=now_finished,
+            sum_logprob=sum_lp,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    lengths = jnp.sum(final.tokens != st.eot, axis=-1)
+    return DecodeResult(
+        tokens=final.tokens,
+        lengths=lengths,
+        sum_logprob=final.sum_logprob,
+        no_speech_prob=no_speech_prob,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token sequence -> timestamped segments (host-side, tiny)
+# ---------------------------------------------------------------------------
+
+def tokens_to_segments(
+    token_rows: np.ndarray,  # (B, T) decoded rows (EOT-padded)
+    st: SpecialTokens,
+    chunk_offsets_s: np.ndarray,  # (B,) start time of each 30 s chunk
+    decode_text,  # callable: list[int] -> str
+    chunk_length_s: float = 30.0,
+) -> list[dict]:
+    """Parse timestamp tokens into Whisper-schema segments.
+
+    Output rows are {"start","end","text"} dicts — exactly the shape the
+    reference's fusion loop consumes (reference:
+    app/services/audio_processor.py:1114-1119).
+    """
+    segments: list[dict] = []
+    for row, offset in zip(token_rows, chunk_offsets_s):
+        toks = [int(t) for t in row if int(t) != st.eot]
+        cur_start = None
+        cur_text: list[int] = []
+        last_end = 0.0
+        for t in toks:
+            if t >= st.timestamp_begin:
+                ts = (t - st.timestamp_begin) * 0.02
+                if cur_start is None:
+                    cur_start = ts
+                else:
+                    text = decode_text(cur_text).strip()
+                    if text:
+                        segments.append(
+                            {
+                                "start": float(offset + cur_start),
+                                "end": float(offset + ts),
+                                "text": text,
+                            }
+                        )
+                    last_end = ts
+                    cur_start = None
+                    cur_text = []
+            elif t < st.eot:
+                if cur_start is None:  # no-timestamp decode: one big segment
+                    cur_start = last_end
+                cur_text.append(t)
+        if cur_text:
+            text = decode_text(cur_text).strip()
+            if text:
+                end = cur_start + (chunk_length_s - cur_start)
+                segments.append(
+                    {
+                        "start": float(offset + (cur_start or 0.0)),
+                        "end": float(offset + min(end, chunk_length_s)),
+                        "text": text,
+                    }
+                )
+    return segments

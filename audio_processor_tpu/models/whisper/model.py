@@ -98,6 +98,9 @@ def init_params(cfg: WhisperConfig, key: jax.Array) -> Params:
             },
             "blocks": _stack_pytrees(enc_blocks),
             "ln_post": _ln_init(d),
+            # fixed sinusoidal positions, stored as a param so converted
+            # checkpoints (which ship them) drop in bit-exact
+            "pos_emb": jnp.asarray(sinusoids(cfg.n_audio_ctx, d)),
         },
         "decoder": {
             "token_emb": jax.random.normal(
@@ -219,7 +222,7 @@ def encode(
     x = jnp.swapaxes(mel, -1, -2).astype(compute_dtype)  # (B, T, n_mels)
     x = gelu(_conv1d(p["conv1"], x, stride=1))
     x = gelu(_conv1d(p["conv2"], x, stride=2))  # (B, 1500, d)
-    x = x + jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state)).astype(x.dtype)
+    x = x + p["pos_emb"].astype(x.dtype)
 
     def block_fn(x, bp):
         x = x + self_attention(bp["attn"], layer_norm(bp["attn_ln"], x), cfg.n_audio_head)

@@ -1,0 +1,229 @@
+"""Whisper architecture parity vs torch/transformers (random weights).
+
+No pretrained checkpoints exist in this image, so parity is established the
+strong way: instantiate a random-init HF WhisperModel, convert its weights
+through convert.from_hf_state_dict, and require logit agreement.  That pins
+every architectural choice (attention scaling, GELU variant, LN placement,
+conv padding, positional embeddings) without network access (SURVEY.md §7
+'hard parts' #2).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from audio_processor_tpu.models.whisper import convert, decode, model
+from audio_processor_tpu.models.whisper.config import WhisperConfig, get_config
+
+CFG = WhisperConfig(
+    name="parity",
+    n_mels=80,
+    n_audio_ctx=96,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=1024,
+    n_text_ctx=64,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=CFG.n_vocab,
+        num_mel_bins=CFG.n_mels,
+        encoder_layers=CFG.n_audio_layer,
+        encoder_attention_heads=CFG.n_audio_head,
+        decoder_layers=CFG.n_text_layer,
+        decoder_attention_heads=CFG.n_text_head,
+        d_model=CFG.n_audio_state,
+        max_source_positions=CFG.n_audio_ctx,
+        max_target_positions=CFG.n_text_ctx,
+        encoder_ffn_dim=4 * CFG.n_audio_state,
+        decoder_ffn_dim=4 * CFG.n_text_state,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=3,
+        suppress_tokens=[],
+        begin_suppress_tokens=[],
+    )
+    hf = WhisperModel(hf_cfg).eval()
+    params = convert.from_hf_state_dict(hf.state_dict(), CFG)
+    return hf, params
+
+
+@pytest.fixture(scope="module")
+def mel(rng):
+    return rng.normal(0, 1, (2, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+
+
+def test_encoder_parity(hf_pair, mel):
+    import torch
+
+    hf, params = hf_pair
+    with torch.no_grad():
+        ref = hf.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    ours = np.asarray(model.encode(params, CFG, jnp.asarray(mel)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_decoder_parity(hf_pair, mel, rng):
+    import torch
+
+    hf, params = hf_pair
+    tokens = rng.integers(0, CFG.n_vocab, (2, 7)).astype(np.int32)
+    with torch.no_grad():
+        enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state
+        ref = hf.decoder(
+            input_ids=torch.from_numpy(tokens.astype(np.int64)),
+            encoder_hidden_states=enc,
+        ).last_hidden_state.numpy()
+        # project to logits with tied embeddings, as our decode_logits does
+        ref_logits = ref @ hf.decoder.embed_tokens.weight.detach().numpy().T
+
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    ours = np.asarray(model.decode_logits(params, CFG, jnp.asarray(tokens), audio))
+    np.testing.assert_allclose(ours, ref_logits, atol=3e-3)
+
+
+def test_cached_decode_matches_teacher_forced(hf_pair, mel, rng):
+    """Prefill + single-token cached steps == full teacher-forced pass."""
+    _, params = hf_pair
+    tokens = jnp.asarray(rng.integers(0, CFG.n_vocab, (2, 6)).astype(np.int32))
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+
+    full = model.decode_logits(params, CFG, tokens, audio)
+
+    cache = decode.init_cache(params, CFG, audio, max_len=16)
+    # prefill first 3 tokens, then step one-by-one
+    logits_a, cache = decode.decoder_forward_cached(
+        params, CFG, tokens[:, :3], cache, jnp.int32(0)
+    )
+    outs = [logits_a]
+    for t in range(3, 6):
+        step_logits, cache = decode.decoder_forward_cached(
+            params, CFG, tokens[:, t : t + 1], cache, jnp.int32(t)
+        )
+        outs.append(step_logits)
+    cached = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full), atol=2e-4)
+
+
+def test_greedy_decode_runs_and_terminates(hf_pair, mel):
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    res = decode.greedy_decode(
+        params,
+        CFG,
+        audio,
+        sot_sequence=tuple(st.sot_sequence()),
+        max_new_tokens=12,
+        use_timestamps=True,
+    )
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 12)
+    # first sampled token must be a timestamp (rule 5)
+    assert (toks[:, 0] >= st.timestamp_begin).all()
+    assert np.asarray(res.no_speech_prob).shape == (2,)
+
+
+def test_greedy_decode_deterministic(hf_pair, mel):
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8)
+    a = decode.greedy_decode(params, CFG, audio, **kw)
+    b = decode.greedy_decode(params, CFG, audio, **kw)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_special_token_layout_matches_whisper():
+    st = decode.SpecialTokens.for_config(get_config("small"))
+    assert st.eot == 50257
+    assert st.sot == 50258
+    assert st.translate == 50358
+    assert st.transcribe == 50359
+    assert st.no_speech == 50362
+    assert st.no_timestamps == 50363
+    assert st.timestamp_begin == 50364
+    st3 = decode.SpecialTokens.for_config(get_config("large-v3"))
+    assert st3.timestamp_begin == 50365
+
+    st_en = decode.SpecialTokens.for_config(get_config("tiny.en"))
+    assert st_en.eot == 50256
+    assert st_en.timestamp_begin == 50363
+
+
+def test_tokens_to_segments():
+    st = decode.SpecialTokens.for_config(CFG)
+    tb = st.timestamp_begin
+    from audio_processor_tpu.models.whisper.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    hello = tok.encode("hello")
+    world = tok.encode(" world")
+    rows = np.array(
+        [
+            [tb + 0] + hello + [tb + 50, tb + 50] + world + [tb + 100, st.eot],
+        ],
+        dtype=np.int32,
+    )
+    segs = decode.tokens_to_segments(rows, st, np.array([30.0]), tok.decode)
+    assert len(segs) == 2
+    assert segs[0]["text"] == "hello"
+    assert abs(segs[0]["start"] - 30.0) < 1e-6
+    assert abs(segs[0]["end"] - 31.0) < 1e-6
+    assert segs[1]["text"] == "world"
+    assert abs(segs[1]["start"] - 31.0) < 1e-6
+    assert abs(segs[1]["end"] - 32.0) < 1e-6
+
+
+def test_npz_roundtrip(hf_pair, tmp_path):
+    _, params = hf_pair
+    p = str(tmp_path / "model.npz")
+    convert.save_params(p, params, CFG)
+    params2, cfg2 = convert.load_params(p)
+    assert cfg2.n_audio_state == CFG.n_audio_state
+    leaves1 = jax.tree.leaves(params)
+    leaves2 = jax.tree.leaves(params2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bpe_tokenizer_roundtrip(tmp_path):
+    """Build a tiny GPT2-style vocab covering all bytes + a few merges."""
+    import json
+
+    from audio_processor_tpu.models.whisper.tokenizer import (
+        BPETokenizer,
+        _bytes_to_unicode,
+    )
+
+    chars = sorted(_bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(chars)}
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o")]
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    with open(vp, "w") as f:
+        json.dump(vocab, f)
+    with open(mp, "w") as f:
+        f.write("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+
+    tok = BPETokenizer.from_vocab_files(vp, mp)
+    ids = tok.encode("hello hello")
+    assert tok.decode(ids) == "hello hello"
+    assert vocab["hello"] in ids
+    # non-ascii text roundtrips through the byte table
+    assert tok.decode(tok.encode("héllo ✓")) == "héllo ✓"
