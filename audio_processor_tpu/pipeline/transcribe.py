@@ -1,0 +1,176 @@
+"""End-to-end transcription: audio -> speaker-less timestamped segments.
+
+Replaces the reference's whisper_model.transcribe() call and its
+model-size-fallback retry ladder (reference:
+app/services/audio_processor.py:1053-1101).  Long audio scales over the
+BATCH axis: the recording is cut into 30 s windows, all windows run through
+log-mel + encoder + KV-cache decode as ONE batched jit program, sharded
+over the mesh's data axis (SURVEY.md §7 stage 3).
+
+Batch sizes are bucketed to powers of two so arbitrary-length meetings hit
+a handful of compiled programs instead of one compile per length.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.whisper import decode as decode_lib
+from ..models.whisper import model as model_lib
+from ..models.whisper.config import WhisperConfig, get_config
+from ..models.whisper.tokenizer import ByteTokenizer
+from ..ops import frontend
+from ..parallel import mesh as mesh_lib
+from ..utils.timestamps import TimeMap
+
+logger = logging.getLogger(__name__)
+
+CHUNK_SAMPLES = frontend.N_SAMPLES  # 480_000 = 30 s @ 16 kHz
+
+
+def _bucket(n: int, max_bucket: int = 64) -> int:
+    """Round a chunk count up to the next power of two (compile-count cap).
+
+    Above max_bucket, round to multiples of max_bucket instead so a 3-hour
+    recording doesn't allocate a 512-chunk batch for 380 chunks.
+    """
+    if n >= max_bucket:
+        return -(-n // max_bucket) * max_bucket
+    return 1 << max(0, n - 1).bit_length()
+
+
+@dataclass
+class Transcriber:
+    """Holds params + compiled programs for one Whisper variant.
+
+    Thread-safe for inference (params are immutable; jit handles reentrancy).
+    """
+
+    params: Any
+    cfg: WhisperConfig
+    tokenizer: Any = field(default_factory=ByteTokenizer)
+    language: int | None = None  # language token index, None = first language
+    compute_dtype: str = "bfloat16"
+    max_new_tokens: int = 224
+    mesh: Any = None  # jax.sharding.Mesh or None for single-device
+
+    def __post_init__(self):
+        self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        self._encode = jax.jit(
+            lambda p, mel: model_lib.encode(
+                p, self.cfg, mel, compute_dtype=jnp.dtype(self.compute_dtype)
+            )
+        )
+
+    # -- factory ------------------------------------------------------------
+
+    @classmethod
+    def random_init(
+        cls, name: str = "tiny", seed: int = 0, **kw
+    ) -> "Transcriber":
+        """Random-weight instance (tests/benches; no checkpoints in image)."""
+        cfg = get_config(name)
+        params = model_lib.init_params(cfg, jax.random.PRNGKey(seed))
+        return cls(params=params, cfg=cfg, **kw)
+
+    @classmethod
+    def from_npz(cls, path: str, tokenizer=None, **kw) -> "Transcriber":
+        from ..models.whisper import convert
+
+        params, cfg = convert.load_params(path)
+        return cls(params=params, cfg=cfg, tokenizer=tokenizer or ByteTokenizer(), **kw)
+
+    # -- chunking -----------------------------------------------------------
+
+    def _chunk(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+        """audio (n,) -> (chunks (B,480000), offsets_s (B,), n_real)."""
+        n = len(audio)
+        n_chunks = max(1, math.ceil(n / CHUNK_SAMPLES))
+        bucket = _bucket(n_chunks)
+        chunks = np.zeros((bucket, CHUNK_SAMPLES), np.float32)
+        offsets = np.zeros((bucket,), np.float64)
+        for i in range(n_chunks):
+            piece = audio[i * CHUNK_SAMPLES : (i + 1) * CHUNK_SAMPLES]
+            chunks[i, : len(piece)] = piece
+            offsets[i] = i * 30.0
+        return chunks, offsets, n_chunks
+
+    # -- main entry ---------------------------------------------------------
+
+    def transcribe(
+        self,
+        audio: np.ndarray,
+        *,
+        sample_rate: int = 16_000,
+        remove_silence: bool = True,
+        time_map: TimeMap | None = None,
+        progress: Callable[[float], None] | None = None,
+    ) -> dict:
+        """Full transcription of arbitrary-length mono audio.
+
+        Returns {"text", "segments": [{start, end, text}], "duration",
+        "rtf_x"} with timestamps in the ORIGINAL timeline even when silence
+        was removed (reference's advertised-but-missing feature,
+        README.md:17 vs audio_processor.py:305-314).
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        duration_s = len(audio) / sample_rate
+
+        if sample_rate != 16_000:
+            audio = np.asarray(frontend.resample(jnp.asarray(audio), sample_rate))
+
+        if time_map is None:
+            if remove_silence and duration_s > 2.0:
+                audio, intervals = frontend.trim_silence_host(audio)
+                time_map = TimeMap(intervals)
+            else:
+                time_map = TimeMap.identity(duration_s)
+
+        chunks, offsets, n_real = self._chunk(audio)
+        if progress:
+            progress(0.1)
+
+        mel = frontend.log_mel_spectrogram(jnp.asarray(chunks), n_mels=self.cfg.n_mels)
+        audio_states = self._encode(self.params, mel)
+        if progress:
+            progress(0.4)
+
+        sot_seq = tuple(self.special.sot_sequence(language=self.language))
+        result = decode_lib.greedy_decode(
+            self.params,
+            self.cfg,
+            audio_states,
+            sot_sequence=sot_seq,
+            max_new_tokens=self.max_new_tokens,
+            use_timestamps=True,
+            dtype_name=self.compute_dtype,
+        )
+        tokens = np.asarray(result.tokens)[:n_real]
+        if progress:
+            progress(0.9)
+
+        segments = decode_lib.tokens_to_segments(
+            tokens, self.special, offsets[:n_real], self.tokenizer.decode
+        )
+        # map trimmed-timeline stamps back to the original recording
+        for seg in segments:
+            seg["start"] = round(time_map.to_original(seg["start"]), 3)
+            seg["end"] = round(time_map.to_original(seg["end"]), 3)
+
+        elapsed = _time.perf_counter() - t0
+        if progress:
+            progress(1.0)
+        return {
+            "text": " ".join(s["text"] for s in segments),
+            "segments": segments,
+            "duration": duration_s,
+            "rtf_x": duration_s / max(elapsed, 1e-9),
+        }

@@ -1,0 +1,110 @@
+"""Headline benchmark: end-to-end transcription RTFx on real TPU.
+
+Config #3 of BASELINE.json: Whisper-small batched KV-cache decode over
+30 s chunks of 1 hour of audio.  Weights are random (no checkpoints in the
+image) but the compute is identical to a converted checkpoint; to keep the
+decode workload honest EOT is suppressed so every chunk decodes the full
+token budget (real meetings average ~60-100 tokens/30 s — we force 96).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the BASELINE.md target of 30x real-time
+(the reference itself implies ~5.5x: 660 s for a ~1 h meeting, app.js:25-34).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="small")
+    ap.add_argument("--audio-minutes", type=float, default=60.0)
+    ap.add_argument("--batch", type=int, default=64, help="chunks per device batch")
+    ap.add_argument("--tokens-per-chunk", type=int, default=96)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+    from audio_processor_tpu.models.whisper import model as model_lib
+    from audio_processor_tpu.models.whisper.config import get_config
+    from audio_processor_tpu.ops import frontend
+
+    cfg = get_config(args.model)
+    st = decode_lib.SpecialTokens.for_config(cfg)
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+
+    total_chunks = int(args.audio_minutes * 2)  # 30 s chunks
+    bs = args.batch
+    n_batches = -(-total_chunks // bs)
+
+    # synthetic "meeting": tones + noise, deterministic
+    rng = np.random.default_rng(0)
+    t = np.arange(frontend.N_SAMPLES) / frontend.SAMPLE_RATE
+    base = (
+        0.3 * np.sin(2 * np.pi * 150 * t) * (np.sin(2 * np.pi * 1.1 * t) > -0.3)
+    ).astype(np.float32)
+    chunk_batch = np.stack(
+        [base + rng.normal(0, 0.01, frontend.N_SAMPLES).astype(np.float32) for _ in range(bs)]
+    )
+
+    # suppress EOT so decode runs the full budget (conservative workload)
+    suppress = np.zeros((cfg.n_vocab,), bool)
+    suppress[st.eot] = True
+    suppress_mask = jnp.asarray(suppress)
+    sot_seq = tuple(st.sot_sequence())
+
+    @jax.jit
+    def encode_batch(params, audio):
+        mel = frontend.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+        return model_lib.encode(params, cfg, mel, compute_dtype=jnp.dtype(args.dtype))
+
+    def run_batch(audio):
+        states = encode_batch(params, audio)
+        res = decode_lib.greedy_decode(
+            params,
+            cfg,
+            states,
+            sot_sequence=sot_seq,
+            max_new_tokens=args.tokens_per_chunk,
+            use_timestamps=True,
+            suppress_mask=suppress_mask,
+            dtype_name=args.dtype,
+        )
+        return res.tokens
+
+    audio_dev = jnp.asarray(chunk_batch)
+
+    # warmup / compile.  NOTE: block_until_ready does not actually block on
+    # the tunnelled axon platform — sync via host transfer instead.
+    np.asarray(run_batch(audio_dev))
+
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        toks = np.asarray(run_batch(audio_dev))
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = total_chunks * 30.0
+    rtfx = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype})",
+                "value": round(rtfx, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtfx / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

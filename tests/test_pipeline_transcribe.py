@@ -1,0 +1,56 @@
+"""End-to-end transcription pipeline tests (random tiny model, CPU mesh)."""
+import numpy as np
+import pytest
+
+from audio_processor_tpu.pipeline.transcribe import Transcriber, _bucket
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    return Transcriber.random_init("test", compute_dtype="float32", max_new_tokens=8)
+
+
+def test_bucket_sizes():
+    assert _bucket(1) == 1
+    assert _bucket(3) == 4
+    assert _bucket(17) == 32
+    assert _bucket(64) == 64
+    assert _bucket(65) == 128
+    assert _bucket(130) == 192
+
+
+def test_transcribe_returns_schema(transcriber, speech_like_audio):
+    out = transcriber.transcribe(speech_like_audio, remove_silence=False)
+    assert set(out) >= {"text", "segments", "duration", "rtf_x"}
+    assert out["duration"] == pytest.approx(10.0, abs=0.01)
+    for seg in out["segments"]:
+        assert set(seg) == {"start", "end", "text"}
+        assert 0.0 <= seg["start"] <= seg["end"] <= 10.5
+
+
+def test_transcribe_multi_chunk(transcriber, rng):
+    # 65 s -> 3 chunks -> bucket 4
+    audio = rng.normal(0, 0.1, 65 * 16000).astype(np.float32)
+    out = transcriber.transcribe(audio, remove_silence=False)
+    assert out["duration"] == pytest.approx(65.0, abs=0.01)
+    for seg in out["segments"]:
+        assert seg["end"] <= 95.0  # inside padded chunk range
+
+
+def test_transcribe_with_silence_removal(transcriber, rng):
+    sr = 16000
+    audio = np.zeros(20 * sr, dtype=np.float32)
+    burst = rng.normal(0, 0.3, 2 * sr).astype(np.float32)
+    audio[2 * sr : 4 * sr] = burst
+    audio[15 * sr : 17 * sr] = burst
+    out = transcriber.transcribe(audio, remove_silence=True)
+    # timestamps must live in the ORIGINAL 20 s timeline
+    for seg in out["segments"]:
+        assert 0.0 <= seg["start"] <= 20.0
+        assert 0.0 <= seg["end"] <= 20.0
+
+
+def test_transcribe_resamples(transcriber, rng):
+    audio = rng.normal(0, 0.1, 8000 * 5).astype(np.float32)  # 5 s @ 8 kHz
+    out = transcriber.transcribe(audio, sample_rate=8000, remove_silence=False)
+    assert out["duration"] == pytest.approx(5.0, abs=0.01)
