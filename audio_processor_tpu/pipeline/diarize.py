@@ -1,0 +1,204 @@
+"""Speaker diarization pipeline: segmentation -> embeddings -> clustering.
+
+Replaces the reference's `self.diarization_pipeline(audio_path)` call into
+pyannote (HOT LOOP #2; reference: app/services/audio_processor.py:1105) with
+the same three-stage recipe as pyannote-3.1, re-staged for TPU:
+
+  1. sliding 10 s windows, ALL windows batched through the segmentation net
+     in one jit program (local speakers per window, powerset-decoded);
+  2. one fixed-length speech crop per (window, local speaker), ALL crops
+     batched through the ResNet34 embedding extractor;
+  3. host-side agglomerative clustering of the embeddings assigns global
+     speaker identities; window-local activations are stitched into global
+     per-speaker tracks on a common frame grid.
+
+Output turns are {"start", "end", "speaker": "SPEAKER_XX"} — the same
+(start, end, label) contract the reference reads off
+`diarization.itertracks(yield_label=True)` (audio_processor.py:1122-1135).
+"""
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.diarization import clustering as cluster_lib
+from ..models.diarization import embedding as emb_lib
+from ..models.diarization import segmentation as seg_lib
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket_pow2(n: int, cap: int = 128) -> int:
+    if n >= cap:
+        return -(-n // cap) * cap
+    return 1 << max(0, n - 1).bit_length()
+
+
+@dataclass
+class Diarizer:
+    seg_params: Any
+    seg_cfg: seg_lib.SegmentationConfig
+    emb_params: Any
+    emb_cfg: emb_lib.EmbeddingConfig
+    window_step_s: float = 5.0
+    onset: float = 0.5  # binarisation threshold on speaker activation
+    min_speech_s: float = 0.4  # ignore local speakers with less speech
+    cluster_threshold: float = 0.7
+    min_speakers: int = 1
+    max_speakers: int | None = None
+    max_batch: int = 128
+
+    @classmethod
+    def random_init(cls, seed: int = 0, **kw) -> "Diarizer":
+        seg_cfg = seg_lib.SegmentationConfig()
+        emb_cfg = emb_lib.EmbeddingConfig()
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        return cls(
+            seg_params=seg_lib.init_params(seg_cfg, k1),
+            seg_cfg=seg_cfg,
+            emb_params=emb_lib.init_params(emb_cfg, k2),
+            emb_cfg=emb_cfg,
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _windows(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        w = self.seg_cfg.window_samples
+        step = int(self.window_step_s * self.seg_cfg.sample_rate)
+        n = len(audio)
+        starts = list(range(0, max(n - w, 0) + 1, step))
+        if not starts or starts[-1] + w < n:
+            starts.append(max(n - w, 0))
+        out = np.zeros((len(starts), w), np.float32)
+        for i, s in enumerate(starts):
+            piece = audio[s : s + w]
+            out[i, : len(piece)] = piece
+        return out, np.asarray(starts, np.float64) / self.seg_cfg.sample_rate
+
+    def _segment_all(self, windows: np.ndarray) -> np.ndarray:
+        """(B, W) -> (B, F, n_spk) activations, batched in pow2 slabs."""
+        outs = []
+        for i in range(0, len(windows), self.max_batch):
+            slab = windows[i : i + self.max_batch]
+            b = _bucket_pow2(len(slab), self.max_batch)
+            padded = np.zeros((b, windows.shape[1]), np.float32)
+            padded[: len(slab)] = slab
+            probs = seg_lib.segment_windows(
+                self.seg_params, self.seg_cfg, jnp.asarray(padded)
+            )
+            outs.append(np.asarray(probs)[: len(slab)])
+        return np.concatenate(outs, axis=0)
+
+    def _embed_all(self, crops: np.ndarray) -> np.ndarray:
+        outs = []
+        for i in range(0, len(crops), self.max_batch):
+            slab = crops[i : i + self.max_batch]
+            b = _bucket_pow2(len(slab), self.max_batch)
+            padded = np.zeros((b, crops.shape[1]), np.float32)
+            padded[: len(slab)] = slab
+            emb = emb_lib.embed_crops(self.emb_params, self.emb_cfg, jnp.asarray(padded))
+            outs.append(np.asarray(emb)[: len(slab)])
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+
+    def diarize(self, audio: np.ndarray, sample_rate: int = 16_000) -> list[dict]:
+        """Mono float32 audio -> list of speaker turns (original timeline)."""
+        if sample_rate != self.seg_cfg.sample_rate:
+            from ..ops import frontend
+
+            audio = np.asarray(
+                frontend.resample(jnp.asarray(audio), sample_rate, self.seg_cfg.sample_rate)
+            )
+        duration = len(audio) / self.seg_cfg.sample_rate
+        if duration < 0.5:
+            return []
+
+        windows, starts_s = self._windows(audio)
+        probs = self._segment_all(windows)  # (B, F, S)
+        n_win, n_frames, n_spk = probs.shape
+        fs = self.seg_cfg.frame_step_s
+        sr = self.seg_cfg.sample_rate
+
+        # --- collect one speech crop per active (window, local speaker)
+        crop_len = self.emb_cfg.crop_samples
+        crops, owners = [], []
+        active = probs > self.onset
+        min_frames = int(self.min_speech_s / fs)
+        for w in range(n_win):
+            for s in range(n_spk):
+                frames_on = np.flatnonzero(active[w, :, s])
+                if len(frames_on) < max(min_frames, 1):
+                    continue
+                # concatenate this speaker's speech samples inside the window
+                base = int(starts_s[w] * sr)
+                sample_idx = []
+                step = int(fs * sr)
+                for f in frames_on:
+                    lo = base + f * step
+                    sample_idx.append((lo, lo + step))
+                pieces = [audio[lo:hi] for lo, hi in sample_idx]
+                speech = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+                if len(speech) < crop_len:
+                    speech = np.pad(speech, (0, crop_len - len(speech)), mode="wrap")
+                crops.append(speech[:crop_len])
+                owners.append((w, s))
+
+        if not crops:
+            return []
+
+        embeddings = self._embed_all(np.stack(crops))
+        labels = cluster_lib.agglomerative_cluster(
+            embeddings,
+            threshold=self.cluster_threshold,
+            min_clusters=self.min_speakers,
+            max_clusters=self.max_speakers,
+        )
+        n_clusters = int(labels.max()) + 1
+
+        # --- stitch window-local activations onto a global frame grid
+        total_frames = int(math.ceil(duration / fs)) + 1
+        acc = np.zeros((total_frames, n_clusters), np.float64)
+        cnt = np.zeros((total_frames, n_clusters), np.float64)
+        for (w, s), lab in zip(owners, labels):
+            f0 = int(round(starts_s[w] / fs))
+            f1 = min(f0 + n_frames, total_frames)
+            acc[f0:f1, lab] += probs[w, : f1 - f0, s]
+            cnt[f0:f1, lab] += 1.0
+        mean = np.divide(acc, cnt, out=np.zeros_like(acc), where=cnt > 0)
+        on = mean > self.onset
+
+        # --- frames -> turns
+        turns = []
+        for c in range(n_clusters):
+            for f0, f1 in _runs(on[:, c]):
+                start, end = f0 * fs, f1 * fs
+                if end - start < self.min_speech_s:
+                    continue
+                turns.append(
+                    {
+                        "start": round(float(start), 3),
+                        "end": round(float(min(end, duration)), 3),
+                        "speaker": f"SPEAKER_{c:02d}",
+                    }
+                )
+        turns.sort(key=lambda t: (t["start"], t["speaker"]))
+        return turns
+
+
+def _runs(mask: np.ndarray):
+    """Yield (start, end) index pairs of contiguous True runs."""
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return
+    splits = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate([[idx[0]], idx[splits + 1]])
+    ends = np.concatenate([idx[splits], [idx[-1]]]) + 1
+    yield from zip(starts, ends)

@@ -1,0 +1,187 @@
+"""Diarization stack tests: segmentation shapes/powerset, embeddings,
+clustering behaviour, end-to-end pipeline contract, fusion semantics."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from audio_processor_tpu.models.diarization import clustering as cl
+from audio_processor_tpu.models.diarization import embedding as emb_lib
+from audio_processor_tpu.models.diarization import segmentation as seg_lib
+from audio_processor_tpu.pipeline import fuse
+from audio_processor_tpu.pipeline.diarize import Diarizer, _runs
+
+
+# --- segmentation ----------------------------------------------------------
+
+SEG_CFG = seg_lib.SegmentationConfig()
+
+
+def test_powerset_matrix():
+    m = seg_lib.powerset_matrix(SEG_CFG)
+    assert m.shape == (7, 3)
+    assert m[0].sum() == 0  # empty set first
+    assert (m.sum(axis=1) <= 2).all()
+    # all rows distinct
+    assert len({tuple(r) for r in m}) == 7
+
+
+def test_segmentation_shapes_and_range():
+    params = seg_lib.init_params(SEG_CFG, jax.random.PRNGKey(0))
+    audio = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, SEG_CFG.window_samples)),
+        jnp.float32,
+    )
+    probs = seg_lib.segment_windows(params, SEG_CFG, audio)
+    assert probs.shape == (2, SEG_CFG.num_frames, 3)
+    p = np.asarray(probs)
+    assert (p >= 0).all() and (p <= 1 + 1e-5).all()
+    assert SEG_CFG.num_frames == 589  # pyannote-compatible frame count @10s
+    assert abs(SEG_CFG.frame_step_s - 0.016875) < 1e-9
+
+
+def test_sinc_filters_are_bandpass():
+    params = seg_lib.init_params(SEG_CFG, jax.random.PRNGKey(0))
+    filt = np.asarray(seg_lib.materialize_sinc_filters(params["sinc"], SEG_CFG))
+    assert filt.shape == (SEG_CFG.sinc_kernel, 1, SEG_CFG.sinc_filters)
+    # frequency response peaks inside the band, not at DC (check filters
+    # whose init band sits above the kernel's ~64 Hz resolution floor)
+    low, band = seg_lib._mel_init_bands(SEG_CFG.sinc_filters, SEG_CFG.sample_rate)
+    resp = np.abs(np.fft.rfft(filt[:, 0, :], n=4096, axis=0))
+    freqs = np.fft.rfftfreq(4096, 1 / SEG_CFG.sample_rate)
+    for i in range(SEG_CFG.sinc_filters):
+        center = low[i] + band[i] / 2
+        if center < 500:
+            continue
+        peak_hz = freqs[resp[:, i].argmax()]
+        assert abs(peak_hz - center) < max(band[i], 150.0)
+        assert resp[0, i] < 0.1 * resp[:, i].max()  # DC well below passband
+
+
+# --- embeddings ------------------------------------------------------------
+
+EMB_CFG = emb_lib.EmbeddingConfig(blocks=(1, 1, 1, 1))  # slim for CPU tests
+
+
+def test_embedding_shapes_and_norm():
+    params = emb_lib.init_params(EMB_CFG, jax.random.PRNGKey(0))
+    audio = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, EMB_CFG.crop_samples)), jnp.float32
+    )
+    emb = np.asarray(emb_lib.embed_crops(params, EMB_CFG, audio))
+    assert emb.shape == (2, EMB_CFG.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_embedding_distinguishes_signals():
+    params = emb_lib.init_params(EMB_CFG, jax.random.PRNGKey(0))
+    t = np.arange(EMB_CFG.crop_samples) / 16000
+    a = np.sin(2 * np.pi * 120 * t).astype(np.float32)
+    b = np.random.default_rng(0).normal(0, 0.3, len(t)).astype(np.float32)
+    emb = np.asarray(
+        emb_lib.embed_crops(params, EMB_CFG, jnp.asarray(np.stack([a, a, b])))
+    )
+    same = emb[0] @ emb[1]
+    diff = emb[0] @ emb[2]
+    assert same > 0.999  # identical inputs -> identical embedding
+    assert diff < same
+
+
+# --- clustering ------------------------------------------------------------
+
+def test_cluster_two_blobs():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.05, (20, 16)) + np.eye(16)[0]
+    b = rng.normal(0, 0.05, (10, 16)) + np.eye(16)[1]
+    labels = cl.agglomerative_cluster(np.concatenate([a, b]), threshold=0.5)
+    assert labels.max() == 1
+    assert (labels[:20] == labels[0]).all()
+    assert (labels[20:] == labels[20]).all()
+    assert labels[0] == 0  # biggest cluster gets id 0
+
+
+def test_cluster_max_constraint():
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (30, 8))
+    labels = cl.agglomerative_cluster(x, threshold=0.01, max_clusters=3)
+    assert labels.max() + 1 <= 3
+
+
+def test_cluster_edge_cases():
+    assert len(cl.agglomerative_cluster(np.zeros((0, 4)))) == 0
+    assert (cl.agglomerative_cluster(np.ones((1, 4))) == [0]).all()
+
+
+# --- end-to-end pipeline ---------------------------------------------------
+
+def test_diarizer_contract(rng):
+    d = Diarizer.random_init(window_step_s=5.0)
+    d.emb_cfg = EMB_CFG
+    d.emb_params = emb_lib.init_params(EMB_CFG, jax.random.PRNGKey(1))
+    sr = 16000
+    audio = rng.normal(0, 0.2, 12 * sr).astype(np.float32)
+    turns = d.diarize(audio)
+    for t in turns:
+        assert set(t) == {"start", "end", "speaker"}
+        assert 0 <= t["start"] <= t["end"] <= 12.05
+        assert t["speaker"].startswith("SPEAKER_")
+    # sorted by start time
+    starts = [t["start"] for t in turns]
+    assert starts == sorted(starts)
+
+
+def test_diarizer_empty_on_short_audio():
+    d = Diarizer.random_init()
+    assert d.diarize(np.zeros(1000, np.float32)) == []
+
+
+def test_runs_helper():
+    m = np.array([0, 1, 1, 0, 1, 0, 0, 1, 1, 1], bool)
+    assert list(_runs(m)) == [(1, 3), (4, 5), (7, 10)]
+    assert list(_runs(np.zeros(5, bool))) == []
+
+
+# --- fusion ----------------------------------------------------------------
+
+def test_fusion_max_overlap_wins():
+    asr = [
+        {"start": 0.0, "end": 2.0, "text": "hello"},
+        {"start": 2.0, "end": 4.0, "text": "world"},
+    ]
+    turns = [
+        {"start": 0.0, "end": 1.4, "speaker": "SPEAKER_00"},
+        {"start": 1.4, "end": 4.0, "speaker": "SPEAKER_01"},
+    ]
+    out = fuse.fuse_segments(asr, turns)
+    assert out[0]["speaker"] == "SPEAKER_00"  # 1.4 s vs 0.6 s overlap
+    assert out[1]["speaker"] == "SPEAKER_01"
+    assert out[0]["text"] == "hello"
+
+
+def test_fusion_nearest_and_unknown():
+    asr = [{"start": 10.0, "end": 11.0, "text": "late"}]
+    turns = [{"start": 0.0, "end": 9.5, "speaker": "SPEAKER_00"}]
+    out = fuse.fuse_segments(asr, turns)
+    assert out[0]["speaker"] == "SPEAKER_00"  # within 1 s tolerance
+
+    far = [{"start": 30.0, "end": 31.0, "text": "far"}]
+    out2 = fuse.fuse_segments(far, turns)
+    assert out2[0]["speaker"] == fuse.UNKNOWN
+
+
+def test_fusion_no_turns():
+    asr = [{"start": 0.0, "end": 1.0, "text": "x"}]
+    out = fuse.fuse_segments(asr, [])
+    assert out[0]["speaker"] == fuse.UNKNOWN
+
+
+def test_relabel_and_format():
+    segs = [
+        {"speaker": "SPEAKER_00", "start": 0.0, "end": 1.0, "text": "hi"},
+        {"speaker": "SPEAKER_01", "start": 1.0, "end": 2.0, "text": "yo"},
+    ]
+    out = fuse.relabel_speakers(segs, {"SPEAKER_00": "Alice"})
+    assert out[0]["speaker"] == "Alice"
+    assert out[1]["speaker"] == "SPEAKER_01"
+    txt = fuse.format_transcript(out)
+    assert "Alice: hi" in txt and "[00:00:00 - 00:00:01]" in txt
