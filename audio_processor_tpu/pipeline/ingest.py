@@ -1,0 +1,91 @@
+"""Audio ingest: any container -> 16 kHz mono float32 numpy.
+
+The reference unconditionally shells out to ffmpeg for `-ar 16000 -ac 1`
+conversion (reference: app/services/audio_processor.py:901-930).  Here WAV
+is decoded first-party (utils/wavio + native C++ decoder when built) and
+resampled on-device (ops/frontend.resample); non-WAV containers
+(m4a/ogg/mp3) fall back to an ffmpeg binary if one exists on the host —
+this image ships none, so tests exercise the WAV path.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+from ..ops import frontend
+from ..utils import wavio
+
+logger = logging.getLogger(__name__)
+
+TARGET_SR = 16_000
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
+    """Decode any supported audio file to mono float32 at target_sr."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".wav", ".wave"):
+        try:
+            return _load_wav(path, target_sr)
+        except ValueError as exc:
+            logger.warning("native WAV decode failed (%s); trying ffmpeg", exc)
+    # native C++ decoder handles raw PCM containers too
+    try:
+        from ..native import audio_io
+
+        if audio_io.available() and ext in (".wav", ".wave", ".pcm", ".raw"):
+            samples, rate = audio_io.decode(path)
+            return _resample_np(samples, rate, target_sr)
+    except ImportError:
+        pass
+    if ffmpeg_available():
+        return _load_via_ffmpeg(path, target_sr)
+    raise ValueError(
+        f"cannot decode {path!r}: not a WAV file and no ffmpeg on host"
+    )
+
+
+def _load_wav(path: str, target_sr: int) -> np.ndarray:
+    samples, rate = wavio.read_wav_mono(path)
+    return _resample_np(samples, rate, target_sr)
+
+
+def _resample_np(samples: np.ndarray, rate: int, target_sr: int) -> np.ndarray:
+    if rate == target_sr:
+        return samples.astype(np.float32)
+    import jax.numpy as jnp
+
+    return np.asarray(frontend.resample(jnp.asarray(samples, jnp.float32), rate, target_sr))
+
+
+def _load_via_ffmpeg(path: str, target_sr: int) -> np.ndarray:
+    """ffmpeg -> s16le pipe -> numpy (no temp WAV round-trip)."""
+    cmd = [
+        "ffmpeg", "-nostdin", "-threads", "0", "-i", path,
+        "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le",
+        "-ar", str(target_sr), "-",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, check=False)
+    if proc.returncode != 0:
+        raise ValueError(f"ffmpeg failed: {proc.stderr[-500:].decode(errors='ignore')}")
+    return np.frombuffer(proc.stdout, np.int16).astype(np.float32) / 32768.0
+
+
+def convert_to_wav(path: str, out_dir: str | None = None) -> str:
+    """Materialise a 16 kHz mono 16-bit WAV next to (or in out_dir) —
+    the reference's convert_to_wav contract (audio_processor.py:901-930)."""
+    audio = load_audio(path)
+    out_dir = out_dir or tempfile.mkdtemp(prefix="aptpu_audio_")
+    out_path = os.path.join(
+        out_dir, os.path.splitext(os.path.basename(path))[0] + ".wav"
+    )
+    wavio.write_wav(out_path, audio, TARGET_SR)
+    return out_path

@@ -1,0 +1,258 @@
+"""Async job engine: lifecycle, worker pool, progress, cooperative cancel.
+
+Rebuild of the reference's job machinery (reference:
+app/services/audio_processor.py:49-69, 1150-1526) on top of a pluggable
+persistent store (runtime/job_store.py) so any number of API workers see
+one queue.  Same observable semantics:
+
+  * lifecycle pending -> processing -> completed/failed/cancelled with the
+    reference's progress checkpoints (utils/constants.py PROGRESS);
+  * cooperative cancellation checked between stages (the
+    _is_job_cancelled pattern, audio_processor.py:1195,1224,...);
+  * failed jobs salvage partial results into the error record
+    (audio_processor.py:1360-1374);
+  * graceful executor shutdown on exit (audio_processor.py:1517-1526).
+"""
+from __future__ import annotations
+
+import atexit
+import logging
+import threading
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from ..utils.constants import JOB_STATUS
+from .job_store import ACTIVE_STATUSES, MemoryJobStore, make_store
+
+logger = logging.getLogger(__name__)
+
+
+class JobCancelled(Exception):
+    """Raised inside a stage when cancellation was requested."""
+
+
+def _utcnow() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+class JobContext:
+    """Handle given to pipeline stages: progress reporting + cancel checks."""
+
+    def __init__(self, engine: "JobEngine", job_id: str):
+        self.engine = engine
+        self.job_id = job_id
+        self.partial: dict[str, Any] = {}  # salvaged into failure results
+
+    def progress(self, value: int, message: str = "") -> None:
+        self.engine.update_progress(self.job_id, value, message)
+
+    def check_cancelled(self) -> None:
+        if self.engine.store.is_cancel_requested(self.job_id):
+            raise JobCancelled(self.job_id)
+
+    def stage(self, value: int, message: str = "") -> None:
+        """Cancel checkpoint + progress update in one call (between stages)."""
+        self.check_cancelled()
+        self.progress(value, message)
+
+
+class JobEngine:
+    def __init__(
+        self,
+        max_workers: int = 3,
+        store_url: str | None = None,
+        store=None,
+    ):
+        self.store = store if store is not None else make_store(store_url)
+        self.executor = ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="job-worker"
+        )
+        self._futures: dict[str, Any] = {}
+        self._futures_lock = threading.Lock()
+        self._shutdown = False
+        atexit.register(self.shutdown)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def create_job(self, job_id: str, **info) -> dict:
+        # field names match the reference's job records exactly
+        # (audio_processor.py:1150-1161): 'id', 'status', 'progress',
+        # 'message', 'created_at', 'updated_at'
+        record = {
+            "id": job_id,
+            "status": JOB_STATUS["PENDING"],
+            "progress": 0,
+            "message": "Job created, waiting to process",
+            "created_at": _utcnow(),
+            "updated_at": _utcnow(),
+            "result": None,
+            "error": None,
+            **info,
+        }
+        self.store.create(job_id, record)
+        return record
+
+    def submit(
+        self,
+        job_id: str,
+        fn: Callable[[JobContext], dict],
+        failure_result: Callable[[Exception, dict], dict] | None = None,
+    ) -> None:
+        """Run fn(ctx) on the pool; fn returns the result dict.
+
+        failure_result(exc, ctx.partial) builds a salvage result attached
+        to failed jobs (the reference's partial-result behaviour,
+        audio_processor.py:1360-1374).
+        """
+        if self._shutdown:
+            raise RuntimeError("engine is shut down")
+        future = self.executor.submit(self._run_job, job_id, fn, failure_result)
+        with self._futures_lock:
+            self._futures[job_id] = future
+
+    def _run_job(
+        self,
+        job_id: str,
+        fn: Callable[[JobContext], dict],
+        failure_result: Callable[[Exception, dict], dict] | None = None,
+    ) -> None:
+        ctx = JobContext(self, job_id)
+        try:
+            if self.store.is_cancel_requested(job_id):
+                raise JobCancelled(job_id)
+            self.store.update(
+                job_id,
+                status=JOB_STATUS["PROCESSING"],
+                message="Processing started",
+                updated_at=_utcnow(),
+            )
+            result = fn(ctx)
+            self.store.update(
+                job_id,
+                status=JOB_STATUS["COMPLETED"],
+                progress=100,
+                message="Completed",
+                result=result,
+                completed_at=_utcnow(),
+                updated_at=_utcnow(),
+            )
+        except JobCancelled:
+            logger.info("job %s cancelled", job_id)
+            self.store.update(
+                job_id,
+                status=JOB_STATUS["CANCELLED"],
+                message="Job cancelled by user",
+                cancelled_at=_utcnow(),
+                updated_at=_utcnow(),
+            )
+        except Exception as exc:  # noqa: BLE001 — job boundary
+            logger.error("job %s failed: %s\n%s", job_id, exc, traceback.format_exc())
+            fields: dict[str, Any] = {
+                "status": JOB_STATUS["FAILED"],
+                "message": f"Processing failed: {exc}",
+                "error": str(exc),
+                "completed_at": _utcnow(),
+                "updated_at": _utcnow(),
+            }
+            if ctx.partial:  # salvage partial results (audio_processor.py:1360-1374)
+                fields["partial_result"] = dict(ctx.partial)
+            if failure_result is not None:
+                try:
+                    fields["result"] = failure_result(exc, dict(ctx.partial))
+                except Exception:  # noqa: BLE001 — salvage must not mask the error
+                    logger.exception("failure_result builder raised")
+            self.store.update(job_id, **fields)
+        finally:
+            self.store.clear_cancel(job_id)
+            with self._futures_lock:
+                self._futures.pop(job_id, None)
+
+    # -- observation --------------------------------------------------------
+
+    def update_progress(self, job_id: str, progress: int, message: str = "") -> None:
+        fields = {"progress": int(progress), "updated_at": _utcnow()}
+        if message:
+            fields["message"] = message
+        self.store.update(job_id, **fields)
+
+    def get_job_status(self, job_id: str) -> dict | None:
+        """Status record with the reference's exact shape
+        (audio_processor.py:1459-1491): base fields always, message if set,
+        result iff completed, error iff failed."""
+        rec = self.store.get(job_id)
+        if rec is None:
+            return None
+        out = {
+            "id": rec["id"],
+            "status": rec["status"],
+            "progress": rec.get("progress", 0),
+            "created_at": rec.get("created_at"),
+            "updated_at": rec.get("updated_at"),
+        }
+        if rec.get("message"):
+            out["message"] = rec["message"]
+        for k in ("file_name", "file_id", "user_id"):
+            if rec.get(k) is not None:
+                out[k] = rec[k]
+        if rec["status"] == JOB_STATUS["COMPLETED"]:
+            out["result"] = rec.get("result")
+        elif rec["status"] == JOB_STATUS["FAILED"]:
+            out["error"] = rec.get("error")
+            if rec.get("partial_result"):
+                out["partial_result"] = rec["partial_result"]
+        return out
+
+    def list_jobs(self, filter: str = "all") -> list[dict]:
+        jobs = [self.get_job_status(r["id"]) for r in self.store.list()]
+        jobs = [j for j in jobs if j]
+        if filter == "active":
+            jobs = [j for j in jobs if j["status"] in ACTIVE_STATUSES]
+        elif filter in (
+            JOB_STATUS["COMPLETED"],
+            JOB_STATUS["FAILED"],
+            JOB_STATUS["CANCELLED"],
+        ):
+            jobs = [j for j in jobs if j["status"] == filter]
+        return jobs
+
+    def active_count(self) -> int:
+        return len(self.list_jobs("active"))
+
+    # -- cancellation -------------------------------------------------------
+
+    def cancel_job(self, job_id: str) -> dict:
+        rec = self.store.get(job_id)
+        if rec is None:
+            return {"success": False, "error": "Job not found"}
+        if rec["status"] not in ACTIVE_STATUSES:
+            return {
+                "success": False,
+                "error": f"Job already {rec['status']}",
+                "status": rec["status"],
+            }
+        self.store.request_cancel(job_id)
+        if rec["status"] == JOB_STATUS["PENDING"]:
+            # not started yet: try to cancel the future and finalise now
+            with self._futures_lock:
+                fut = self._futures.get(job_id)
+            if fut is not None and fut.cancel():
+                self.store.update(
+                    job_id,
+                    status=JOB_STATUS["CANCELLED"],
+                    message="Job cancelled by user",
+                    cancelled_at=_utcnow(),
+                    updated_at=_utcnow(),
+                )
+                self.store.clear_cancel(job_id)
+        return {"success": True, "message": "Cancellation requested"}
+
+    # -- shutdown -----------------------------------------------------------
+
+    def shutdown(self, wait: bool = True) -> None:
+        if self._shutdown:
+            return
+        self._shutdown = True
+        logger.info("shutting down job executor")
+        self.executor.shutdown(wait=wait, cancel_futures=True)

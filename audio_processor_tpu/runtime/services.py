@@ -1,0 +1,124 @@
+"""Service container: wires engine + models + integrations for the server.
+
+Replaces the reference's module-global `processor` singleton pattern
+(reference: main.py:27, imported by every route via `from main import
+processor`) with an explicit container handed to route factories — same
+reachability, no import-cycle glue.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..pipeline.meeting import MeetingProcessor, build_failure_result
+from .job_engine import JobEngine
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Services:
+    engine: JobEngine
+    processor: MeetingProcessor
+    credential_store: Any | None = None  # integrations.credentials.CredentialStore
+    oauth_drive: Any | None = None  # per-user DriveClient (set after login)
+    config: dict = field(default_factory=dict)
+
+    def submit_processing_job(
+        self,
+        job_id: str,
+        file_id: str,
+        attachment_file_ids: list[str] | None,
+        user_id: str | None,
+    ) -> None:
+        oauth_drive = self.oauth_drive
+
+        def run(ctx):
+            return self.processor.process(
+                ctx, file_id, attachment_file_ids, user_id, oauth_drive=oauth_drive
+            )
+
+        self.engine.submit(job_id, run, failure_result=build_failure_result)
+
+    def set_oauth_credentials(self, creds) -> None:
+        """Build the per-user Drive client from OAuth credentials
+        (reference: audio_processor.py:133-150)."""
+        from ..integrations.drive import DriveClient
+
+        self.oauth_drive = DriveClient.from_google_credentials(creds)
+
+    def clear_credentials(self) -> None:
+        """Defined properly here — the reference calls a method that doesn't
+        exist and swallows the AttributeError (auth_routes.py:698-701)."""
+        self.oauth_drive = None
+
+
+def build_services(
+    model: str = "tiny",
+    store_url: str | None = None,
+    max_workers: int = 3,
+    with_drive: bool = True,
+    with_llm: bool = True,
+    diarization: bool = True,
+    model_path: str | None = None,
+) -> Services:
+    """Assemble a full service stack from environment configuration.
+
+    External clients degrade to None when unconfigured so the pipeline runs
+    standalone (local files, no LLM/Notion) — the hermetic-test and
+    air-gapped mode the reference lacks.
+    """
+    from ..pipeline.transcribe import Transcriber
+
+    if model_path and os.path.exists(model_path):
+        transcriber = Transcriber.from_npz(model_path)
+    else:
+        transcriber = Transcriber.random_init(model)
+
+    diarizer = None
+    if diarization:
+        from ..pipeline.diarize import Diarizer
+
+        diarizer = Diarizer.random_init()
+
+    drive = None
+    if with_drive:
+        try:
+            from ..integrations.drive import DriveClient
+
+            drive = DriveClient.from_service_account_file()
+        except Exception as exc:  # noqa: BLE001 — optional dependency
+            logger.info("no service-account Drive client: %s", exc)
+
+    gemini = None
+    notion = None
+    if with_llm:
+        from ..integrations.gemini import GeminiClient
+        from ..integrations.notion import NotionClient
+
+        g = GeminiClient()
+        gemini = g if g.available else None
+        n = NotionClient()
+        notion = n if n.available else None
+
+    credential_store = None
+    try:
+        from ..integrations.credentials import CredentialStore
+
+        credential_store = CredentialStore()
+    except Exception as exc:  # noqa: BLE001
+        logger.info("credential store unavailable: %s", exc)
+
+    engine = JobEngine(max_workers=max_workers, store_url=store_url)
+    processor = MeetingProcessor(
+        transcriber=transcriber,
+        diarizer=diarizer,
+        drive=drive,
+        gemini=gemini,
+        notion=notion,
+    )
+    return Services(
+        engine=engine, processor=processor, credential_store=credential_store
+    )

@@ -1,0 +1,216 @@
+"""JSON API: the reference's 9 /api endpoints, byte-compatible shapes.
+
+Route inventory and response contracts mirror
+app/routes/api_routes.py:15-404 of the reference (SURVEY.md §2 'API
+routes'): health, process, job/<id>, jobs?filter=, drive/files,
+job/<id>/cancel, jobs/status/batch, jobs/<id>/result, jobs/debug.
+Implementation differences (by design):
+  * jobs live in a shared persistent store, so every server worker sees the
+    same queue (fixes the reference's gunicorn split-brain defect);
+  * messages are English equivalents of the reference's zh-TW strings.
+"""
+from __future__ import annotations
+
+import logging
+import uuid
+from datetime import datetime
+from typing import Any
+
+from .web import Blueprint, Request, jsonify
+
+logger = logging.getLogger(__name__)
+
+
+def make_api_blueprint(services: Any) -> Blueprint:
+    """services: runtime.services.Services (engine, processor, drive, ...)."""
+    bp = Blueprint("api", url_prefix="/api")
+    engine = services.engine
+
+    @bp.route("/health")
+    def health(request: Request):
+        return {
+            "status": "healthy",
+            "timestamp": datetime.now().isoformat(),
+            "active_jobs": engine.active_count(),
+        }
+
+    @bp.route("/process", methods=("POST",))
+    def process(request: Request):
+        data = request.get_json()
+        if not data:
+            return {"success": False, "error": "Invalid request body"}, 400
+        file_id = data.get("file_id")
+        if not file_id:
+            return {"success": False, "error": "Missing file_id parameter"}, 400
+        attachment_file_ids = data.get("attachment_file_ids")
+        if attachment_file_ids is not None:
+            if not isinstance(attachment_file_ids, list):
+                return {"success": False, "error": "attachment_file_ids must be a list"}, 400
+            if not all(isinstance(x, str) for x in attachment_file_ids):
+                return {
+                    "success": False,
+                    "error": "All items in attachment_file_ids must be strings",
+                }, 400
+            if not attachment_file_ids:
+                attachment_file_ids = None
+
+        job_id = str(uuid.uuid4())
+        user_id = request.session.get("user_id") if request.session else None
+        job_data = engine.create_job(
+            job_id,
+            file_id=file_id,
+            attachment_file_ids=attachment_file_ids,
+            user_id=user_id,
+        )
+        services.submit_processing_job(job_id, file_id, attachment_file_ids, user_id)
+        return {
+            "success": True,
+            "message": "Job submitted; processing in background",
+            "job_id": job_id,
+            "job_status": job_data["status"],
+        }
+
+    @bp.route("/job/<job_id>")
+    def job_status(request: Request, job_id: str):
+        status = engine.get_job_status(job_id)
+        if status is None:
+            return {"success": False, "error": f"Job {job_id} not found"}, 404
+        return {"success": True, "job": status}
+
+    @bp.route("/jobs")
+    def jobs(request: Request):
+        filter_status = request.query.get("filter", "active")
+        if filter_status not in ("active", "all", "completed", "failed"):
+            return {
+                "success": False,
+                "error": "Invalid filter parameter. Use 'active', 'all', 'completed', or 'failed'",
+            }, 400
+        listed = engine.list_jobs(filter_status)
+        jobs_map = {
+            j["id"]: {
+                "id": j["id"],
+                "status": j["status"],
+                "progress": j["progress"],
+                "created_at": j["created_at"],
+                "updated_at": j["updated_at"],
+            }
+            for j in listed
+        }
+        return {
+            "success": True,
+            "active_jobs": jobs_map,
+            "count": len(jobs_map),
+            "timestamp": datetime.now().isoformat(),
+        }
+
+    @bp.route("/drive/files")
+    def drive_files(request: Request):
+        if not (request.session and request.session.get("authenticated")):
+            return {"success": False, "error": "Not authenticated"}, 401
+        drive = services.oauth_drive
+        if drive is None:
+            return {"success": False, "error": "OAuth not completed; please log in"}, 401
+        try:
+            files = _list_drive_files(request, drive)
+        except Exception as exc:  # noqa: BLE001 — external API boundary
+            logger.exception("drive listing failed")
+            return {"success": False, "error": f"Failed to list files: {exc}"}, 500
+        return {"success": True, "files": files}
+
+    @bp.route("/job/<job_id>/cancel", methods=("POST",))
+    def cancel(request: Request, job_id: str):
+        if engine.store.get(job_id) is None:
+            return {"success": False, "error": "Job not found"}, 404
+        result = engine.cancel_job(job_id)
+        if not result.get("success"):
+            return result, 400
+        return result
+
+    @bp.route("/jobs/status/batch", methods=("POST",))
+    def batch_status(request: Request):
+        data = request.get_json()
+        if not data or "job_ids" not in data:
+            return {"success": False, "error": "Missing job_ids parameter"}, 400
+        job_ids = data["job_ids"]
+        if not isinstance(job_ids, list):
+            return {"success": False, "error": "job_ids must be an array"}, 400
+        statuses = {}
+        for jid in job_ids:
+            st = engine.get_job_status(jid)
+            if st is not None:
+                statuses[jid] = st
+        return {"success": True, "jobs": statuses}
+
+    @bp.route("/jobs/<job_id>/result")
+    def job_result(request: Request, job_id: str):
+        status = engine.get_job_status(job_id)
+        if status is None:
+            return {"success": False, "error": f"Job {job_id} not found"}, 404
+        if status.get("status") != "completed":
+            return {"success": False, "error": "Job not completed yet"}, 400
+        return {"success": True, "result": status.get("result", {})}
+
+    @bp.route("/jobs/debug")
+    def jobs_debug(request: Request):
+        listed = engine.list_jobs("all")
+        jobs_info = {
+            j["id"]: {
+                "status": j["status"],
+                "progress": j["progress"],
+                "created_at": j["created_at"],
+                "updated_at": j["updated_at"],
+            }
+            for j in listed
+        }
+        return {"success": True, "total_jobs": len(jobs_info), "jobs": jobs_info}
+
+    return bp
+
+
+def _list_drive_files(request: Request, drive) -> list[dict]:
+    """Audio + PDF listing with optional folder filters, deduped by id
+    (reference behaviour: api_routes.py:187-284)."""
+    recordings_folder = request.query.get("recordingsFolderName")
+    pdf_folder = request.query.get("pdfFolderName")
+    rec_filter = request.query.get("recordingsFilter") == "enabled"
+    pdf_filter = request.query.get("pdfFilter") == "enabled"
+
+    def fetch(base_query: str, filter_on: bool, folder_name: str | None):
+        if not filter_on:
+            return drive.list_files(query=base_query)
+        if not folder_name:
+            return []
+        folder_id = drive.find_folder_id_by_path(folder_name)
+        if not folder_id:
+            return []
+        return drive.list_files(query=f"{base_query} and '{folder_id}' in parents")
+
+    audio = fetch(
+        "trashed = false and mimeType contains 'audio/'", rec_filter, recordings_folder
+    )
+    pdfs = fetch(
+        "trashed = false and mimeType = 'application/pdf'", pdf_filter, pdf_folder
+    )
+
+    merged: dict[str, dict] = {}
+    for f in list(audio) + list(pdfs):
+        if f.get("id"):
+            merged[f["id"]] = f
+
+    out = []
+    for fid, f in merged.items():
+        size = f.get("size", 0)
+        try:
+            size = int(size)
+        except (TypeError, ValueError):
+            size = 0
+        out.append(
+            {
+                "id": fid,
+                "name": f.get("name", "Untitled"),
+                "mimeType": f.get("mimeType", "application/octet-stream"),
+                "size": size,
+                "parents": f.get("parents", []),
+            }
+        )
+    return out

@@ -1,0 +1,340 @@
+"""Minimal first-party WSGI framework (the image ships no Flask).
+
+Provides exactly what the HTTP layer needs, on the stdlib only: a router
+with path parameters, blueprints with URL prefixes, JSON request/response
+helpers, HMAC-signed cookie sessions, before-request hooks, static file
+serving, and a threaded dev server.  The public surface intentionally reads
+like the reference's Flask app so the route modules stay recognisable
+(reference: app/__init__.py, app/routes/*), but the implementation is
+original and stdlib-WSGI underneath.
+"""
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import logging
+import mimetypes
+import os
+import re
+import threading
+from http.cookies import SimpleCookie
+from typing import Any, Callable
+from urllib.parse import parse_qs
+from wsgiref.simple_server import WSGIServer, make_server
+
+logger = logging.getLogger(__name__)
+
+_STATUS_TEXT = {
+    200: "200 OK",
+    201: "201 Created",
+    204: "204 No Content",
+    302: "302 Found",
+    400: "400 Bad Request",
+    401: "401 Unauthorized",
+    403: "403 Forbidden",
+    404: "404 Not Found",
+    405: "405 Method Not Allowed",
+    409: "409 Conflict",
+    500: "500 Internal Server Error",
+    503: "503 Service Unavailable",
+}
+
+
+class Request:
+    def __init__(self, environ: dict):
+        self.environ = environ
+        self.method = environ.get("REQUEST_METHOD", "GET").upper()
+        self.path = environ.get("PATH_INFO", "/")
+        self.query = {
+            k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+        }
+        self.headers = {
+            k[5:].replace("_", "-").title(): v
+            for k, v in environ.items()
+            if k.startswith("HTTP_")
+        }
+        if environ.get("CONTENT_TYPE"):
+            self.headers["Content-Type"] = environ["CONTENT_TYPE"]
+        self._body: bytes | None = None
+        self.params: dict[str, str] = {}  # path params, filled by router
+        self.session: Session | None = None
+
+    @property
+    def body(self) -> bytes:
+        if self._body is None:
+            try:
+                length = int(self.environ.get("CONTENT_LENGTH") or 0)
+            except ValueError:
+                length = 0
+            self._body = self.environ["wsgi.input"].read(length) if length else b""
+        return self._body
+
+    def get_json(self, silent: bool = True) -> Any:
+        try:
+            return json.loads(self.body.decode("utf-8")) if self.body else None
+        except (ValueError, UnicodeDecodeError):
+            if silent:
+                return None
+            raise
+
+    @property
+    def remote_addr(self) -> str:
+        return self.environ.get("REMOTE_ADDR", "")
+
+    @property
+    def host_url(self) -> str:
+        scheme = self.headers.get("X-Forwarded-Proto") or self.environ.get(
+            "wsgi.url_scheme", "http"
+        )
+        host = self.headers.get("X-Forwarded-Host") or self.headers.get(
+            "Host", "localhost"
+        )
+        return f"{scheme}://{host}/"
+
+
+class Response:
+    def __init__(
+        self,
+        body: bytes | str = b"",
+        status: int = 200,
+        headers: dict[str, str] | None = None,
+        content_type: str = "text/html; charset=utf-8",
+    ):
+        self.body = body.encode("utf-8") if isinstance(body, str) else body
+        self.status = status
+        self.headers = dict(headers or {})
+        self.headers.setdefault("Content-Type", content_type)
+        self._cookies: list[str] = []
+
+    def set_cookie(
+        self,
+        name: str,
+        value: str,
+        max_age: int | None = None,
+        path: str = "/",
+        http_only: bool = True,
+        same_site: str = "Lax",
+    ) -> None:
+        c = f"{name}={value}; Path={path}; SameSite={same_site}"
+        if http_only:
+            c += "; HttpOnly"
+        if max_age is not None:
+            c += f"; Max-Age={max_age}"
+        self._cookies.append(c)
+
+    def wsgi(self, start_response) -> list[bytes]:
+        headers = list(self.headers.items())
+        headers.append(("Content-Length", str(len(self.body))))
+        for c in self._cookies:
+            headers.append(("Set-Cookie", c))
+        start_response(_STATUS_TEXT.get(self.status, f"{self.status} Unknown"), headers)
+        return [self.body]
+
+
+def jsonify(data: Any, status: int = 200) -> Response:
+    return Response(
+        json.dumps(data), status=status, content_type="application/json"
+    )
+
+
+def redirect(location: str, status: int = 302) -> Response:
+    return Response(b"", status=status, headers={"Location": location})
+
+
+# ---------------------------------------------------------------------------
+# Sessions: HMAC-signed JSON cookie (no server-side state needed)
+# ---------------------------------------------------------------------------
+
+class Session(dict):
+    def __init__(self, data: dict | None = None):
+        super().__init__(data or {})
+        self.modified = False
+        self.cleared = False
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self.modified = True
+
+    def pop(self, k, *a):
+        self.modified = True
+        return super().pop(k, *a)
+
+    def clear(self):
+        super().clear()
+        self.modified = True
+        self.cleared = True
+
+
+class SessionCodec:
+    COOKIE = "aptpu_session"
+
+    def __init__(self, secret: str):
+        self.key = hashlib.sha256(secret.encode()).digest()
+
+    def load(self, request: Request) -> Session:
+        raw = SimpleCookie(request.headers.get("Cookie", "")).get(self.COOKIE)
+        if not raw:
+            return Session()
+        try:
+            payload_b64, sig = raw.value.rsplit(".", 1)
+            payload = base64.urlsafe_b64decode(payload_b64.encode())
+            expect = hmac.new(self.key, payload, hashlib.sha256).hexdigest()
+            if hmac.compare_digest(expect, sig):
+                return Session(json.loads(payload))
+        except Exception:  # malformed cookie -> fresh session
+            pass
+        return Session()
+
+    def save(self, session: Session, response: Response) -> None:
+        payload = json.dumps(dict(session), separators=(",", ":")).encode()
+        sig = hmac.new(self.key, payload, hashlib.sha256).hexdigest()
+        value = base64.urlsafe_b64encode(payload).decode() + "." + sig
+        response.set_cookie(self.COOKIE, value, max_age=30 * 24 * 3600)
+
+
+# ---------------------------------------------------------------------------
+# Routing
+# ---------------------------------------------------------------------------
+
+_PARAM_RE = re.compile(r"<([a-zA-Z_][a-zA-Z0-9_]*)>")
+
+
+def _compile_rule(rule: str) -> re.Pattern:
+    pattern = _PARAM_RE.sub(r"(?P<\1>[^/]+)", re.escape(rule).replace(r"\<", "<").replace(r"\>", ">"))
+    return re.compile(f"^{pattern}$")
+
+
+class Blueprint:
+    def __init__(self, name: str, url_prefix: str = ""):
+        self.name = name
+        self.url_prefix = url_prefix
+        self.routes: list[tuple[str, tuple[str, ...], Callable]] = []
+
+    def route(self, rule: str, methods: tuple[str, ...] = ("GET",)):
+        def deco(fn):
+            self.routes.append((rule, tuple(m.upper() for m in methods), fn))
+            return fn
+
+        return deco
+
+
+class App:
+    def __init__(
+        self,
+        secret_key: str = "dev-secret",
+        static_dir: str | None = None,
+        template_dir: str | None = None,
+    ):
+        self.routes: list[tuple[re.Pattern, tuple[str, ...], Callable]] = []
+        self.before_request_hooks: list[Callable[[Request], Response | None]] = []
+        self.session_codec = SessionCodec(secret_key)
+        self.static_dir = static_dir
+        self.template_dir = template_dir
+        self.config: dict[str, Any] = {}
+
+    # -- registration -------------------------------------------------------
+
+    def route(self, rule: str, methods: tuple[str, ...] = ("GET",)):
+        def deco(fn):
+            self.routes.append((_compile_rule(rule), tuple(m.upper() for m in methods), fn))
+            return fn
+
+        return deco
+
+    def register_blueprint(self, bp: Blueprint) -> None:
+        for rule, methods, fn in bp.routes:
+            self.routes.append((_compile_rule(bp.url_prefix + rule), methods, fn))
+
+    def before_request(self, fn):
+        self.before_request_hooks.append(fn)
+        return fn
+
+    # -- templates / static -------------------------------------------------
+
+    def render_template(self, name: str, **context) -> Response:
+        assert self.template_dir, "no template_dir configured"
+        with open(os.path.join(self.template_dir, name), encoding="utf-8") as f:
+            html = f.read()
+        for k, v in context.items():
+            html = html.replace("{{ " + k + " }}", str(v))
+        return Response(html)
+
+    def _serve_static(self, path: str) -> Response:
+        assert self.static_dir
+        full = os.path.normpath(os.path.join(self.static_dir, path))
+        if not full.startswith(os.path.abspath(self.static_dir)):
+            return Response(b"forbidden", 403)
+        if not os.path.isfile(full):
+            return jsonify({"error": "not found"}, 404)
+        ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+        with open(full, "rb") as f:
+            return Response(f.read(), content_type=ctype)
+
+    # -- WSGI ---------------------------------------------------------------
+
+    def __call__(self, environ, start_response):
+        request = Request(environ)
+        try:
+            response = self._dispatch(request)
+        except Exception:  # noqa: BLE001 — server boundary
+            logger.exception("unhandled error for %s %s", request.method, request.path)
+            response = jsonify({"error": "Internal server error"}, 500)
+        if request.session is not None and request.session.modified:
+            self.session_codec.save(request.session, response)
+        return response.wsgi(start_response)
+
+    def _dispatch(self, request: Request) -> Response:
+        if self.static_dir and request.path.startswith("/static/"):
+            return self._serve_static(request.path[len("/static/"):])
+
+        request.session = self.session_codec.load(request)
+
+        for hook in self.before_request_hooks:
+            early = hook(request)
+            if early is not None:
+                return early
+
+        allowed: set[str] = set()
+        for pattern, methods, fn in self.routes:
+            m = pattern.match(request.path)
+            if m:
+                if request.method in methods:
+                    request.params = m.groupdict()
+                    out = fn(request, **m.groupdict())
+                    if isinstance(out, Response):
+                        return out
+                    if isinstance(out, tuple):  # (data, status)
+                        return jsonify(out[0], out[1])
+                    if isinstance(out, (dict, list)):
+                        return jsonify(out)
+                    return Response(str(out))
+                allowed.update(methods)
+        if allowed:
+            return jsonify({"error": "Method not allowed"}, 405)
+        return jsonify({"error": "Not found"}, 404)
+
+    # -- dev server ---------------------------------------------------------
+
+    def run(self, host: str = "0.0.0.0", port: int = 5000) -> None:
+        class ThreadingWSGIServer(WSGIServer):
+            daemon_threads = True
+
+            def process_request(self, request, client_address):
+                t = threading.Thread(
+                    target=self._handle, args=(request, client_address), daemon=True
+                )
+                t.start()
+
+            def _handle(self, request, client_address):
+                try:
+                    self.finish_request(request, client_address)
+                except Exception:
+                    self.handle_error(request, client_address)
+                finally:
+                    self.shutdown_request(request)
+
+        with make_server(host, port, self, server_class=ThreadingWSGIServer) as srv:
+            logger.info("serving on %s:%d", host, port)
+            srv.serve_forever()

@@ -1,0 +1,349 @@
+"""Integration-layer tests with fake transports (hermetic, no network)."""
+import json
+import zlib
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.integrations import (
+    credentials as cred_lib,
+    drive as drive_lib,
+    gemini as gemini_lib,
+    notion as notion_lib,
+    notion_formatter as nf,
+    pdf as pdf_lib,
+)
+
+
+# --- gemini ----------------------------------------------------------------
+
+def _gemini_response(text):
+    return {"candidates": [{"content": {"parts": [{"text": text}]}}]}
+
+
+def test_gemini_ladder_skips_quota():
+    calls = []
+
+    def http(url, payload, timeout):
+        calls.append(url)
+        if "gemini-2.5-pro" in url:
+            return 429, {"error": {"message": "Resource exhausted"}}
+        return 200, _gemini_response("ok!")
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    assert c.generate("hi") == "ok!"
+    assert len(calls) == 2  # first model skipped on quota
+
+
+def test_gemini_hard_error_raises():
+    def http(url, payload, timeout):
+        return 400, {"error": {"message": "Invalid request"}}
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    with pytest.raises(gemini_lib.GeminiError):
+        c.generate("hi")
+
+
+def test_gemini_all_exhausted():
+    def http(url, payload, timeout):
+        return 429, {"error": {"message": "quota"}}
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    with pytest.raises(gemini_lib.QuotaExhausted):
+        c.generate("hi")
+
+
+def test_extract_json_object_nested_and_fenced():
+    text = 'Sure! ```json\n{"a": {"b": [1, 2]}, "c": "x}y"}\n``` done'
+    assert gemini_lib.extract_json_object(text) == {"a": {"b": [1, 2]}, "c": "x}y"}
+    # the reference's non-greedy regex would truncate this nested object
+    assert gemini_lib.extract_json_object('noise {"k": {"n": 1}} tail') == {"k": {"n": 1}}
+    assert gemini_lib.extract_json_object("no json here") is None
+
+
+def test_identify_speakers_full_flow():
+    def http(url, payload, timeout):
+        return 200, _gemini_response('{"SPEAKER_00": "Alice", "SPEAKER_01": ""}')
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    segs = [
+        {"speaker": "SPEAKER_00", "text": "hi I am Alice"},
+        {"speaker": "SPEAKER_01", "text": "hello"},
+    ]
+    out = c.identify_speakers(segs)
+    assert out == {"SPEAKER_00": "Alice", "SPEAKER_01": "SPEAKER_01"}
+
+
+def test_identify_speakers_failure_returns_identity():
+    def http(url, payload, timeout):
+        raise ConnectionError("down")
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    out = c.identify_speakers([{"speaker": "SPEAKER_00", "text": "x"}])
+    assert out == {"SPEAKER_00": "SPEAKER_00"}
+
+
+def test_generate_summary_defaults_without_key():
+    c = gemini_lib.GeminiClient(api_key="", http=lambda *a: (_ for _ in ()).throw(RuntimeError))
+    out = c.generate_summary("transcript")
+    assert out["title"] == "Meeting Notes"
+    assert out["todos"] == []
+
+
+# --- notion formatter ------------------------------------------------------
+
+def test_markdown_blocks_full_surface():
+    md = "\n".join(
+        [
+            "# Big title",
+            "#### Deep heading",
+            "Some **bold** and *italic* and `code` and [link](https://x.com).",
+            "- [ ] open task",
+            "- [x] done task",
+            "- bullet",
+            "1. first",
+            "2) second",
+            "> quoted",
+            "> more quote",
+            "---",
+            "```python",
+            "print('hi')",
+            "```",
+            "| A | B |",
+            "|---|---|",
+            "| 1 | 2 |",
+        ]
+    )
+    blocks = nf.markdown_to_blocks(md)
+    types = [b["type"] for b in blocks]
+    assert types == [
+        "heading_1", "heading_3", "paragraph", "to_do", "to_do",
+        "bulleted_list_item", "numbered_list_item", "numbered_list_item",
+        "quote", "divider", "code", "table",
+    ]
+    assert blocks[3]["to_do"]["checked"] is False
+    assert blocks[4]["to_do"]["checked"] is True
+    assert blocks[10]["code"]["language"] == "python"
+    table = blocks[11]["table"]
+    assert table["table_width"] == 2 and table["has_column_header"] is True
+
+
+def test_inline_formatting_annotations():
+    rt = nf.rich_text("a **b** *c* ~~d~~ `e` [f](https://g)")
+    kinds = [
+        (o["text"]["content"], o.get("annotations"), o["text"].get("link"))
+        for o in rt
+    ]
+    assert ("b", {"bold": True}, None) in kinds
+    assert ("c", {"italic": True}, None) in kinds
+    assert ("d", {"strikethrough": True}, None) in kinds
+    assert ("e", {"code": True}, None) in kinds
+    assert ("f", None, {"url": "https://g"}) in kinds
+
+
+def test_transcript_split_respects_limit():
+    transcript = "\n".join(f"line {i} " + "x" * 50 for i in range(200))
+    blocks = nf.split_transcript_into_blocks(transcript)
+    assert len(blocks) > 1
+    for b in blocks:
+        assert len(b["paragraph"]["rich_text"][0]["text"]["content"]) <= nf.MAX_TEXT_LEN
+    # content is preserved
+    joined = "\n".join(
+        b["paragraph"]["rich_text"][0]["text"]["content"] for b in blocks
+    )
+    assert joined.replace("\n", "") == transcript.replace("\n", "")
+
+
+def test_batch_blocks():
+    blocks = [{"i": i} for i in range(200)]
+    batches = nf.batch_blocks(blocks)
+    assert [len(b) for b in batches] == [90, 90, 20]
+
+
+# --- notion client ---------------------------------------------------------
+
+def test_notion_create_page_batches():
+    requests_seen = []
+
+    def http(method, url, headers, payload, timeout):
+        requests_seen.append((method, url, payload))
+        if method == "POST":
+            assert len(payload["children"]) <= 100
+            return 200, {"id": "page-1", "url": "https://notion.so/page-1"}
+        assert len(payload["children"]) <= 90
+        return 200, {}
+
+    c = notion_lib.NotionClient(
+        token="t", database_id="db", http=http, batch_pause_s=0.0
+    )
+    segments = [
+        {"speaker": "SPEAKER_00", "start": float(i), "end": i + 1.0, "text": "word " * 40}
+        for i in range(300)
+    ]
+    page_id, url = c.create_meeting_page(
+        "Weekly sync", "A summary", ["do x"], segments, {"SPEAKER_00": "Alice"},
+        comprehensive_notes="# Notes\n- a\n- b",
+        date_str="2025-06-17",
+    )
+    assert page_id == "page-1"
+    post = requests_seen[0]
+    assert post[2]["properties"]["title"]["title"][0]["text"]["content"] == "[2025-06-17] Weekly sync"
+    assert len(requests_seen) > 1  # transcript forced PATCH batches
+
+
+def test_notion_auth_error_short_circuits():
+    calls = []
+
+    def http(method, url, headers, payload, timeout):
+        calls.append(1)
+        return 401, {"message": "unauthorized"}
+
+    c = notion_lib.NotionClient(token="t", database_id="db", http=http, batch_pause_s=0)
+    with pytest.raises(notion_lib.NotionAuthError):
+        c.create_meeting_page("t", "s", [], [], {})
+    assert len(calls) == 1  # no retries on 401
+
+
+def test_notion_retries_then_succeeds():
+    state = {"n": 0}
+
+    def http(method, url, headers, payload, timeout):
+        state["n"] += 1
+        if state["n"] < 3:
+            return 500, {"message": "boom"}
+        return 200, {"id": "p", "url": "u"}
+
+    c = notion_lib.NotionClient(token="t", database_id="db", http=http, batch_pause_s=0)
+    body = c._request("POST", "x", {})
+    assert body["id"] == "p" and state["n"] == 3
+
+
+# --- drive -----------------------------------------------------------------
+
+class FakeDriveTransport:
+    def __init__(self):
+        self.files = {
+            "f1": {"id": "f1", "name": "REC_20250617_090000.m4a", "mimeType": "audio/mp4",
+                   "size": "1234", "parents": ["folder1"]},
+            "folder1": {"id": "folder1", "name": "WearNote_Recordings",
+                        "mimeType": "application/vnd.google-apps.folder", "parents": []},
+        }
+        self.content = {"f1": b"AUDForDriveBytes" * 100}
+        self.renames = []
+
+    def __call__(self, method, url, headers, params=None, body=None, timeout=120.0):
+        params = params or {}
+        if method == "GET" and url.endswith("/files"):
+            q = params.get("q", "")
+            if "mimeType = 'application/vnd.google-apps.folder'" in q:
+                name = q.split("name = '")[1].split("'")[0]
+                found = [f for f in self.files.values() if f["name"] == name]
+            elif "audio/" in q:
+                found = [f for f in self.files.values() if "audio" in f["mimeType"]]
+            else:
+                found = []
+            return 200, {}, json.dumps({"files": found}).encode()
+        if method == "GET" and "/files/" in url:
+            fid = url.rsplit("/", 1)[1]
+            if params.get("alt") == "media":
+                data = self.content[fid]
+                rng = headers.get("Range", "")
+                if rng:
+                    lo, hi = rng.split("=")[1].split("-")
+                    piece = data[int(lo) : int(hi) + 1]
+                    return 206, {"Content-Range": f"bytes {lo}-{hi}/{len(data)}"}, piece
+                return 200, {}, data
+            return 200, {}, json.dumps(self.files[fid]).encode()
+        if method == "PATCH":
+            fid = url.rsplit("/", 1)[1]
+            self.renames.append((fid, body["name"]))
+            self.files[fid]["name"] = body["name"]
+            return 200, {}, json.dumps(self.files[fid]).encode()
+        return 404, {}, b"{}"
+
+
+def test_drive_list_metadata_download_rename(tmp_path):
+    transport = FakeDriveTransport()
+    d = drive_lib.DriveClient(token_provider=lambda: "tok", transport=transport)
+    files = d.list_files("trashed = false and mimeType contains 'audio/'")
+    assert files[0]["id"] == "f1"
+    meta = d.get_metadata("f1")
+    assert meta["name"].startswith("REC_")
+    dest = str(tmp_path / "out.bin")
+    d.download("f1", dest)
+    with open(dest, "rb") as f:
+        assert f.read() == transport.content["f1"]
+    d.rename("f1", "[2025-06-17] Standup.m4a")
+    assert transport.renames == [("f1", "[2025-06-17] Standup.m4a")]
+    assert d.find_folder_id_by_path("WearNote_Recordings") == "folder1"
+    assert d.find_folder_id_by_path("Nope") is None
+
+
+def test_sanitize_filename():
+    assert drive_lib.sanitize_filename('a/b\\c:d*e?f"g<h>i|j') == "a_b_c_d_e_f_g_h_i_j"
+    assert drive_lib.sanitize_filename("  ") == "untitled"
+
+
+# --- pdf -------------------------------------------------------------------
+
+def _make_pdf(text: str) -> bytes:
+    content = f"BT /F1 12 Tf 72 700 Td ({text}) Tj ET".encode()
+    compressed = zlib.compress(content)
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(compressed)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + compressed
+        + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+
+
+def test_pdf_extracts_flate_text():
+    pdf = _make_pdf("Hello PDF world")
+    assert "Hello PDF world" in pdf_lib.extract_text(pdf)
+
+
+def test_pdf_tj_array_and_escapes():
+    content = b"BT [(Part) -250 (one\\(escaped\\))] TJ ET"
+    pdf = (
+        b"%PDF-1.4\nstream\n" + content + b"\nendstream\ntrailer"
+    )
+    text = pdf_lib.extract_text(pdf)
+    assert "Part" in text and "one(escaped)" in text
+
+
+def test_pdf_garbage_is_empty():
+    assert pdf_lib.extract_text(b"not a pdf") == ""
+
+
+# --- credentials -----------------------------------------------------------
+
+def test_credential_roundtrip_and_ttl():
+    store = cred_lib.CredentialStore(kv=cred_lib.MemoryKV(), ttl_s=3600)
+    data = {
+        "token": "tok",
+        "refresh_token": "ref",
+        "token_uri": "https://oauth2.googleapis.com/token",
+        "client_id": "cid",
+        "client_secret": "sec",
+        "scopes": ["email"],
+        "expiry": "2099-01-01T00:00:00",
+    }
+    store.save_credentials("user1", data)
+    creds = store.load_credentials("user1")
+    assert creds.token == "tok" and creds.refresh_token == "ref"
+    assert creds.expiry.year == 2099
+    assert store.get_valid_credentials("user1") is not None
+
+    store.delete_credentials("user1")
+    assert store.load_credentials("user1") is None
+    assert store.load_credentials("ghost") is None
+
+
+def test_credential_sqlite_backend(tmp_path):
+    kv = cred_lib.SqliteKV(str(tmp_path / "kv.db"))
+    kv.set("k", "v", 3600)
+    assert kv.get("k") == "v"
+    kv.expire("k", 7200)
+    kv.delete("k")
+    assert kv.get("k") is None

@@ -1,0 +1,159 @@
+"""Hermetic end-to-end meeting job: local WAV -> full 9-stage pipeline with
+fake Gemini/Notion transports -> reference-shaped result dict."""
+import json
+import time
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.integrations.gemini import GeminiClient
+from audio_processor_tpu.integrations.notion import NotionClient
+from audio_processor_tpu.pipeline.diarize import Diarizer
+from audio_processor_tpu.pipeline.meeting import MeetingProcessor, build_failure_result
+from audio_processor_tpu.pipeline.transcribe import Transcriber
+from audio_processor_tpu.runtime.job_engine import JobEngine
+from audio_processor_tpu.utils import wavio
+
+
+def _fake_gemini():
+    def http(url, payload, timeout):
+        prompt = payload["contents"][0]["parts"][0]["text"]
+        if "mapping each speaker code" in prompt:
+            text = '{"SPEAKER_00": "Alice"}'
+        elif '"todos"' in prompt:
+            text = json.dumps(
+                {"title": "Sync", "summary": "We discussed things.", "todos": ["ship it"]}
+            )
+        else:
+            text = "# Notes\n- point one"
+        return 200, {"candidates": [{"content": {"parts": [{"text": text}]}}]}
+
+    return GeminiClient(api_key="k", http=http)
+
+
+def _fake_notion(calls):
+    def http(method, url, headers, payload, timeout):
+        calls.append((method, url))
+        if method == "POST":
+            return 200, {"id": "page-7", "url": "https://notion.so/page-7"}
+        return 200, {}
+
+    return NotionClient(token="t", database_id="db", http=http, batch_pause_s=0)
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(12 * sr) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 180 * t) * (np.sin(2 * np.pi * 0.7 * t) > -0.5)
+             + rng.normal(0, 0.01, len(t))).astype(np.float32)
+    p = tmp_path_factory.mktemp("audio") / "REC_20250617_093000.wav"
+    wavio.write_wav(str(p), audio, sr)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def processor_parts():
+    return (
+        Transcriber.random_init("test", compute_dtype="float32", max_new_tokens=8),
+        Diarizer.random_init(window_step_s=5.0),
+    )
+
+
+def test_meeting_job_end_to_end(wav_file, processor_parts):
+    transcriber, diarizer = processor_parts
+    notion_calls = []
+    proc = MeetingProcessor(
+        transcriber=transcriber,
+        diarizer=diarizer,
+        drive=None,
+        gemini=_fake_gemini(),
+        notion=_fake_notion(notion_calls),
+    )
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("m1", file_id=wav_file)
+        engine.submit(
+            "m1",
+            lambda ctx: proc.process(ctx, wav_file),
+            failure_result=build_failure_result,
+        )
+        for _ in range(600):
+            st = engine.get_job_status("m1")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "completed", st.get("error")
+        result = st["result"]
+        # reference result contract (audio_processor.py:1329-1338)
+        for key in (
+            "success", "notion_page_id", "notion_page_url", "title", "summary",
+            "todos", "identified_speakers", "drive_filename",
+        ):
+            assert key in result, key
+        assert result["success"] is True
+        assert result["notion_page_id"] == "page-7"
+        assert result["title"] == "Sync"
+        assert result["todos"] == ["ship it"]
+        # filename date extracted from REC_YYYYMMDD pattern
+        assert result["drive_filename"].startswith("[2025-06-17] Sync")
+        assert result["duration_s"] == pytest.approx(12.0, abs=0.1)
+        assert notion_calls, "notion page was not created"
+        assert st["progress"] == 100
+    finally:
+        engine.shutdown(wait=False)
+
+
+def test_meeting_job_failure_salvage(wav_file, processor_parts):
+    transcriber, diarizer = processor_parts
+
+    class BoomNotion:
+        available = True
+
+        def create_meeting_page(self, *a, **k):
+            raise RuntimeError("notion down")
+
+    proc = MeetingProcessor(
+        transcriber=transcriber,
+        diarizer=None,
+        gemini=_fake_gemini(),
+        notion=BoomNotion(),
+    )
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("m2", file_id=wav_file)
+        engine.submit(
+            "m2",
+            lambda ctx: proc.process(ctx, wav_file),
+            failure_result=build_failure_result,
+        )
+        for _ in range(600):
+            st = engine.get_job_status("m2")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "failed"
+        assert "notion down" in st["error"]
+        # salvage: summary survived even though Notion failed
+        rec = engine.store.get("m2")
+        assert rec["result"]["title"] == "Sync"
+        assert rec["result"]["success"] is False
+    finally:
+        engine.shutdown(wait=False)
+
+
+def test_meeting_job_missing_file():
+    proc = MeetingProcessor(transcriber=None, diarizer=None)
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("m3", file_id="/no/such/file.wav")
+        engine.submit("m3", lambda ctx: proc.process(ctx, "/no/such/file.wav"))
+        for _ in range(100):
+            st = engine.get_job_status("m3")
+            if st["status"] == "failed":
+                break
+            time.sleep(0.05)
+        assert st["status"] == "failed"
+    finally:
+        engine.shutdown(wait=False)

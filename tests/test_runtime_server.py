@@ -1,0 +1,342 @@
+"""Job engine, job stores, WSGI framework, and API contract tests."""
+import io
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.runtime.job_engine import JobCancelled, JobEngine
+from audio_processor_tpu.runtime.job_store import MemoryJobStore, SqliteJobStore, make_store
+from audio_processor_tpu.server import api as api_mod
+from audio_processor_tpu.server.web import App, Blueprint, jsonify
+
+
+# ---------------------------------------------------------------------------
+# job stores
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("backend", ["memory", "sqlite"])
+def test_job_store_crud(backend, tmp_path):
+    store = (
+        MemoryJobStore()
+        if backend == "memory"
+        else SqliteJobStore(str(tmp_path / "jobs.db"))
+    )
+    store.create("j1", {"id": "j1", "status": "pending", "progress": 0})
+    assert store.get("j1")["status"] == "pending"
+    store.update("j1", status="processing", progress=50)
+    assert store.get("j1")["progress"] == 50
+    assert len(store.list()) == 1
+
+    assert not store.is_cancel_requested("j1")
+    store.request_cancel("j1")
+    assert store.is_cancel_requested("j1")
+    store.clear_cancel("j1")
+    assert not store.is_cancel_requested("j1")
+    store.delete("j1")
+    assert store.get("j1") is None
+
+
+def test_sqlite_store_cross_instance(tmp_path):
+    """Two store instances on the same file see each other's jobs —
+    the property the reference's in-process dict lacks."""
+    path = str(tmp_path / "jobs.db")
+    a, b = SqliteJobStore(path), SqliteJobStore(path)
+    a.create("j1", {"id": "j1", "status": "pending"})
+    assert b.get("j1")["status"] == "pending"
+    b.update("j1", status="completed")
+    assert a.get("j1")["status"] == "completed"
+
+
+def test_make_store_urls(tmp_path):
+    assert isinstance(make_store(None), MemoryJobStore)
+    assert isinstance(make_store("memory://"), MemoryJobStore)
+    assert isinstance(make_store(f"sqlite:///{tmp_path}/x.db"), SqliteJobStore)
+
+
+# ---------------------------------------------------------------------------
+# job engine
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def engine():
+    e = JobEngine(max_workers=2)
+    yield e
+    e.shutdown(wait=False)
+
+
+def _wait_status(engine, job_id, statuses, timeout=10.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        st = engine.get_job_status(job_id)
+        if st and st["status"] in statuses:
+            return st
+        time.sleep(0.02)
+    raise TimeoutError(f"job {job_id} never reached {statuses}")
+
+
+def test_job_success_lifecycle(engine):
+    engine.create_job("j1", file_id="f1")
+
+    def work(ctx):
+        ctx.stage(30, "working")
+        return {"success": True, "answer": 42}
+
+    engine.submit("j1", work)
+    st = _wait_status(engine, "j1", ["completed"])
+    assert st["progress"] == 100
+    assert st["result"]["answer"] == 42
+    assert st["id"] == "j1"
+    assert st["file_id"] == "f1"
+
+
+def test_job_failure_salvages_partial(engine):
+    engine.create_job("j2")
+
+    def work(ctx):
+        ctx.partial["title"] = "salvaged"
+        raise RuntimeError("boom")
+
+    engine.submit(
+        "j2", work, failure_result=lambda exc, p: {"success": False, "title": p["title"]}
+    )
+    st = _wait_status(engine, "j2", ["failed"])
+    assert "boom" in st["error"]
+    assert st["partial_result"]["title"] == "salvaged"
+    rec = engine.store.get("j2")
+    assert rec["result"]["title"] == "salvaged"
+
+
+def test_job_cancellation_mid_flight(engine):
+    engine.create_job("j3")
+    started = threading.Event()
+
+    def work(ctx):
+        started.set()
+        for _ in range(200):
+            ctx.check_cancelled()
+            time.sleep(0.02)
+        return {}
+
+    engine.submit("j3", work)
+    started.wait(5)
+    out = engine.cancel_job("j3")
+    assert out["success"]
+    st = _wait_status(engine, "j3", ["cancelled"])
+    assert st["status"] == "cancelled"
+    # cancelling again reports already-cancelled
+    again = engine.cancel_job("j3")
+    assert not again["success"]
+
+
+def test_cancel_missing_job(engine):
+    assert engine.cancel_job("ghost")["success"] is False
+
+
+def test_list_jobs_filters(engine):
+    engine.create_job("a")
+    engine.create_job("b")
+
+    def ok(ctx):
+        return {}
+
+    def bad(ctx):
+        raise ValueError("x")
+
+    engine.submit("a", ok)
+    engine.submit("b", bad)
+    _wait_status(engine, "a", ["completed"])
+    _wait_status(engine, "b", ["failed"])
+    assert {j["id"] for j in engine.list_jobs("completed")} == {"a"}
+    assert {j["id"] for j in engine.list_jobs("failed")} == {"b"}
+    assert len(engine.list_jobs("all")) == 2
+    assert engine.active_count() == 0
+
+
+# ---------------------------------------------------------------------------
+# WSGI framework
+# ---------------------------------------------------------------------------
+
+def call_app(app, method, path, body=None, headers=None, query=""):
+    """Minimal WSGI test client."""
+    raw = json.dumps(body).encode() if isinstance(body, (dict, list)) else (body or b"")
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_LENGTH": str(len(raw)),
+        "CONTENT_TYPE": "application/json",
+        "wsgi.input": io.BytesIO(raw),
+    }
+    for k, v in (headers or {}).items():
+        environ["HTTP_" + k.upper().replace("-", "_")] = v
+    status_headers = {}
+
+    def start_response(status, hdrs):
+        status_headers["status"] = int(status.split()[0])
+        status_headers["headers"] = dict()
+        for k, v in hdrs:
+            status_headers["headers"].setdefault(k, []).append(v)
+
+    chunks = app(environ, start_response)
+    payload = b"".join(chunks)
+    try:
+        data = json.loads(payload)
+    except ValueError:
+        data = payload
+    return status_headers["status"], data, status_headers["headers"]
+
+
+def test_web_routing_and_params():
+    app = App()
+    bp = Blueprint("t", url_prefix="/api")
+
+    @bp.route("/echo/<name>")
+    def echo(request, name):
+        return {"name": name, "q": request.query.get("x")}
+
+    @bp.route("/post", methods=("POST",))
+    def post(request):
+        return {"got": request.get_json()}, 201
+
+    app.register_blueprint(bp)
+    status, data, _ = call_app(app, "GET", "/api/echo/zed", query="x=1")
+    assert status == 200 and data == {"name": "zed", "q": "1"}
+    status, data, _ = call_app(app, "POST", "/api/post", body={"a": 1})
+    assert status == 201 and data == {"got": {"a": 1}}
+    status, data, _ = call_app(app, "GET", "/api/missing")
+    assert status == 404
+    status, data, _ = call_app(app, "DELETE", "/api/post")
+    assert status == 405
+
+
+def test_web_session_cookie_roundtrip():
+    app = App(secret_key="s3cret")
+
+    @app.route("/login", methods=("POST",))
+    def login(request):
+        request.session["user_id"] = "u1"
+        return {"ok": True}
+
+    @app.route("/whoami")
+    def whoami(request):
+        return {"user": request.session.get("user_id")}
+
+    status, _, headers = call_app(app, "POST", "/login")
+    cookie = headers["Set-Cookie"][0].split(";")[0]
+    status, data, _ = call_app(app, "GET", "/whoami", headers={"Cookie": cookie})
+    assert data == {"user": "u1"}
+    # tampered cookie -> fresh session
+    name, _, value = cookie.partition("=")
+    bad = f"{name}={value[:-4]}XXXX"
+    status, data, _ = call_app(app, "GET", "/whoami", headers={"Cookie": bad})
+    assert data == {"user": None}
+
+
+# ---------------------------------------------------------------------------
+# API contract (hermetic services: no drive/llm, local processing)
+# ---------------------------------------------------------------------------
+
+class _InstantProcessor:
+    def process(self, ctx, file_id, attachment_file_ids=None, user_id=None, oauth_drive=None):
+        ctx.stage(30, "working")
+        return {"success": True, "title": f"done:{file_id}"}
+
+
+@pytest.fixture
+def api_app():
+    from audio_processor_tpu.runtime.services import Services
+
+    engine = JobEngine(max_workers=2)
+    services = Services(engine=engine, processor=_InstantProcessor())
+    app = App(secret_key="k")
+    app.register_blueprint(api_mod.make_api_blueprint(services))
+    yield app, engine
+    engine.shutdown(wait=False)
+
+
+def test_api_health(api_app):
+    app, _ = api_app
+    status, data, _ = call_app(app, "GET", "/api/health")
+    assert status == 200
+    assert data["status"] == "healthy"
+    assert set(data) == {"status", "timestamp", "active_jobs"}
+
+
+def test_api_process_validation(api_app):
+    app, _ = api_app
+    status, data, _ = call_app(app, "POST", "/api/process", body=None)
+    assert status == 400 and data["success"] is False
+    status, data, _ = call_app(app, "POST", "/api/process", body={})
+    assert status == 400
+    status, data, _ = call_app(
+        app, "POST", "/api/process", body={"file_id": "x", "attachment_file_ids": "nope"}
+    )
+    assert status == 400
+    status, data, _ = call_app(
+        app, "POST", "/api/process", body={"file_id": "x", "attachment_file_ids": [1]}
+    )
+    assert status == 400
+
+
+def test_api_process_and_poll_lifecycle(api_app):
+    app, engine = api_app
+    status, data, _ = call_app(app, "POST", "/api/process", body={"file_id": "f9"})
+    assert status == 200 and data["success"] is True
+    job_id = data["job_id"]
+    assert data["job_status"] == "pending"
+
+    # poll until completed via the single-job endpoint
+    for _ in range(200):
+        status, jd, _ = call_app(app, "GET", f"/api/job/{job_id}")
+        assert status == 200 and jd["success"]
+        if jd["job"]["status"] == "completed":
+            break
+        time.sleep(0.02)
+    assert jd["job"]["result"]["title"] == "done:f9"
+
+    # batch endpoint
+    status, bd, _ = call_app(
+        app, "POST", "/api/jobs/status/batch", body={"job_ids": [job_id, "ghost"]}
+    )
+    assert status == 200
+    assert job_id in bd["jobs"] and "ghost" not in bd["jobs"]
+
+    # result endpoint
+    status, rd, _ = call_app(app, "GET", f"/api/jobs/{job_id}/result")
+    assert status == 200 and rd["result"]["title"] == "done:f9"
+
+    # jobs listing
+    status, ld, _ = call_app(app, "GET", "/api/jobs", query="filter=all")
+    assert ld["count"] == 1 and job_id in ld["active_jobs"]
+    status, ld, _ = call_app(app, "GET", "/api/jobs", query="filter=bogus")
+    assert status == 400
+
+    # debug endpoint
+    status, dd, _ = call_app(app, "GET", "/api/jobs/debug")
+    assert dd["total_jobs"] == 1
+
+
+def test_api_job_not_found(api_app):
+    app, _ = api_app
+    status, data, _ = call_app(app, "GET", "/api/job/nope")
+    assert status == 404 and data["success"] is False
+    status, data, _ = call_app(app, "GET", "/api/jobs/nope/result")
+    assert status == 404
+    status, data, _ = call_app(app, "POST", "/api/job/nope/cancel")
+    assert status == 404
+
+
+def test_api_result_before_completion(api_app):
+    app, engine = api_app
+    engine.create_job("slow")
+    status, data, _ = call_app(app, "GET", "/api/jobs/slow/result")
+    assert status == 400
+
+
+def test_api_drive_files_requires_auth(api_app):
+    app, _ = api_app
+    status, data, _ = call_app(app, "GET", "/api/drive/files")
+    assert status == 401
