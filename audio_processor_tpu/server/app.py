@@ -1,0 +1,77 @@
+"""App factory: assembles the WSGI app from services + blueprints.
+
+Rebuild of the reference's create_app (reference: app/__init__.py:14-78):
+session secret, credential-restore before_request middleware that skips
+static/auth endpoints, and the three blueprints (auth, main, api).  The
+dead drive_routes blueprint is intentionally not rebuilt (reference
+defect: registered nowhere, references a nonexistent attribute —
+SURVEY.md appendix).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+from .api import make_api_blueprint
+from .auth import make_auth_blueprint
+from .web import App, Blueprint, Request, Response
+
+logger = logging.getLogger(__name__)
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEMPLATE_DIR = os.path.join(_PKG_ROOT, "webui", "templates")
+STATIC_DIR = os.path.join(_PKG_ROOT, "webui", "static")
+
+_app_singleton: App | None = None
+
+
+def render(name: str, **ctx) -> Response:
+    with open(os.path.join(TEMPLATE_DIR, name), encoding="utf-8") as f:
+        html = f.read()
+    for k, v in ctx.items():
+        html = html.replace("{{ " + k + " }}", str(v))
+    return Response(html)
+
+
+_SKIP_RESTORE_PREFIXES = ("/static/", "/api/auth/", "/login", "/callback", "/api/health")
+
+
+def create_app(services: Any, secret_key: str | None = None) -> App:
+    app = App(
+        secret_key=secret_key or os.environ.get("SECRET_KEY", "dev-secret"),
+        static_dir=STATIC_DIR,
+        template_dir=TEMPLATE_DIR,
+    )
+    app.config["services"] = services
+
+    @app.before_request
+    def restore_credentials(request: Request):
+        """Re-hydrate per-user OAuth creds from the store into the Drive
+        client on every authenticated request (reference:
+        app/__init__.py:24-66), skipping static/auth endpoints."""
+        if any(request.path.startswith(p) for p in _SKIP_RESTORE_PREFIXES):
+            return None
+        user_id = request.session.get("user_id") if request.session else None
+        if not user_id or services.credential_store is None:
+            return None
+        if services.oauth_drive is None:
+            try:
+                creds = services.credential_store.get_valid_credentials(user_id)
+                if creds is not None:
+                    services.set_oauth_credentials(creds)
+                    request.session["authenticated"] = True
+            except Exception as exc:  # noqa: BLE001 — auth is best-effort here
+                logger.warning("credential restore failed for %s: %s", user_id, exc)
+        return None
+
+    main_bp = Blueprint("main")
+
+    @main_bp.route("/")
+    def index(request: Request):
+        return render("index.html")
+
+    app.register_blueprint(make_auth_blueprint(services))
+    app.register_blueprint(main_bp)
+    app.register_blueprint(make_api_blueprint(services))
+    return app

@@ -1,0 +1,340 @@
+/* Task manager UI (reference: static/js/app.js): Drive file pickers with
+ * folder filters, job submission, 3 s batch polling with per-job fallback,
+ * per-user localStorage persistence with 30-day retention, ETA estimation
+ * from progress rate, cancel + result views, visibility save/resume hooks. */
+"use strict";
+
+const POLL_INTERVAL_MS = 3000;
+const RETENTION_MS = 30 * 24 * 3600 * 1000;
+const RECORDINGS_FOLDER = "WearNote_Recordings";
+const DOCUMENTS_FOLDER = "WearNote_Recordings/Documents";
+
+/* ------------------------------------------------------------------ store */
+
+const TaskStore = {
+  key() {
+    const uid = (Auth.user && Auth.user.id) || "anon";
+    return `aptpu_tasks_${uid}`;
+  },
+  load() {
+    try {
+      const raw = JSON.parse(localStorage.getItem(this.key()) || "[]");
+      const cutoff = Date.now() - RETENTION_MS;
+      return raw.filter((t) => (t.createdAt || 0) > cutoff);
+    } catch (e) {
+      return [];
+    }
+  },
+  save(tasks) {
+    try { localStorage.setItem(this.key(), JSON.stringify(tasks)); } catch (e) { /* quota */ }
+  },
+};
+
+/* ---------------------------------------------------------------- manager */
+
+const Tasks = {
+  tasks: [],            // {jobId, name, status, progress, message, createdAt, result, history:[{t,progress}]}
+  pollTimer: null,
+
+  init() {
+    this.tasks = TaskStore.load();
+    this.renderAll();
+    this.startPolling();
+    document.addEventListener("visibilitychange", () => {
+      if (document.hidden) TaskStore.save(this.tasks);
+      else this.pollNow();
+    });
+    window.addEventListener("beforeunload", () => TaskStore.save(this.tasks));
+  },
+
+  byId(jobId) { return this.tasks.find((t) => t.jobId === jobId); },
+
+  async create(fileId, fileName, attachmentIds) {
+    const body = { file_id: fileId };
+    if (attachmentIds && attachmentIds.length) body.attachment_file_ids = attachmentIds;
+    const resp = await fetch("/api/process", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(body),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "submit failed");
+    const task = {
+      jobId: data.job_id, name: fileName, status: data.job_status || "pending",
+      progress: 0, message: "Queued", createdAt: Date.now(), result: null, history: [],
+    };
+    this.tasks.unshift(task);
+    TaskStore.save(this.tasks);
+    this.renderAll();
+    this.pollNow();
+    return task;
+  },
+
+  active() {
+    return this.tasks.filter((t) => ["queued", "pending", "processing"].includes(t.status));
+  },
+
+  startPolling() {
+    if (this.pollTimer) clearInterval(this.pollTimer);
+    this.pollTimer = setInterval(() => this.pollNow(), POLL_INTERVAL_MS);
+  },
+
+  async pollNow() {
+    const active = this.active();
+    if (!active.length) return;
+    const ids = active.map((t) => t.jobId);
+    let jobs = null;
+    try {
+      const resp = await fetch("/api/jobs/status/batch", {
+        method: "POST",
+        headers: { "Content-Type": "application/json" },
+        body: JSON.stringify({ job_ids: ids }),
+      });
+      if (resp.ok) jobs = (await resp.json()).jobs;
+    } catch (e) { /* fall through to per-job */ }
+    if (jobs === null) {
+      // fallback: per-job GETs in batches of 3 (reference behaviour)
+      jobs = {};
+      for (let i = 0; i < ids.length; i += 3) {
+        await Promise.all(ids.slice(i, i + 3).map(async (id) => {
+          try {
+            const r = await fetch(`/api/job/${id}`);
+            if (r.ok) jobs[id] = (await r.json()).job;
+          } catch (e) { /* offline */ }
+        }));
+      }
+    }
+    let changed = false;
+    for (const task of active) {
+      const job = jobs[task.jobId];
+      if (!job) continue;
+      if (job.status !== task.status || job.progress !== task.progress || job.message !== task.message) {
+        task.status = job.status;
+        task.progress = job.progress;
+        task.message = job.message || "";
+        task.history.push({ t: Date.now(), progress: job.progress });
+        if (task.history.length > 20) task.history.shift();
+        if (job.status === "completed") task.result = job.result || null;
+        if (job.status === "failed") task.message = job.error || task.message;
+        changed = true;
+      }
+      this.renderTask(task);
+    }
+    if (changed) TaskStore.save(this.tasks);
+  },
+
+  eta(task) {
+    const h = task.history;
+    if (h.length < 2 || task.progress >= 100) return "";
+    const first = h[0], last = h[h.length - 1];
+    const dp = last.progress - first.progress;
+    const dt = (last.t - first.t) / 1000;
+    if (dp <= 0 || dt <= 0) return "";
+    const remaining = (100 - last.progress) * (dt / dp);
+    if (!isFinite(remaining) || remaining > 3600 * 4) return "";
+    const m = Math.floor(remaining / 60), s = Math.round(remaining % 60);
+    return m > 0 ? `~${m}m ${s}s left` : `~${s}s left`;
+  },
+
+  async cancel(jobId) {
+    if (!confirm("Cancel this task?")) return;
+    try {
+      const resp = await fetch(`/api/job/${jobId}/cancel`, { method: "POST" });
+      const data = await resp.json();
+      if (!data.success) alert("Cancel failed: " + (data.error || "unknown"));
+    } catch (e) {
+      alert("Cancel failed: " + e);
+    }
+    this.pollNow();
+  },
+
+  remove(jobId) {
+    this.tasks = this.tasks.filter((t) => t.jobId !== jobId);
+    TaskStore.save(this.tasks);
+    this.renderAll();
+  },
+
+  async viewResult(jobId) {
+    let task = this.byId(jobId);
+    if (task && !task.result) {
+      try {
+        const resp = await fetch(`/api/jobs/${jobId}/result`);
+        if (resp.ok) task.result = (await resp.json()).result;
+      } catch (e) { /* show what we have */ }
+    }
+    const card = document.getElementById("result-card");
+    const body = document.getElementById("result-body");
+    const r = (task && task.result) || {};
+    body.innerHTML = "";
+    const add = (label, value) => {
+      if (!value) return;
+      const row = document.createElement("div");
+      row.className = "result-row";
+      row.innerHTML = `<strong>${label}</strong>`;
+      const span = document.createElement("span");
+      span.textContent = value;
+      row.appendChild(span);
+      body.appendChild(row);
+    };
+    add("Title", r.title);
+    add("Summary", r.summary);
+    if (r.todos && r.todos.length) add("Action items", r.todos.join(" · "));
+    if (r.identified_speakers) {
+      add("Speakers", Object.entries(r.identified_speakers).map(([k, v]) => `${k} → ${v}`).join(", "));
+    }
+    if (r.rtf_x) add("Speed", `${r.rtf_x}× real-time`);
+    if (r.notion_page_url) {
+      const link = document.createElement("a");
+      link.href = r.notion_page_url;
+      link.target = "_blank";
+      link.className = "btn btn-primary";
+      link.textContent = "Open Notion page";
+      body.appendChild(link);
+    }
+    card.classList.remove("hidden");
+    card.scrollIntoView({ behavior: "smooth" });
+  },
+
+  /* ---------------------------------------------------------- rendering */
+
+  statusStyle(status) {
+    return {
+      pending: ["Pending", "badge-wait"],
+      queued: ["Queued", "badge-wait"],
+      processing: ["Processing", "badge-run"],
+      completed: ["Completed", "badge-ok"],
+      failed: ["Failed", "badge-err"],
+      cancelled: ["Cancelled", "badge-muted"],
+    }[status] || [status, "badge-muted"];
+  },
+
+  renderAll() {
+    const list = document.getElementById("task-list");
+    list.innerHTML = "";
+    if (!this.tasks.length) {
+      list.innerHTML = '<div class="empty">No tasks yet</div>';
+      return;
+    }
+    for (const task of this.tasks) {
+      const node = document.getElementById("task-template").content.firstElementChild.cloneNode(true);
+      node.dataset.jobId = task.jobId;
+      node.querySelector(".btn-cancel").onclick = () => this.cancel(task.jobId);
+      node.querySelector(".btn-view").onclick = () => this.viewResult(task.jobId);
+      node.querySelector(".btn-remove").onclick = () => this.remove(task.jobId);
+      list.appendChild(node);
+      this.renderTask(task);
+    }
+  },
+
+  renderTask(task) {
+    const node = document.querySelector(`[data-job-id="${task.jobId}"]`);
+    if (!node) return;
+    const [label, cls] = this.statusStyle(task.status);
+    node.querySelector(".task-name").textContent = task.name || task.jobId.slice(0, 8);
+    const badge = node.querySelector(".task-status");
+    badge.textContent = label;
+    badge.className = `task-status badge ${cls}`;
+    node.querySelector(".progress-bar").style.width = `${task.progress || 0}%`;
+    node.querySelector(".task-message").textContent = task.message || "";
+    node.querySelector(".task-eta").textContent = this.eta(task);
+    const done = ["completed", "failed", "cancelled"].includes(task.status);
+    node.querySelector(".btn-cancel").classList.toggle("hidden", done);
+    node.querySelector(".btn-view").classList.toggle("hidden", task.status !== "completed");
+    node.querySelector(".btn-remove").classList.toggle("hidden", !done);
+  },
+};
+
+/* ----------------------------------------------------------- file pickers */
+
+const Files = {
+  selectedAudio: null,
+  selectedPdfs: new Set(),
+
+  async refresh() {
+    if (!Auth.authenticated) return;
+    const params = new URLSearchParams();
+    if (document.getElementById("recordings-filter").checked) {
+      params.set("recordingsFilter", "enabled");
+      params.set("recordingsFolderName", RECORDINGS_FOLDER);
+    }
+    if (document.getElementById("pdf-filter").checked) {
+      params.set("pdfFilter", "enabled");
+      params.set("pdfFolderName", DOCUMENTS_FOLDER);
+    }
+    let files = [];
+    try {
+      const resp = await fetch(`/api/drive/files?${params}`);
+      const data = await resp.json();
+      if (data.success) files = data.files;
+    } catch (e) { /* render empty */ }
+    this.render(files);
+  },
+
+  render(files) {
+    const audioList = document.getElementById("audio-file-list");
+    const pdfList = document.getElementById("pdf-file-list");
+    audioList.innerHTML = "";
+    pdfList.innerHTML = "";
+    const audio = files.filter((f) => (f.mimeType || "").startsWith("audio/"));
+    const pdfs = files.filter((f) => f.mimeType === "application/pdf");
+    if (!audio.length) audioList.innerHTML = '<li class="empty">No audio files found</li>';
+    for (const f of audio) {
+      const li = document.createElement("li");
+      li.textContent = `${f.name}  (${this.fmtSize(f.size)})`;
+      li.onclick = () => {
+        this.selectedAudio = f;
+        audioList.querySelectorAll("li").forEach((x) => x.classList.remove("selected"));
+        li.classList.add("selected");
+        document.getElementById("process-btn").disabled = false;
+        document.getElementById("picker-hint").textContent = f.name;
+      };
+      audioList.appendChild(li);
+    }
+    for (const f of pdfs) {
+      const li = document.createElement("li");
+      li.textContent = f.name;
+      li.onclick = () => {
+        if (this.selectedPdfs.has(f.id)) { this.selectedPdfs.delete(f.id); li.classList.remove("selected"); }
+        else { this.selectedPdfs.add(f.id); li.classList.add("selected"); }
+      };
+      pdfList.appendChild(li);
+    }
+  },
+
+  fmtSize(bytes) {
+    if (!bytes) return "–";
+    const units = ["B", "KB", "MB", "GB"];
+    let i = 0, n = bytes;
+    while (n >= 1024 && i < units.length - 1) { n /= 1024; i++; }
+    return `${n.toFixed(i ? 1 : 0)} ${units[i]}`;
+  },
+};
+
+/* ------------------------------------------------------------------ wire */
+
+document.addEventListener("DOMContentLoaded", () => {
+  Tasks.init();
+  document.getElementById("refresh-files").onclick = () => Files.refresh();
+  document.getElementById("recordings-filter").onchange = () => Files.refresh();
+  document.getElementById("pdf-filter").onchange = () => Files.refresh();
+  document.getElementById("recordings-folder-label").textContent = RECORDINGS_FOLDER;
+  document.getElementById("pdf-folder-label").textContent = DOCUMENTS_FOLDER;
+  document.getElementById("process-btn").onclick = async () => {
+    const f = Files.selectedAudio;
+    if (!f) return;
+    try {
+      await Tasks.create(f.id, f.name, [...Files.selectedPdfs]);
+      Files.selectedPdfs.clear();
+    } catch (e) {
+      alert("Failed to submit: " + e.message);
+    }
+  };
+  document.addEventListener("auth:changed", (ev) => {
+    if (ev.detail.authenticated) Files.refresh();
+    Tasks.tasks = TaskStore.load();
+    Tasks.renderAll();
+  });
+});
+
+/* console debug hook (reference: window.debugJobsStatus) */
+window.debugJobsStatus = async () => (await fetch("/api/jobs/debug")).json();

@@ -1,0 +1,52 @@
+"""Service entry point (reference: main.py:6-39).
+
+Builds the service stack (models on TPU, job engine on a shared sqlite
+store so multiple processes share one queue) and runs the WSGI app.
+
+    python serve.py                 # dev server on :5000
+    APTPU_MODEL=small python serve.py --port 8080
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
+)
+
+
+def build_app():
+    from audio_processor_tpu.runtime.services import build_services
+    from audio_processor_tpu.server.app import create_app
+
+    services = build_services(
+        model=os.environ.get("APTPU_MODEL", "tiny"),
+        store_url=os.environ.get("JOB_STORE_URL", "sqlite://jobs.db"),
+        max_workers=int(os.environ.get("MAX_WORKERS", "3")),
+        model_path=os.environ.get("APTPU_MODEL_PATH"),
+    )
+    return create_app(services)
+
+
+# WSGI callable for production servers: `gunicorn serve:app` equivalent,
+# e.g. `python -m wsgiref` or any WSGI container.
+app = None
+
+
+def main() -> None:
+    global app
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=int(os.environ.get("PORT", 5000)))
+    args = ap.parse_args()
+    app = build_app()
+    app.run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

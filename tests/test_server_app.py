@@ -1,0 +1,166 @@
+"""Full app factory + auth flow tests (hermetic OAuth transport)."""
+import json
+
+import pytest
+
+from audio_processor_tpu.integrations.credentials import CredentialStore, MemoryKV
+from audio_processor_tpu.runtime.job_engine import JobEngine
+from audio_processor_tpu.runtime.services import Services
+from audio_processor_tpu.server import auth as auth_mod
+from audio_processor_tpu.server.app import create_app
+from tests.test_runtime_server import call_app
+
+
+class _NullProcessor:
+    def process(self, ctx, *a, **k):
+        return {"success": True}
+
+
+@pytest.fixture
+def oauth_env(monkeypatch):
+    monkeypatch.setenv("GOOGLE_CLIENT_ID", "client-123")
+    monkeypatch.setenv("GOOGLE_CLIENT_SECRET", "secret-xyz")
+    monkeypatch.delenv("EXTERNAL_URL", raising=False)
+
+
+@pytest.fixture
+def app_and_services(oauth_env):
+    engine = JobEngine(max_workers=1)
+    services = Services(
+        engine=engine,
+        processor=_NullProcessor(),
+        credential_store=CredentialStore(kv=MemoryKV()),
+    )
+
+    def fake_post(url, data, timeout=30.0):
+        assert url == auth_mod.TOKEN_ENDPOINT
+        assert data["code"] == "good-code"
+        assert data["client_id"] == "client-123"
+        return 200, {
+            "access_token": "at-1",
+            "refresh_token": "rt-1",
+            "expires_in": 3600,
+        }
+
+    def fake_get(url, headers, timeout=30.0):
+        assert headers["Authorization"] == "Bearer at-1"
+        return 200, {
+            "id": "u-77", "email": "alice@example.com",
+            "name": "Alice", "picture": "https://p/x.png",
+        }
+
+    # build app but swap in the hermetic auth blueprint
+    app = create_app(services, secret_key="test")
+    app.routes = [r for r in app.routes]  # routes already registered
+    # rebuild with fake transports: simplest is to register a fresh app
+    from audio_processor_tpu.server.web import App, Blueprint
+    from audio_processor_tpu.server.api import make_api_blueprint
+    from audio_processor_tpu.server.app import STATIC_DIR, TEMPLATE_DIR, render
+
+    app2 = App(secret_key="test", static_dir=STATIC_DIR, template_dir=TEMPLATE_DIR)
+    app2.register_blueprint(
+        auth_mod.make_auth_blueprint(services, post=fake_post, get=fake_get)
+    )
+    main_bp = Blueprint("main")
+
+    @main_bp.route("/")
+    def index(request):
+        return render("index.html")
+
+    app2.register_blueprint(main_bp)
+    app2.register_blueprint(make_api_blueprint(services))
+    yield app2, services
+    engine.shutdown(wait=False)
+
+
+def _cookie_of(headers):
+    return headers.get("Set-Cookie", [""])[0].split(";")[0]
+
+
+def test_index_login_callback_pages(app_and_services):
+    app, _ = app_and_services
+    status, body, _ = call_app(app, "GET", "/")
+    assert status == 200 and b"Audio Processor" in body
+    status, body, _ = call_app(app, "GET", "/login")
+    assert status == 200 and b"Sign in with Google" in body
+    status, body, _ = call_app(app, "GET", "/callback")
+    assert status == 200 and b"Completing sign-in" in body
+
+
+def test_static_serving_and_traversal_guard(app_and_services):
+    app, _ = app_and_services
+    status, body, headers = call_app(app, "GET", "/static/css/style.css")
+    assert status == 200 and b"--accent" in body
+    assert "text/css" in headers["Content-Type"][0]
+    status, _, _ = call_app(app, "GET", "/static/../__init__.py")
+    assert status in (403, 404)
+
+
+def test_auth_google_redirects_with_state(app_and_services):
+    app, _ = app_and_services
+    status, _, headers = call_app(
+        app, "GET", "/api/auth/google", headers={"Host": "example.com"}
+    )
+    assert status == 302
+    loc = headers["Location"][0]
+    assert loc.startswith(auth_mod.AUTH_ENDPOINT)
+    assert "client_id=client-123" in loc
+    assert "state=" in loc
+    assert "redirect_uri=http%3A%2F%2Fexample.com%2Fcallback" in loc
+
+
+def test_full_token_login_flow(app_and_services):
+    app, services = app_and_services
+    # JS-driven exchange (callback.html path)
+    status, data, headers = call_app(
+        app, "POST", "/api/auth/token",
+        body={"code": "good-code", "redirect_uri": "http://example.com/callback"},
+    )
+    assert status == 200 and data["success"]
+    assert data["user"]["email"] == "alice@example.com"
+    cookie = _cookie_of(headers)
+
+    # credentials persisted with the reference's key scheme
+    stored = services.credential_store.load_credentials_dict("u-77")
+    assert stored["token"] == "at-1" and stored["refresh_token"] == "rt-1"
+
+    # status + userinfo with the session cookie
+    status, data, _ = call_app(app, "GET", "/api/auth/status", headers={"Cookie": cookie})
+    assert data["authenticated"] is True
+    status, data, _ = call_app(app, "GET", "/api/auth/userinfo", headers={"Cookie": cookie})
+    assert data["user"]["name"] == "Alice"
+
+    # logout clears store + oauth drive client
+    services.oauth_drive = object()
+    status, data, headers2 = call_app(
+        app, "POST", "/api/auth/logout", headers={"Cookie": cookie}
+    )
+    assert data["success"]
+    assert services.credential_store.load_credentials_dict("u-77") is None
+    assert services.oauth_drive is None
+
+
+def test_token_endpoint_validation(app_and_services):
+    app, _ = app_and_services
+    status, data, _ = call_app(app, "POST", "/api/auth/token", body={})
+    assert status == 400
+    status, data, _ = call_app(
+        app, "POST", "/api/auth/token", body={"code": "bad"},
+    )
+    assert status == 400  # fake_post asserts 'good-code'; failure surfaces as 400
+
+
+def test_userinfo_requires_auth(app_and_services):
+    app, _ = app_and_services
+    status, data, _ = call_app(app, "GET", "/api/auth/userinfo")
+    assert status == 401
+
+
+def test_external_url_rewrite(app_and_services, monkeypatch):
+    app, _ = app_and_services
+    monkeypatch.setenv("EXTERNAL_URL", "https://meet.example.org")
+    status, _, headers = call_app(
+        app, "GET", "/api/auth/google", headers={"Host": "localhost:5000"}
+    )
+    loc = headers["Location"][0]
+    assert "redirect_uri=https%3A%2F%2Fmeet.example.org%2Fcallback" in loc
