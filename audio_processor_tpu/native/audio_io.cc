@@ -1,0 +1,261 @@
+// Native audio I/O: RIFF/WAVE decode + polyphase resample to 16 kHz mono.
+//
+// The reference delegates all decoding to an ffmpeg subprocess (reference:
+// app/services/audio_processor.py:912-923 — fork/exec + temp files per
+// job).  This module is the in-process equivalent for the PCM path: a
+// zero-copy WAV parser handling PCM 8/16/24/32 and float32/64 (incl.
+// WAVE_FORMAT_EXTENSIBLE), channel downmix, and a windowed-sinc polyphase
+// resampler, exposed through a C ABI consumed via ctypes
+// (audio_processor_tpu/native/audio_io.py).  Feeds the host->TPU ingest
+// pipeline without subprocess overhead.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+struct WavFormat {
+  uint16_t audio_format = 0;
+  uint16_t channels = 0;
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+};
+
+// Parse RIFF chunks; returns false on malformed input.
+bool parse_wav(const uint8_t* data, int64_t size, WavFormat* fmt,
+               const uint8_t** payload, int64_t* payload_size) {
+  if (size < 44 || std::memcmp(data, "RIFF", 4) != 0 ||
+      std::memcmp(data + 8, "WAVE", 4) != 0) {
+    return false;
+  }
+  int64_t pos = 12;
+  bool have_fmt = false, have_data = false;
+  while (pos + 8 <= size) {
+    const uint8_t* cid = data + pos;
+    uint32_t csize;
+    std::memcpy(&csize, data + pos + 4, 4);
+    const uint8_t* body = data + pos + 8;
+    if (pos + 8 + static_cast<int64_t>(csize) > size) {
+      csize = static_cast<uint32_t>(size - pos - 8);  // tolerate truncation
+    }
+    if (std::memcmp(cid, "fmt ", 4) == 0 && csize >= 16) {
+      std::memcpy(&fmt->audio_format, body, 2);
+      std::memcpy(&fmt->channels, body + 2, 2);
+      std::memcpy(&fmt->sample_rate, body + 4, 4);
+      std::memcpy(&fmt->bits, body + 14, 2);
+      if (fmt->audio_format == 0xFFFE && csize >= 40) {
+        std::memcpy(&fmt->audio_format, body + 24, 2);  // GUID leading code
+      }
+      have_fmt = true;
+    } else if (std::memcmp(cid, "data", 4) == 0) {
+      *payload = body;
+      *payload_size = csize;
+      have_data = true;
+    }
+    pos += 8 + csize + (csize & 1);  // word alignment
+  }
+  return have_fmt && have_data && fmt->channels > 0;
+}
+
+// Decode interleaved PCM to mono float32.
+bool decode_payload(const WavFormat& fmt, const uint8_t* p, int64_t n,
+                    std::vector<float>* out) {
+  const int ch = fmt.channels;
+  const double inv_ch = 1.0 / ch;
+  switch (fmt.audio_format) {
+    case 1: {  // integer PCM
+      if (fmt.bits == 16) {
+        int64_t frames = n / (2 * ch);
+        out->resize(frames);
+        const int16_t* s = reinterpret_cast<const int16_t*>(p);
+        for (int64_t i = 0; i < frames; ++i) {
+          double acc = 0;
+          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          (*out)[i] = static_cast<float>(acc * inv_ch / 32768.0);
+        }
+        return true;
+      }
+      if (fmt.bits == 24) {
+        int64_t frames = n / (3 * ch);
+        out->resize(frames);
+        for (int64_t i = 0; i < frames; ++i) {
+          double acc = 0;
+          for (int c = 0; c < ch; ++c) {
+            const uint8_t* b = p + (i * ch + c) * 3;
+            int32_t v = b[0] | (b[1] << 8) | (b[2] << 16);
+            v = (v ^ 0x800000) - 0x800000;
+            acc += v;
+          }
+          (*out)[i] = static_cast<float>(acc * inv_ch / 8388608.0);
+        }
+        return true;
+      }
+      if (fmt.bits == 32) {
+        int64_t frames = n / (4 * ch);
+        out->resize(frames);
+        const int32_t* s = reinterpret_cast<const int32_t*>(p);
+        for (int64_t i = 0; i < frames; ++i) {
+          double acc = 0;
+          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          (*out)[i] = static_cast<float>(acc * inv_ch / 2147483648.0);
+        }
+        return true;
+      }
+      if (fmt.bits == 8) {  // unsigned
+        int64_t frames = n / ch;
+        out->resize(frames);
+        for (int64_t i = 0; i < frames; ++i) {
+          double acc = 0;
+          for (int c = 0; c < ch; ++c) acc += (int(p[i * ch + c]) - 128);
+          (*out)[i] = static_cast<float>(acc * inv_ch / 128.0);
+        }
+        return true;
+      }
+      return false;
+    }
+    case 3: {  // IEEE float
+      if (fmt.bits == 32) {
+        int64_t frames = n / (4 * ch);
+        out->resize(frames);
+        const float* s = reinterpret_cast<const float*>(p);
+        for (int64_t i = 0; i < frames; ++i) {
+          double acc = 0;
+          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          (*out)[i] = static_cast<float>(acc * inv_ch);
+        }
+        return true;
+      }
+      if (fmt.bits == 64) {
+        int64_t frames = n / (8 * ch);
+        out->resize(frames);
+        const double* s = reinterpret_cast<const double*>(p);
+        for (int64_t i = 0; i < frames; ++i) {
+          double acc = 0;
+          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          (*out)[i] = static_cast<float>(acc * inv_ch);
+        }
+        return true;
+      }
+      return false;
+    }
+    default:
+      return false;
+  }
+}
+
+int64_t gcd64(int64_t a, int64_t b) { return b == 0 ? a : gcd64(b, a % b); }
+
+// Polyphase rational resampler: zero-stuff by `up`, windowed-sinc lowpass,
+// take every `down`-th sample.  Filter taps are evaluated per output phase
+// so the zero-stuffed signal is never materialised.
+void resample_poly(const std::vector<float>& in, int64_t sr_in, int64_t sr_out,
+                   std::vector<float>* out) {
+  if (sr_in == sr_out || in.empty()) {
+    *out = in;
+    return;
+  }
+  const int64_t g = gcd64(sr_in, sr_out);
+  const int64_t up = sr_out / g, down = sr_in / g;
+  const int taps_per_phase = 16;
+  const int64_t half = taps_per_phase * std::max(up, down) / 2;
+  const double cutoff = 0.5 / static_cast<double>(std::max(up, down));
+
+  // kaiser(beta=8.555) windowed sinc, gain `up`
+  const int64_t klen = 2 * half + 1;
+  std::vector<double> kernel(klen);
+  const double beta = 8.555;
+  auto bessel_i0 = [](double x) {
+    double sum = 1.0, term = 1.0;
+    for (int k = 1; k < 32; ++k) {
+      term *= (x / (2.0 * k)) * (x / (2.0 * k));
+      sum += term;
+      if (term < 1e-16 * sum) break;
+    }
+    return sum;
+  };
+  const double i0b = bessel_i0(beta);
+  for (int64_t i = 0; i < klen; ++i) {
+    const double t = static_cast<double>(i - half);
+    const double sinc =
+        t == 0.0 ? 2 * cutoff : std::sin(2 * kPi * cutoff * t) / (kPi * t);
+    const double r = t / half;
+    const double win = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / i0b;
+    kernel[i] = sinc * win * up;
+  }
+
+  const int64_t n_in = static_cast<int64_t>(in.size());
+  const int64_t n_out = (n_in * up + down - 1) / down;
+  out->assign(n_out, 0.0f);
+  for (int64_t m = 0; m < n_out; ++m) {
+    // output m taps the zero-stuffed stream at position m*down; only input
+    // samples (multiples of up) contribute
+    const int64_t center = m * down;
+    double acc = 0;
+    // input index range covered by the kernel
+    const int64_t lo = (center - half + up - 1) / up;
+    const int64_t hi = (center + half) / up;
+    for (int64_t i = std::max<int64_t>(lo, 0); i <= std::min(hi, n_in - 1); ++i) {
+      const int64_t k = center - i * up + half;
+      acc += static_cast<double>(in[i]) * kernel[k];
+    }
+    (*out)[m] = static_cast<float>(acc);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a WAV byte buffer to mono float32 at target_sr.
+// Returns the number of output samples, or -1 on failure.  Two-call
+// protocol: pass out=nullptr to query the size, then fill.
+int64_t aptpu_decode_wav(const uint8_t* data, int64_t size, int64_t target_sr,
+                         float* out, int64_t out_capacity) {
+  WavFormat fmt;
+  const uint8_t* payload = nullptr;
+  int64_t payload_size = 0;
+  if (!parse_wav(data, size, &fmt, &payload, &payload_size)) return -1;
+  std::vector<float> mono;
+  if (!decode_payload(fmt, payload, payload_size, &mono)) return -1;
+  std::vector<float> resampled;
+  resample_poly(mono, fmt.sample_rate, target_sr, &resampled);
+  const int64_t n = static_cast<int64_t>(resampled.size());
+  if (out != nullptr) {
+    if (out_capacity < n) return -1;
+    std::memcpy(out, resampled.data(), n * sizeof(float));
+  }
+  return n;
+}
+
+// Query the source sample rate/channels of a WAV buffer (for diagnostics).
+int aptpu_wav_info(const uint8_t* data, int64_t size, int64_t* sample_rate,
+                   int* channels, int* bits) {
+  WavFormat fmt;
+  const uint8_t* payload = nullptr;
+  int64_t payload_size = 0;
+  if (!parse_wav(data, size, &fmt, &payload, &payload_size)) return -1;
+  *sample_rate = fmt.sample_rate;
+  *channels = fmt.channels;
+  *bits = fmt.bits;
+  return 0;
+}
+
+// Standalone resampler for raw float32 mono buffers.
+int64_t aptpu_resample(const float* in, int64_t n_in, int64_t sr_in,
+                       int64_t sr_out, float* out, int64_t out_capacity) {
+  std::vector<float> input(in, in + n_in);
+  std::vector<float> output;
+  resample_poly(input, sr_in, sr_out, &output);
+  const int64_t n = static_cast<int64_t>(output.size());
+  if (out != nullptr) {
+    if (out_capacity < n) return -1;
+    std::memcpy(out, output.data(), n * sizeof(float));
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -33,19 +33,19 @@ def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
     """Decode any supported audio file to mono float32 at target_sr."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".wav", ".wave"):
+        # fastest path: native C++ decode+resample in one pass
+        try:
+            from ..native import audio_io
+
+            if audio_io.available():
+                samples, _ = audio_io.decode(path, target_sr)
+                return samples
+        except Exception as exc:  # noqa: BLE001 — fall back to pure Python
+            logger.debug("native decode unavailable (%s)", exc)
         try:
             return _load_wav(path, target_sr)
         except ValueError as exc:
-            logger.warning("native WAV decode failed (%s); trying ffmpeg", exc)
-    # native C++ decoder handles raw PCM containers too
-    try:
-        from ..native import audio_io
-
-        if audio_io.available() and ext in (".wav", ".wave", ".pcm", ".raw"):
-            samples, rate = audio_io.decode(path)
-            return _resample_np(samples, rate, target_sr)
-    except ImportError:
-        pass
+            logger.warning("WAV decode failed (%s); trying ffmpeg", exc)
     if ffmpeg_available():
         return _load_via_ffmpeg(path, target_sr)
     raise ValueError(
