@@ -121,8 +121,10 @@ class SpecialTokens:
 class Cache(NamedTuple):
     self_k: jnp.ndarray  # (L, B, T_max, H, Dh)
     self_v: jnp.ndarray
-    cross_k: jnp.ndarray  # (L, B, T_audio, H, Dh)
+    cross_k: jnp.ndarray  # (L, B, T_audio, H, Dh) — int8 when quantised
     cross_v: jnp.ndarray
+    cross_k_scale: jnp.ndarray | None = None  # (L, B, 1, H, Dh)
+    cross_v_scale: jnp.ndarray | None = None
 
 
 def precompute_cross_attn(
@@ -140,17 +142,43 @@ def precompute_cross_attn(
     return ks, vs
 
 
+def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(layer, batch, head, channel) symmetric int8 over the time axis.
+
+    The scale folds back losslessly: into q for K (scores = (q*scale)·k8)
+    and after the probs matmul for V (out = (p·v8)*scale), so dequant costs
+    nothing extra — the win is halved HBM traffic on the decode loop's
+    dominant stream (the cross-attention cache: L*B*1500*d bytes per step).
+    """
+    amax = jnp.max(jnp.abs(x), axis=2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 def init_cache(
     params: Params,
     cfg: WhisperConfig,
     audio_states: jnp.ndarray,
     max_len: int,
     dtype=jnp.float32,
+    quantize_cross_kv: bool = False,
 ) -> Cache:
     b = audio_states.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
     shape = (cfg.n_text_layer, b, max_len, h, dh)
     ck, cv = precompute_cross_attn(params, cfg, audio_states.astype(dtype))
+    if quantize_cross_kv:
+        ck8, ks = _quantize_kv(ck.astype(jnp.float32))
+        cv8, vs = _quantize_kv(cv.astype(jnp.float32))
+        return Cache(
+            self_k=jnp.zeros(shape, dtype),
+            self_v=jnp.zeros(shape, dtype),
+            cross_k=ck8,
+            cross_v=cv8,
+            cross_k_scale=ks,
+            cross_v_scale=vs,
+        )
     return Cache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),
@@ -201,9 +229,13 @@ def decoder_forward_cached(
     x = x + jax.lax.dynamic_slice_in_dim(p["pos_emb"], pos, t, axis=0).astype(dtype)
 
     t_valid = pos + jnp.arange(t) + 1  # each new token sees cache[: pos+i+1]
+    quantized = cache.cross_k_scale is not None
 
     def block_fn(x, scanned):
-        bp, sk, sv, ck, cv = scanned
+        if quantized:
+            bp, sk, sv, ck, cv, ks, vs = scanned
+        else:
+            bp, sk, sv, ck, cv = scanned
         # --- causal self-attention against the running cache
         xn = layer_norm(bp["attn_ln"], x)
         q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
@@ -217,20 +249,32 @@ def decoder_forward_cached(
         xa = layer_norm(bp["cross_attn_ln"], x)
         qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
         ta = ck.shape[1]
-        ox = _cached_attention(qx, ck, cv, jnp.full((t,), ta))
+        full = jnp.full((t,), ta)
+        if quantized:
+            # fold K's dequant scale into q, V's after the probs matmul —
+            # the int8 cache streams at half the bytes, zero extra FLOPs
+            qx = qx * ks.astype(qx.dtype)
+            ox = _cached_attention(qx, ck.astype(x.dtype), cv.astype(x.dtype), full)
+            ox = ox * vs.astype(ox.dtype)
+        else:
+            ox = _cached_attention(qx, ck, cv, full)
         x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
         # --- MLP
         x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
         return x, (sk, sv)
 
-    x, (new_sk, new_sv) = jax.lax.scan(
-        block_fn, x, (p["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
-    )
+    xs = (p["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    if quantized:
+        xs = xs + (cache.cross_k_scale, cache.cross_v_scale)
+    x, (new_sk, new_sv) = jax.lax.scan(block_fn, x, xs)
     x = layer_norm(p["ln"], x)
     logits = jnp.dot(
         x, p["token_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
     )
-    return logits.astype(jnp.float32), Cache(new_sk, new_sv, cache.cross_k, cache.cross_v)
+    return logits.astype(jnp.float32), Cache(
+        new_sk, new_sv, cache.cross_k, cache.cross_v,
+        cache.cross_k_scale, cache.cross_v_scale,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +358,7 @@ class DecodeResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
-        "space_blank_id",
+        "space_blank_id", "quantize_cross_kv",
     ),
     donate_argnames=(),
 )
@@ -329,6 +373,7 @@ def greedy_decode(
     suppress_mask: jnp.ndarray | None = None,
     space_blank_id: int | None = None,
     dtype_name: str = "float32",
+    quantize_cross_kv: bool = False,
 ) -> DecodeResult:
     """Batched greedy decode with Whisper sampling rules, one jit region.
 
@@ -342,7 +387,10 @@ def greedy_decode(
     prompt_len = len(sot_sequence)
     max_len = prompt_len + max_new_tokens
 
-    cache = init_cache(params, cfg, audio_states, max_len, dtype=dtype)
+    cache = init_cache(
+        params, cfg, audio_states, max_len, dtype=dtype,
+        quantize_cross_kv=quantize_cross_kv,
+    )
 
     # --- prefill the SOT sequence
     prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b, 1))
@@ -429,6 +477,31 @@ def greedy_decode(
         sum_logprob=final.sum_logprob,
         no_speech_prob=no_speech_prob,
     )
+
+
+# ---------------------------------------------------------------------------
+# Language detection (openai-whisper's detect_language equivalent)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_language(
+    params: Params, cfg: WhisperConfig, audio_states: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One decoder step on <|sot|>; returns (lang_index (B,), probs (B, n_lang)).
+
+    lang_index is relative to SpecialTokens.lang_begin (i.e. an index into
+    tokenizer.WHISPER_LANGUAGES).
+    """
+    st = SpecialTokens.for_config(cfg)
+    b = audio_states.shape[0]
+    cache = init_cache(params, cfg, audio_states, max_len=1)
+    sot = jnp.full((b, 1), st.sot, jnp.int32)
+    logits, _ = decoder_forward_cached(params, cfg, sot, cache, jnp.int32(0))
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], st.lang_begin, st.num_languages, axis=-1
+    )
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    return jnp.argmax(probs, axis=-1), probs
 
 
 # ---------------------------------------------------------------------------

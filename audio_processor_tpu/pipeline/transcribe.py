@@ -59,6 +59,7 @@ class Transcriber:
     compute_dtype: str = "bfloat16"
     max_new_tokens: int = 224
     mesh: Any = None  # jax.sharding.Mesh or None for single-device
+    quantize_cross_kv: bool = True  # int8 cross-attention cache (+21% RTFx)
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
@@ -152,6 +153,7 @@ class Transcriber:
             max_new_tokens=self.max_new_tokens,
             use_timestamps=True,
             dtype_name=self.compute_dtype,
+            quantize_cross_kv=self.quantize_cross_kv,
         )
         tokens = np.asarray(result.tokens)[:n_real]
         if progress:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import atexit
 import logging
 import threading
+import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timezone
@@ -44,6 +45,7 @@ class JobContext:
         self.engine = engine
         self.job_id = job_id
         self.partial: dict[str, Any] = {}  # salvaged into failure results
+        self._marks: list[tuple[str, float]] = []  # stage observability
 
     def progress(self, value: int, message: str = "") -> None:
         self.engine.update_progress(self.job_id, value, message)
@@ -53,9 +55,26 @@ class JobContext:
             raise JobCancelled(self.job_id)
 
     def stage(self, value: int, message: str = "") -> None:
-        """Cancel checkpoint + progress update in one call (between stages)."""
+        """Cancel checkpoint + progress update + stage-timing mark.
+
+        Per-stage wall times land in the job record as `stage_timings`
+        (SURVEY.md §5.1: the reference has no tracing at all; its only
+        observability is the progress int itself)."""
         self.check_cancelled()
+        self._marks.append((message or f"progress_{value}", time.perf_counter()))
         self.progress(value, message)
+
+    def stage_timings(self) -> dict[str, float]:
+        """Seconds spent between consecutive stage() calls."""
+        out: dict[str, float] = {}
+        for (name, t0), (_, t1) in zip(self._marks, self._marks[1:]):
+            out[name] = round(out.get(name, 0.0) + (t1 - t0), 3)
+        if self._marks:
+            last_name, last_t = self._marks[-1]
+            out[last_name] = round(
+                out.get(last_name, 0.0) + (time.perf_counter() - last_t), 3
+            )
+        return out
 
 
 class JobEngine:
@@ -135,6 +154,7 @@ class JobEngine:
                 progress=100,
                 message="Completed",
                 result=result,
+                stage_timings=ctx.stage_timings(),
                 completed_at=_utcnow(),
                 updated_at=_utcnow(),
             )

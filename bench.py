@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64, help="chunks per device batch")
     ap.add_argument("--tokens-per-chunk", type=int, default=96)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no-int8-kv", action="store_true",
+                    help="disable int8 cross-attention cache")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +80,7 @@ def main() -> None:
             use_timestamps=True,
             suppress_mask=suppress_mask,
             dtype_name=args.dtype,
+            quantize_cross_kv=not args.no_int8_kv,
         )
         return res.tokens
 
@@ -97,7 +100,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, int8 cross-KV {'off' if args.no_int8_kv else 'on'})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),

@@ -147,6 +147,40 @@ def test_greedy_decode_deterministic(hf_pair, mel):
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
+def test_int8_cross_kv_matches_float(hf_pair, mel):
+    """Quantised cross-KV decode must track the float path closely."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=10)
+    a = decode.greedy_decode(params, CFG, audio, quantize_cross_kv=False, **kw)
+    b = decode.greedy_decode(params, CFG, audio, quantize_cross_kv=True, **kw)
+    # random-weight logits are near-uniform (worst case for quantisation);
+    # still require the decoded streams to mostly agree
+    agreement = (np.asarray(a.tokens) == np.asarray(b.tokens)).mean()
+    assert agreement >= 0.7, agreement
+
+    # direct logit comparison on one cached step
+    cache_f = decode.init_cache(params, CFG, audio, max_len=4)
+    cache_q = decode.init_cache(params, CFG, audio, max_len=4, quantize_cross_kv=True)
+    toks = jnp.full((audio.shape[0], 1), st.sot, jnp.int32)
+    lf, _ = decode.decoder_forward_cached(params, CFG, toks, cache_f, jnp.int32(0))
+    lq, _ = decode.decoder_forward_cached(params, CFG, toks, cache_q, jnp.int32(0))
+    rel = np.abs(np.asarray(lf) - np.asarray(lq)).max() / np.abs(np.asarray(lf)).max()
+    assert rel < 0.05, rel
+    assert cache_q.cross_k.dtype == jnp.int8
+
+
+def test_detect_language(hf_pair, mel):
+    _, params = hf_pair
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    idx, probs = decode.detect_language(params, CFG, audio)
+    st = decode.SpecialTokens.for_config(CFG)
+    assert idx.shape == (2,)
+    assert probs.shape == (2, st.num_languages)
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0, atol=1e-5)
+
+
 def test_special_token_layout_matches_whisper():
     st = decode.SpecialTokens.for_config(get_config("small"))
     assert st.eot == 50257
