@@ -1,0 +1,146 @@
+"""Command-line tools: transcribe / diarize / convert / serve / bench.
+
+    python -m audio_processor_tpu.cli transcribe meeting.wav
+    python -m audio_processor_tpu.cli diarize meeting.wav
+    python -m audio_processor_tpu.cli process meeting.wav        # full 9-stage job
+    python -m audio_processor_tpu.cli convert-whisper small.pt out.npz
+    python -m audio_processor_tpu.cli wer ref.txt hyp.txt
+
+The reference has no CLI at all — everything goes through the web UI.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_transcribe(args) -> None:
+    import numpy as np
+
+    from .pipeline import ingest
+    from .pipeline.transcribe import Transcriber
+
+    if args.model_path:
+        t = Transcriber.from_npz(args.model_path)
+    else:
+        t = Transcriber.random_init(args.model)
+    audio = ingest.load_audio(args.audio)
+    out = t.transcribe(audio, remove_silence=not args.keep_silence)
+    if args.json:
+        print(json.dumps(out, indent=2))
+    else:
+        for seg in out["segments"]:
+            print(f"[{seg['start']:8.2f} – {seg['end']:8.2f}] {seg['text']}")
+        print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
+              file=sys.stderr)
+
+
+def cmd_diarize(args) -> None:
+    from .pipeline import ingest
+    from .pipeline.diarize import Diarizer
+
+    d = Diarizer.random_init()
+    audio = ingest.load_audio(args.audio)
+    turns = d.diarize(audio)
+    if args.json:
+        print(json.dumps(turns, indent=2))
+    else:
+        for t in turns:
+            print(f"[{t['start']:8.2f} – {t['end']:8.2f}] {t['speaker']}")
+
+
+def cmd_process(args) -> None:
+    """Run the full 9-stage meeting job on a local file (no SaaS)."""
+    from .pipeline import ingest  # noqa: F401 — validate decodability early
+    from .pipeline.meeting import MeetingProcessor, build_failure_result
+    from .pipeline.transcribe import Transcriber
+    from .pipeline.diarize import Diarizer
+    from .runtime.job_engine import JobEngine
+
+    transcriber = (
+        Transcriber.from_npz(args.model_path)
+        if args.model_path
+        else Transcriber.random_init(args.model)
+    )
+    proc = MeetingProcessor(
+        transcriber=transcriber,
+        diarizer=Diarizer.random_init() if not args.no_diarization else None,
+    )
+    engine = JobEngine(max_workers=1)
+    engine.create_job("cli", file_id=args.audio)
+    engine.submit("cli", lambda ctx: proc.process(ctx, args.audio),
+                  failure_result=build_failure_result)
+    import time
+
+    while True:
+        st = engine.get_job_status("cli")
+        print(f"\r{st['progress']:3d}% {st.get('message','')}        ",
+              end="", file=sys.stderr)
+        if st["status"] in ("completed", "failed", "cancelled"):
+            break
+        time.sleep(0.3)
+    print(file=sys.stderr)
+    print(json.dumps(st, indent=2))
+    engine.shutdown(wait=False)
+
+
+def cmd_convert_whisper(args) -> None:
+    from .models.whisper import convert
+
+    params, cfg = convert.load_openai_checkpoint(args.checkpoint)
+    convert.save_params(args.out, params, cfg)
+    print(f"converted {args.checkpoint} -> {args.out} ({cfg.n_audio_state}d, "
+          f"{cfg.n_audio_layer}+{cfg.n_text_layer} layers)")
+
+
+def cmd_wer(args) -> None:
+    from .utils.metrics import word_error_rate
+
+    with open(args.reference) as f:
+        ref = f.read()
+    with open(args.hypothesis) as f:
+        hyp = f.read()
+    print(f"WER: {word_error_rate(ref, hyp):.4f}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="audio_processor_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transcribe", help="transcribe an audio file")
+    t.add_argument("audio")
+    t.add_argument("--model", default="tiny")
+    t.add_argument("--model-path", help=".npz converted checkpoint")
+    t.add_argument("--keep-silence", action="store_true")
+    t.add_argument("--json", action="store_true")
+    t.set_defaults(fn=cmd_transcribe)
+
+    d = sub.add_parser("diarize", help="diarize an audio file")
+    d.add_argument("audio")
+    d.add_argument("--json", action="store_true")
+    d.set_defaults(fn=cmd_diarize)
+
+    p = sub.add_parser("process", help="full meeting pipeline on a local file")
+    p.add_argument("audio")
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--model-path")
+    p.add_argument("--no-diarization", action="store_true")
+    p.set_defaults(fn=cmd_process)
+
+    c = sub.add_parser("convert-whisper", help="openai .pt -> native .npz")
+    c.add_argument("checkpoint")
+    c.add_argument("out")
+    c.set_defaults(fn=cmd_convert_whisper)
+
+    w = sub.add_parser("wer", help="word error rate between two text files")
+    w.add_argument("reference")
+    w.add_argument("hypothesis")
+    w.set_defaults(fn=cmd_wer)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -189,6 +189,29 @@ class JobEngine:
             with self._futures_lock:
                 self._futures.pop(job_id, None)
 
+    def recover_orphans(self) -> int:
+        """Mark jobs left 'processing'/'pending' by a dead process as failed.
+
+        Call at startup with a persistent store.  The reference simply
+        forgets all jobs on restart (in-memory dict, SURVEY.md §5.3/§5.4);
+        here they survive and get a terminal state instead of spinning
+        forever in the UI.
+        """
+        n = 0
+        for rec in self.store.list():
+            if rec.get("status") in ACTIVE_STATUSES:
+                self.store.update(
+                    rec["id"],
+                    status=JOB_STATUS["FAILED"],
+                    message="Orphaned by restart",
+                    error="Server restarted while the job was in flight",
+                    updated_at=_utcnow(),
+                )
+                n += 1
+        if n:
+            logger.info("recovered %d orphaned jobs", n)
+        return n
+
     # -- observation --------------------------------------------------------
 
     def update_progress(self, job_id: str, progress: int, message: str = "") -> None:

@@ -112,6 +112,9 @@ def build_services(
         logger.info("credential store unavailable: %s", exc)
 
     engine = JobEngine(max_workers=max_workers, store_url=store_url)
+    if store_url and not store_url.startswith("memory"):
+        engine.recover_orphans()  # persistent store: finalise jobs a dead
+        # process left in flight (the reference silently loses them)
     processor = MeetingProcessor(
         transcriber=transcriber,
         diarizer=diarizer,
