@@ -480,6 +480,170 @@ def greedy_decode(
 
 
 # ---------------------------------------------------------------------------
+# Beam-search decode
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
+        "use_timestamps", "quantize_cross_kv",
+    ),
+)
+def beam_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+    *,
+    sot_sequence: tuple[int, ...],
+    beam_size: int = 5,
+    max_new_tokens: int = 224,
+    use_timestamps: bool = True,
+    suppress_mask: jnp.ndarray | None = None,
+    length_penalty: float = 1.0,
+    dtype_name: str = "float32",
+    quantize_cross_kv: bool = False,
+) -> DecodeResult:
+    """Batched beam search, fully on-device (one jit region).
+
+    Beams ride the batch axis: the cache holds B*K rows; each step takes
+    top-K of the K*V candidate scores per batch element and reorders the
+    cache rows with a gather.  Finished beams propagate EOT at zero added
+    score.  Returns the best beam per element (length-penalised).
+    """
+    st = SpecialTokens.for_config(cfg)
+    dtype = jnp.dtype(dtype_name)
+    b, ta, d = audio_states.shape
+    k = beam_size
+    prompt_len = len(sot_sequence)
+    max_len = prompt_len + max_new_tokens
+
+    # expand audio to (B*K, Ta, d): beams of one element share encoder rows
+    audio_rep = jnp.repeat(audio_states, k, axis=0)
+    cache = init_cache(
+        params, cfg, audio_rep, max_len, dtype=dtype,
+        quantize_cross_kv=quantize_cross_kv,
+    )
+
+    prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b * k, 1))
+    logits, cache = decoder_forward_cached(params, cfg, prompt, cache, jnp.int32(0))
+    first_logits = logits[:, -1]  # (B*K, V)
+
+    tb = st.timestamp_begin
+    neg = jnp.float32(NEG_INF)
+
+    class BeamState(NamedTuple):
+        step: jnp.ndarray
+        cache: Cache
+        logits: jnp.ndarray        # (B*K, V)
+        tokens: jnp.ndarray        # (B, K, max_new)
+        scores: jnp.ndarray        # (B, K) cumulative logprob
+        finished: jnp.ndarray      # (B, K)
+        last: jnp.ndarray          # (B, K)
+        penult: jnp.ndarray        # (B, K)
+        max_ts: jnp.ndarray        # (B, K)
+
+    init_scores = jnp.tile(
+        jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)[None, :], (b, 1)
+    )  # only beam 0 is live initially (identical prompts)
+
+    init = BeamState(
+        step=jnp.int32(0),
+        cache=cache,
+        logits=first_logits,
+        tokens=jnp.full((b, k, max_new_tokens), st.eot, jnp.int32),
+        scores=init_scores.astype(jnp.float32),
+        finished=jnp.zeros((b, k), bool),
+        last=jnp.full((b, k), sot_sequence[-1], jnp.int32),
+        penult=jnp.full((b, k), sot_sequence[0], jnp.int32),
+        max_ts=jnp.full((b, k), tb, jnp.int32),
+    )
+
+    def cond(s: BeamState):
+        return (s.step < max_new_tokens) & ~jnp.all(s.finished)
+
+    def body(s: BeamState):
+        v = s.logits.shape[-1]
+        masked = apply_logit_rules(
+            s.logits,
+            st,
+            step=s.step,
+            last_token=s.last.reshape(-1),
+            penultimate_token=s.penult.reshape(-1),
+            max_ts_token=s.max_ts.reshape(-1),
+            suppress_mask=suppress_mask,
+            use_timestamps=use_timestamps,
+        )
+        logprobs = jax.nn.log_softmax(masked, axis=-1).reshape(b, k, v)
+        # finished beams: only EOT continues, at zero cost
+        eot_only = jnp.full((v,), NEG_INF).at[st.eot].set(0.0)
+        logprobs = jnp.where(s.finished[:, :, None], eot_only[None, None, :], logprobs)
+
+        cand = s.scores[:, :, None] + logprobs  # (B, K, V)
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+        src_beam = top_idx // v  # (B, K) which beam each candidate came from
+        next_tok = (top_idx % v).astype(jnp.int32)
+
+        # gather beam-carried state from source beams
+        def gather_beam(x):  # x: (B, K, ...)
+            return jnp.take_along_axis(
+                x, src_beam.reshape(b, k, *([1] * (x.ndim - 2))), axis=1
+            )
+
+        tokens = gather_beam(s.tokens)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, next_tok[:, :, None], s.step, axis=2
+        )
+        finished = gather_beam(s.finished) | (next_tok == st.eot)
+        last = next_tok
+        penult = gather_beam(s.last[..., None])[..., 0]
+        max_ts = gather_beam(s.max_ts[..., None])[..., 0]
+        max_ts = jnp.where((next_tok >= tb) & ~finished, jnp.maximum(max_ts, next_tok), max_ts)
+
+        # reorder cache rows: flat row index = b_idx * K + src_beam
+        row_idx = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)  # (B*K,)
+        self_k = jnp.take(s.cache.self_k, row_idx, axis=1)
+        self_v = jnp.take(s.cache.self_v, row_idx, axis=1)
+        cache = Cache(
+            self_k, self_v, s.cache.cross_k, s.cache.cross_v,
+            s.cache.cross_k_scale, s.cache.cross_v_scale,
+        )
+
+        step_tok = next_tok.reshape(b * k, 1)
+        logits, cache = decoder_forward_cached(
+            params, cfg, step_tok, cache, prompt_len + s.step
+        )
+        return BeamState(
+            step=s.step + 1,
+            cache=cache,
+            logits=logits[:, -1],
+            tokens=tokens,
+            scores=top_scores,
+            finished=finished,
+            last=last,
+            penult=penult,
+            max_ts=max_ts,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    lengths = jnp.sum(final.tokens != st.eot, axis=-1)  # (B, K)
+    norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    norm_scores = final.scores / norm
+    best = jnp.argmax(norm_scores, axis=-1)  # (B,)
+    take = lambda x: jnp.take_along_axis(  # noqa: E731
+        x, best.reshape(b, *([1] * (x.ndim - 1))), axis=1
+    )[:, 0]
+    return DecodeResult(
+        tokens=take(final.tokens),
+        lengths=take(lengths),
+        sum_logprob=take(final.scores),
+        no_speech_prob=jnp.zeros((b,), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language detection (openai-whisper's detect_language equivalent)
 # ---------------------------------------------------------------------------
 

@@ -171,6 +171,32 @@ def test_int8_cross_kv_matches_float(hf_pair, mel):
     assert cache_q.cross_k.dtype == jnp.int8
 
 
+def test_beam_decode_runs_and_beats_greedy_score(hf_pair, mel):
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8)
+    greedy = decode.greedy_decode(params, CFG, audio, **kw)
+    beam = decode.beam_decode(params, CFG, audio, beam_size=3, **kw)
+    assert beam.tokens.shape == greedy.tokens.shape
+    toks = np.asarray(beam.tokens)
+    assert (toks[:, 0] >= st.timestamp_begin).all()  # rule 5 holds per beam
+    # beam-search total logprob must be >= greedy's (it explores a superset)
+    g = np.asarray(greedy.sum_logprob)
+    b = np.asarray(beam.sum_logprob)
+    assert (b >= g - 1e-3).all(), (b, g)
+
+
+def test_beam_decode_deterministic(hf_pair, mel):
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), beam_size=3, max_new_tokens=6)
+    a = decode.beam_decode(params, CFG, audio, **kw)
+    b = decode.beam_decode(params, CFG, audio, **kw)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
 def test_detect_language(hf_pair, mel):
     _, params = hf_pair
     audio = model.encode(params, CFG, jnp.asarray(mel))
