@@ -358,7 +358,7 @@ class DecodeResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
-        "space_blank_id", "quantize_cross_kv",
+        "space_blank_id", "quantize_cross_kv", "temperature",
     ),
     donate_argnames=(),
 )
@@ -374,8 +374,14 @@ def greedy_decode(
     space_blank_id: int | None = None,
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
+    temperature: float = 0.0,
+    rng_seed: int = 0,
 ) -> DecodeResult:
-    """Batched greedy decode with Whisper sampling rules, one jit region.
+    """Batched greedy/sampling decode with Whisper rules, one jit region.
+
+    temperature == 0 -> argmax; > 0 -> categorical sampling (used by the
+    quality-gated fallback ladder in pipeline.transcribe, mirroring
+    openai-whisper's temperature retry that the reference relies on).
 
     The loop is a lax.while_loop that exits as soon as every row has hit
     EOT — decisive for RTFx since typical 30 s segments need ~40-120 tokens,
@@ -411,6 +417,7 @@ def greedy_decode(
         max_ts: jnp.ndarray  # (B,)
         finished: jnp.ndarray  # (B,) bool
         sum_logprob: jnp.ndarray  # (B,)
+        key: jnp.ndarray  # PRNG key (sampling mode only)
 
     init = LoopState(
         step=jnp.int32(0),
@@ -422,6 +429,7 @@ def greedy_decode(
         max_ts=jnp.full((b,), tb, jnp.int32),
         finished=jnp.zeros((b,), bool),
         sum_logprob=jnp.zeros((b,), jnp.float32),
+        key=jax.random.PRNGKey(rng_seed),
     )
 
     def cond(s: LoopState):
@@ -439,7 +447,14 @@ def greedy_decode(
             use_timestamps=use_timestamps,
             space_blank_id=space_blank_id,
         )
-        next_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        if temperature > 0:
+            key, subkey = jax.random.split(s.key)
+            next_tok = jax.random.categorical(
+                subkey, masked / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            key = s.key
+            next_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
         logprob = jnp.take_along_axis(
             jax.nn.log_softmax(masked, axis=-1), next_tok[:, None], axis=-1
         )[:, 0]
@@ -467,6 +482,7 @@ def greedy_decode(
             max_ts=new_max_ts,
             finished=now_finished,
             sum_logprob=sum_lp,
+            key=key,
         )
 
     final = jax.lax.while_loop(cond, body, init)

@@ -60,6 +60,14 @@ class Transcriber:
     max_new_tokens: int = 224
     mesh: Any = None  # jax.sharding.Mesh or None for single-device
     quantize_cross_kv: bool = True  # int8 cross-attention cache (+21% RTFx)
+    # quality-gated temperature fallback (openai-whisper's retry heuristic,
+    # which the reference depends on implicitly via model.transcribe):
+    # rows with avg logprob < logprob_threshold OR gzip compression ratio >
+    # compression_ratio_threshold are re-decoded at increasing temperature.
+    temperature_ladder: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8, 1.0)
+    logprob_threshold: float = -1.0
+    compression_ratio_threshold: float = 2.4
+    enable_fallback: bool = True
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
@@ -94,6 +102,10 @@ class Transcriber:
         n = len(audio)
         n_chunks = max(1, math.ceil(n / CHUNK_SAMPLES))
         bucket = _bucket(n_chunks)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            bucket = mesh_lib.round_up_batch(bucket, self.mesh)
         chunks = np.zeros((bucket, CHUNK_SAMPLES), np.float32)
         offsets = np.zeros((bucket,), np.float64)
         for i in range(n_chunks):
@@ -101,6 +113,22 @@ class Transcriber:
             chunks[i, : len(piece)] = piece
             offsets[i] = i * 30.0
         return chunks, offsets, n_chunks
+
+    def _failed_rows(self, result, tokens: np.ndarray, n_real: int) -> np.ndarray:
+        """Quality gate per chunk: low avg logprob or repetitive output."""
+        import zlib
+
+        lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+        avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
+        failed = avg_lp < self.logprob_threshold
+        for i in range(n_real):
+            text = self.tokenizer.decode(
+                [t for t in tokens[i] if t < self.special.eot]
+            ).encode("utf-8")
+            if len(text) > 16:
+                ratio = len(text) / max(len(zlib.compress(text)), 1)
+                failed[i] |= ratio > self.compression_ratio_threshold
+        return failed
 
     # -- main entry ---------------------------------------------------------
 
@@ -139,23 +167,53 @@ class Transcriber:
         if progress:
             progress(0.1)
 
-        mel = frontend.log_mel_spectrogram(jnp.asarray(chunks), n_mels=self.cfg.n_mels)
+        chunks_dev = jnp.asarray(chunks)
+        if self.mesh is not None:
+            # shard the 30 s windows over the mesh's data axis; XLA
+            # partitions the whole encode+decode program from here
+            chunks_dev = jax.device_put(chunks_dev, mesh_lib.data_sharding(self.mesh))
+        mel = frontend.log_mel_spectrogram(chunks_dev, n_mels=self.cfg.n_mels)
         audio_states = self._encode(self.params, mel)
         if progress:
             progress(0.4)
 
         sot_seq = tuple(self.special.sot_sequence(language=self.language))
-        result = decode_lib.greedy_decode(
-            self.params,
-            self.cfg,
-            audio_states,
-            sot_sequence=sot_seq,
-            max_new_tokens=self.max_new_tokens,
-            use_timestamps=True,
-            dtype_name=self.compute_dtype,
-            quantize_cross_kv=self.quantize_cross_kv,
-        )
-        tokens = np.asarray(result.tokens)[:n_real]
+
+        def run_decode(temperature: float, seed: int = 0):
+            return decode_lib.greedy_decode(
+                self.params,
+                self.cfg,
+                audio_states,
+                sot_sequence=sot_seq,
+                max_new_tokens=self.max_new_tokens,
+                use_timestamps=True,
+                dtype_name=self.compute_dtype,
+                quantize_cross_kv=self.quantize_cross_kv,
+                temperature=temperature,
+                rng_seed=seed,
+            )
+
+        result = run_decode(0.0)
+        tokens = np.array(result.tokens)[:n_real]  # writable copy
+
+        if self.enable_fallback:
+            failed = self._failed_rows(result, tokens, n_real)
+            for temp in self.temperature_ladder:
+                if not failed.any():
+                    break
+                logger.info(
+                    "quality fallback: %d/%d chunks re-decoding at T=%.1f",
+                    int(failed.sum()), n_real, temp,
+                )
+                retry = run_decode(temp, seed=int(temp * 10))
+                retry_tokens = np.asarray(retry.tokens)[:n_real]
+                tokens[failed] = retry_tokens[failed]
+                merged = decode_lib.DecodeResult(
+                    tokens=retry.tokens, lengths=retry.lengths,
+                    sum_logprob=retry.sum_logprob,
+                    no_speech_prob=retry.no_speech_prob,
+                )
+                failed = failed & self._failed_rows(merged, retry_tokens, n_real)
         if progress:
             progress(0.9)
 

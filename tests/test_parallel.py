@@ -58,6 +58,25 @@ def test_tp_sharded_forward_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_transcriber_data_parallel_over_mesh(rng):
+    """End-to-end sharded transcription over the 8-device CPU mesh matches
+    the single-device result."""
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    mesh = mesh_lib.make_mesh()  # 8-way data parallel
+    audio = rng.normal(0, 0.1, 35 * 16000).astype(np.float32)  # 2 chunks -> pad 8
+    single = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6, enable_fallback=False
+    )
+    sharded = Transcriber(
+        params=single.params, cfg=single.cfg, compute_dtype="float32",
+        max_new_tokens=6, mesh=mesh, enable_fallback=False,
+    )
+    out_a = single.transcribe(audio, remove_silence=False)
+    out_b = sharded.transcribe(audio, remove_silence=False)
+    assert out_a["segments"] == out_b["segments"]
+
+
 def test_sharded_train_step_runs_and_reduces():
     rng = np.random.default_rng(0)
     mesh = mesh_lib.make_mesh(model_parallel=2)  # 4-way dp x 2-way tp
