@@ -155,6 +155,59 @@ def test_list_jobs_filters(engine):
     assert engine.active_count() == 0
 
 
+def test_concurrent_submit_cancel_stress(tmp_path):
+    """Race hygiene: many threads submitting/cancelling against the sqlite
+    store must leave every job in a consistent terminal state (SURVEY.md
+    §5.2 — the reference's cancelled_jobs set has a known unlocked race)."""
+    import random
+
+    engine = JobEngine(
+        max_workers=4, store_url=f"sqlite://{tmp_path}/stress.db"
+    )
+    try:
+        n = 24
+        for i in range(n):
+            engine.create_job(f"s{i}")
+
+        def work(ctx):
+            for _ in range(20):
+                ctx.check_cancelled()
+                time.sleep(0.005)
+            return {"ok": True}
+
+        def submitter(i):
+            engine.submit(f"s{i}", work)
+
+        def canceller(i):
+            time.sleep(random.random() * 0.05)
+            engine.cancel_job(f"s{i}")
+
+        threads = []
+        for i in range(n):
+            threads.append(threading.Thread(target=submitter, args=(i,)))
+            if i % 3 == 0:
+                threads.append(threading.Thread(target=canceller, args=(i,)))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            statuses = [engine.get_job_status(f"s{i}")["status"] for i in range(n)]
+            if all(s in ("completed", "cancelled", "failed") for s in statuses):
+                break
+            time.sleep(0.05)
+        assert all(s in ("completed", "cancelled") for s in statuses), statuses
+        # every completed job carries its result; every cancelled one doesn't
+        for i in range(n):
+            st = engine.get_job_status(f"s{i}")
+            if st["status"] == "completed":
+                assert st["result"] == {"ok": True}
+    finally:
+        engine.shutdown(wait=False)
+
+
 # ---------------------------------------------------------------------------
 # WSGI framework
 # ---------------------------------------------------------------------------
