@@ -230,29 +230,49 @@ def decoder_forward_cached(
 
     t_valid = pos + jnp.arange(t) + 1  # each new token sees cache[: pos+i+1]
     quantized = cache.cross_k_scale is not None
+    blocks = p["blocks"]
 
-    def block_fn(x, scanned):
-        if quantized:
-            bp, sk, sv, ck, cv, ks, vs = scanned
-        else:
-            bp, sk, sv, ck, cv = scanned
+    # fori_loop over layers with IN-PLACE cache writes.  A scan with the
+    # caches as xs/ys re-materialises the whole self-cache every decode
+    # step (measured ~10 ms/step extra at max_len=320, batch 64); carrying
+    # the (L, ...) arrays through fori lets XLA alias them and write only
+    # the (B, t, H, Dh) slab per layer.
+    def take(tree, l):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), tree
+        )
+
+    def body(l, carry):
+        x, sk_all, sv_all = carry
+        bp = take(blocks, l)
         # --- causal self-attention against the running cache
         xn = layer_norm(bp["attn_ln"], x)
         q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
         k_new = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
         v_new = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
-        sk = jax.lax.dynamic_update_slice_in_dim(sk, k_new.astype(dtype), pos, axis=1)
-        sv = jax.lax.dynamic_update_slice_in_dim(sv, v_new.astype(dtype), pos, axis=1)
+        zero = jnp.int32(0)
+        sk_all = jax.lax.dynamic_update_slice(
+            sk_all, k_new.astype(dtype)[None], (l, zero, pos, zero, zero)
+        )
+        sv_all = jax.lax.dynamic_update_slice(
+            sv_all, v_new.astype(dtype)[None], (l, zero, pos, zero, zero)
+        )
+        sk = jax.lax.dynamic_index_in_dim(sk_all, l, 0, keepdims=False)
+        sv = jax.lax.dynamic_index_in_dim(sv_all, l, 0, keepdims=False)
         o = _cached_attention(q, sk, sv, t_valid)
         x = x + linear(bp["attn"]["out"], _merge_heads(o))
         # --- cross-attention against precomputed encoder K/V
         xa = layer_norm(bp["cross_attn_ln"], x)
         qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
+        ck = jax.lax.dynamic_index_in_dim(cache.cross_k, l, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cache.cross_v, l, 0, keepdims=False)
         ta = ck.shape[1]
         full = jnp.full((t,), ta)
         if quantized:
             # fold K's dequant scale into q, V's after the probs matmul —
             # the int8 cache streams at half the bytes, zero extra FLOPs
+            ks = jax.lax.dynamic_index_in_dim(cache.cross_k_scale, l, 0, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(cache.cross_v_scale, l, 0, keepdims=False)
             qx = qx * ks.astype(qx.dtype)
             ox = _cached_attention(qx, ck.astype(x.dtype), cv.astype(x.dtype), full)
             ox = ox * vs.astype(ox.dtype)
@@ -261,12 +281,11 @@ def decoder_forward_cached(
         x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
         # --- MLP
         x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
-        return x, (sk, sv)
+        return (x, sk_all, sv_all)
 
-    xs = (p["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
-    if quantized:
-        xs = xs + (cache.cross_k_scale, cache.cross_v_scale)
-    x, (new_sk, new_sv) = jax.lax.scan(block_fn, x, xs)
+    x, new_sk, new_sv = jax.lax.fori_loop(
+        0, cfg.n_text_layer, body, (x, cache.self_k, cache.self_v)
+    )
     x = layer_norm(p["ln"], x)
     logits = jnp.dot(
         x, p["token_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32

@@ -83,7 +83,13 @@ class Transcriber:
     def random_init(
         cls, name: str = "tiny", seed: int = 0, **kw
     ) -> "Transcriber":
-        """Random-weight instance (tests/benches; no checkpoints in image)."""
+        """Random-weight instance (tests/benches; no checkpoints in image).
+
+        The temperature-fallback ladder is disabled by default here:
+        random-weight output always fails the quality gate, which would
+        trigger one fresh decode compile per ladder rung for nothing.
+        """
+        kw.setdefault("enable_fallback", False)
         cfg = get_config(name)
         params = model_lib.init_params(cfg, jax.random.PRNGKey(seed))
         return cls(params=params, cfg=cfg, **kw)
