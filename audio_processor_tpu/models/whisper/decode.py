@@ -163,7 +163,11 @@ def init_cache(
     max_len: int,
     dtype=jnp.float32,
     quantize_cross_kv: bool = False,
+    kernel_layout: bool = False,
 ) -> Cache:
+    """kernel_layout=True stores the int8 cross cache transposed+padded for
+    the fused Pallas decode-attention kernel: K as (L,B,H,Dh,Tpad) so the
+    long axis sits on the 128-lane dim, V as (L,B,H,Tpad,Dh)."""
     b = audio_states.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
     shape = (cfg.n_text_layer, b, max_len, h, dh)
@@ -171,6 +175,13 @@ def init_cache(
     if quantize_cross_kv:
         ck8, ks = _quantize_kv(ck.astype(jnp.float32))
         cv8, vs = _quantize_kv(cv.astype(jnp.float32))
+        if kernel_layout:
+            ta = ck8.shape[2]
+            pad = (-ta) % 128
+            ck8 = jnp.transpose(ck8, (0, 1, 3, 4, 2))  # (L,B,H,Dh,Ta)
+            ck8 = jnp.pad(ck8, ((0, 0),) * 4 + ((0, pad),))
+            cv8 = jnp.transpose(cv8, (0, 1, 3, 2, 4))  # (L,B,H,Ta,Dh)
+            cv8 = jnp.pad(cv8, ((0, 0),) * 3 + ((0, pad), (0, 0)))
         return Cache(
             self_k=jnp.zeros(shape, dtype),
             self_v=jnp.zeros(shape, dtype),
@@ -266,17 +277,32 @@ def decoder_forward_cached(
         qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
         ck = jax.lax.dynamic_index_in_dim(cache.cross_k, l, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cache.cross_v, l, 0, keepdims=False)
-        ta = ck.shape[1]
-        full = jnp.full((t,), ta)
+        # kernel layout iff axis 1 is heads (see init_cache); Ta != H always
+        kernel_layout = quantized and ck.shape[1] == cfg.n_text_head
         if quantized:
             # fold K's dequant scale into q, V's after the probs matmul —
             # the int8 cache streams at half the bytes, zero extra FLOPs
             ks = jax.lax.dynamic_index_in_dim(cache.cross_k_scale, l, 0, keepdims=False)
             vs = jax.lax.dynamic_index_in_dim(cache.cross_v_scale, l, 0, keepdims=False)
             qx = qx * ks.astype(qx.dtype)
-            ox = _cached_attention(qx, ck.astype(x.dtype), cv.astype(x.dtype), full)
+            if kernel_layout:
+                from ...ops.pallas import decode_attention as da
+
+                if jax.default_backend() == "tpu":
+                    ox = da.cross_attention_int8(
+                        qx, ck, cv, valid_len=cfg.n_audio_ctx
+                    )
+                else:
+                    ox = da.cross_attention_int8_reference(
+                        qx, ck, cv, valid_len=cfg.n_audio_ctx
+                    )
+                ox = ox.astype(x.dtype)
+            else:
+                full = jnp.full((t,), ck.shape[1])
+                ox = _cached_attention(qx, ck.astype(x.dtype), cv.astype(x.dtype), full)
             ox = ox * vs.astype(ox.dtype)
         else:
+            full = jnp.full((t,), ck.shape[1])
             ox = _cached_attention(qx, ck, cv, full)
         x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
         # --- MLP
@@ -377,7 +403,7 @@ class DecodeResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
-        "space_blank_id", "quantize_cross_kv", "temperature",
+        "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
     ),
     donate_argnames=(),
 )
@@ -393,6 +419,7 @@ def greedy_decode(
     space_blank_id: int | None = None,
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
+    use_pallas_kernel: bool = False,
     temperature: float = 0.0,
     rng_seed: int = 0,
 ) -> DecodeResult:
@@ -415,6 +442,7 @@ def greedy_decode(
     cache = init_cache(
         params, cfg, audio_states, max_len, dtype=dtype,
         quantize_cross_kv=quantize_cross_kv,
+        kernel_layout=use_pallas_kernel and quantize_cross_kv,
     )
 
     # --- prefill the SOT sequence

@@ -171,6 +171,35 @@ def test_int8_cross_kv_matches_float(hf_pair, mel):
     assert cache_q.cross_k.dtype == jnp.int8
 
 
+def test_kernel_layout_decode_matches_standard_int8(hf_pair, mel):
+    """Pallas kernel-layout path (reference twin on CPU) == standard int8."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8,
+              quantize_cross_kv=True)
+    a = decode.greedy_decode(params, CFG, audio, use_pallas_kernel=False, **kw)
+    b = decode.greedy_decode(params, CFG, audio, use_pallas_kernel=True, **kw)
+    agreement = (np.asarray(a.tokens) == np.asarray(b.tokens)).mean()
+    assert agreement >= 0.9, agreement
+
+
+def test_pallas_decode_attention_kernel_interpret():
+    """The kernel itself (interpret mode) vs its jnp twin."""
+    from audio_processor_tpu.ops.pallas import decode_attention as da
+
+    rng = np.random.default_rng(0)
+    b, tq, h, dh, tpad, valid = 2, 3, 2, 64, 128, 100
+    q = jnp.asarray(rng.normal(0, 1, (b, tq, h, dh)).astype(np.float32))
+    k8 = jnp.asarray(rng.integers(-127, 128, (b, h, dh, tpad)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (b, h, tpad, dh)), jnp.int8)
+    ref = np.asarray(da.cross_attention_int8_reference(q, k8, v8, valid_len=valid))
+    out = np.asarray(
+        da.cross_attention_int8(q, k8, v8, valid_len=valid, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_beam_decode_runs_and_beats_greedy_score(hf_pair, mel):
     _, params = hf_pair
     st = decode.SpecialTokens.for_config(CFG)
