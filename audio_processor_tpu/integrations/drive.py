@@ -97,11 +97,32 @@ class DriveClient:
     def _headers(self) -> dict:
         return {"Authorization": f"Bearer {self.token_provider()}"}
 
-    def _get_json(self, url: str, params: dict | None = None) -> dict:
-        status, _, content = self.transport("GET", url, self._headers(), params, None)
-        if status != 200:
+    def _get_json(self, url: str, params: dict | None = None, retries: int = 3) -> dict:
+        """GET with backoff on 5xx/429/transport errors (failure-detection
+        hardening the reference's google-api client gave it for free)."""
+        import time as _time
+
+        delay = 1.0
+        last: Exception | None = None
+        for _ in range(retries):
+            try:
+                status, _, content = self.transport(
+                    "GET", url, self._headers(), params, None
+                )
+            except Exception as exc:  # noqa: BLE001 — transport boundary
+                last = exc
+                _time.sleep(delay)
+                delay *= 2
+                continue
+            if status == 200:
+                return json.loads(content)
+            if status in (429, 500, 502, 503, 504):
+                last = DriveError(f"GET {url}: HTTP {status}")
+                _time.sleep(delay)
+                delay *= 2
+                continue
             raise DriveError(f"GET {url}: HTTP {status}: {content[:200]!r}")
-        return json.loads(content)
+        raise last or DriveError(f"GET {url} failed")
 
     # -- API surface --------------------------------------------------------
 
