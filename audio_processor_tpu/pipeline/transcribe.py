@@ -60,6 +60,7 @@ class Transcriber:
     max_new_tokens: int = 224
     mesh: Any = None  # jax.sharding.Mesh or None for single-device
     quantize_cross_kv: bool = True  # int8 cross-attention cache (+21% RTFx)
+    beam_size: int = 0  # 0 = greedy; >0 = beam search (no temperature ladder)
     # quality-gated temperature fallback (openai-whisper's retry heuristic,
     # which the reference depends on implicitly via model.transcribe):
     # rows with avg logprob < logprob_threshold OR gzip compression ratio >
@@ -199,10 +200,23 @@ class Transcriber:
                 rng_seed=seed,
             )
 
-        result = run_decode(0.0)
+        if self.beam_size > 0:
+            result = decode_lib.beam_decode(
+                self.params,
+                self.cfg,
+                audio_states,
+                sot_sequence=sot_seq,
+                beam_size=self.beam_size,
+                max_new_tokens=self.max_new_tokens,
+                use_timestamps=True,
+                dtype_name=self.compute_dtype,
+                quantize_cross_kv=self.quantize_cross_kv,
+            )
+        else:
+            result = run_decode(0.0)
         tokens = np.array(result.tokens)[:n_real]  # writable copy
 
-        if self.enable_fallback:
+        if self.enable_fallback and self.beam_size == 0:
             failed = self._failed_rows(result, tokens, n_real)
             for temp in self.temperature_ladder:
                 if not failed.any():

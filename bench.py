@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-int8-kv", action="store_true",
                     help="disable int8 cross-attention cache")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
 
     import jax
@@ -90,10 +92,16 @@ def main() -> None:
     # the tunnelled axon platform — sync via host transfer instead.
     np.asarray(run_batch(audio_dev))
 
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        toks = np.asarray(run_batch(audio_dev))
-    elapsed = time.perf_counter() - t0
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
+    with trace_cm:
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            toks = np.asarray(run_batch(audio_dev))
+        elapsed = time.perf_counter() - t0
 
     audio_seconds = total_chunks * 30.0
     rtfx = audio_seconds / elapsed

@@ -50,6 +50,15 @@ def test_transcribe_with_silence_removal(transcriber, rng):
         assert 0.0 <= seg["end"] <= 20.0
 
 
+def test_transcribe_with_beam(speech_like_audio):
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6, beam_size=2
+    )
+    out = t.transcribe(speech_like_audio, remove_silence=False)
+    for seg in out["segments"]:
+        assert set(seg) == {"start", "end", "text"}
+
+
 def test_transcribe_resamples(transcriber, rng):
     audio = rng.normal(0, 0.1, 8000 * 5).astype(np.float32)  # 5 s @ 8 kHz
     out = transcriber.transcribe(audio, sample_rate=8000, remove_silence=False)
