@@ -137,7 +137,12 @@ def layer_norm(p, x, eps=1e-5):
 
 
 def linear(p, x):
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "w8" in p:  # int8 weights (models/whisper/quantize.py): the MXU
+        # consumes int8 directly; per-channel scale folds after the matmul
+        y = jnp.dot(x, p["w8"].astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * p["scale"]
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y.astype(x.dtype)

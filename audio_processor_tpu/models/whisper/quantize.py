@@ -1,0 +1,63 @@
+"""Post-training int8 weight quantization for the decode path.
+
+The decode loop re-reads every decoder weight once per token; int8
+per-output-channel quantization halves that stream (~230 MB -> ~115 MB per
+step for whisper-small) with the dequant scale folded AFTER the matmul —
+the MXU consumes int8 directly, no materialised dequantised copy.
+
+model.linear() understands the quantized form {"w8", "scale"[, "b"]}
+transparently, so quantized and float params mix freely in one tree
+(e.g. encoder float, decoder int8).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+def quantize_linear(p: dict) -> dict:
+    """{"w" (..., in, out) [, "b"]} -> {"w8" int8, "scale" (..., out) [, "b"]}.
+
+    Reduces over the INPUT axis (-2) so both flat (in, out) and stacked
+    (L, in, out) layer weights quantize per output channel per layer.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2)  # per output channel
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    scale = jnp.expand_dims(scale, -2)  # broadcast back over the input axis
+    w8 = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w8": w8, "scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _is_linear(node: Any) -> bool:
+    return isinstance(node, dict) and "w" in node and getattr(node["w"], "ndim", 0) >= 2
+
+
+def _quantize_tree(node: Any) -> Any:
+    if _is_linear(node):
+        return quantize_linear(node)
+    if isinstance(node, dict):
+        return {k: _quantize_tree(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_quantize_tree(v) for v in node]
+    return node
+
+
+def quantize_decoder(params: Params) -> Params:
+    """int8-quantize every decoder linear (attention + MLP projections).
+
+    Embeddings, layer norms, and the encoder stay in float; the conv stem
+    and encoder run once per chunk and are compute-dominated anyway.
+    """
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["blocks"] = _quantize_tree(params["decoder"]["blocks"])
+    out["decoder"] = dec
+    return out

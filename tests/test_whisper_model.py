@@ -184,6 +184,31 @@ def test_kernel_layout_decode_matches_standard_int8(hf_pair, mel):
     assert agreement >= 0.9, agreement
 
 
+def test_int8_decoder_weights_track_float(hf_pair, mel):
+    from audio_processor_tpu.models.whisper import quantize
+
+    _, params = hf_pair
+    qparams = quantize.quantize_decoder(params)
+    # encoder untouched
+    assert "w" in params["encoder"]["blocks"]["fc1"]
+    assert "w8" in qparams["decoder"]["blocks"]["fc1"]
+    assert qparams["decoder"]["blocks"]["fc1"]["w8"].dtype == jnp.int8
+
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, CFG.n_vocab, (2, 5)), jnp.int32)
+    lf = np.asarray(model.decode_logits(params, CFG, toks, audio))
+    lq = np.asarray(model.decode_logits(qparams, CFG, toks, audio))
+    rel = np.abs(lf - lq).max() / np.abs(lf).max()
+    assert rel < 0.05, rel
+
+    # greedy decode still runs on the quantized tree
+    st = decode.SpecialTokens.for_config(CFG)
+    res = decode.greedy_decode(
+        qparams, CFG, audio, sot_sequence=tuple(st.sot_sequence()), max_new_tokens=6
+    )
+    assert np.asarray(res.tokens).shape == (2, 6)
+
+
 def test_pallas_decode_attention_kernel_interpret():
     """The kernel itself (interpret mode) vs its jnp twin."""
     from audio_processor_tpu.ops.pallas import decode_attention as da
