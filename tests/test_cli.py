@@ -1,0 +1,42 @@
+"""CLI smoke tests (in-process, CPU)."""
+import json
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu import cli
+from audio_processor_tpu.utils import wavio
+
+
+@pytest.fixture
+def wav(tmp_path, rng):
+    sr = 16000
+    t = np.arange(6 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) + rng.normal(0, 0.01, len(t))).astype(
+        np.float32
+    )
+    p = str(tmp_path / "c.wav")
+    wavio.write_wav(p, x, sr)
+    return p
+
+
+def test_cli_wer(tmp_path, capsys):
+    r = tmp_path / "ref.txt"
+    h = tmp_path / "hyp.txt"
+    r.write_text("the quick brown fox")
+    h.write_text("the quick brown dog")
+    cli.main(["wer", str(r), str(h)])
+    out = capsys.readouterr().out
+    assert "WER: 0.25" in out
+
+
+def test_cli_transcribe_json(wav, capsys):
+    cli.main(["transcribe", wav, "--model", "test", "--json", "--keep-silence"])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) >= {"text", "segments", "duration"}
+    assert out["duration"] == pytest.approx(6.0, abs=0.05)
+
+
+def test_cli_unknown_command_fails():
+    with pytest.raises(SystemExit):
+        cli.main(["nope"])
