@@ -268,9 +268,7 @@ def _lstm_scan(p, x, reverse: bool):
         return (h, c), h
 
     init = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
-    # unroll: each scan iteration on TPU carries fixed overhead that dwarfs
-    # the tiny per-step matmul; unrolling 8 steps per iteration amortises it
-    _, hs = jax.lax.scan(step, init, gates_in, reverse=reverse, unroll=8)
+    _, hs = jax.lax.scan(step, init, gates_in, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
 

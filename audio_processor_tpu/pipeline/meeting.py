@@ -55,6 +55,9 @@ class MeetingProcessor:
     gemini: Any | None = None  # integrations.gemini.GeminiClient
     notion: Any | None = None  # integrations.notion.NotionClient
     remove_silence: bool = True
+    # smaller-model retry, mirroring the reference's medium->small fallback
+    # on transcription failure (audio_processor.py:1056-1098)
+    fallback_transcriber: Any | None = None
 
     def process(
         self,
@@ -118,13 +121,27 @@ class MeetingProcessor:
 
             ctx.stage(PROGRESS["convert"], "Transcribing on TPU...")
             span = PROGRESS["transcribe"] - PROGRESS["convert"]
-            asr = self.transcriber.transcribe(
-                audio,
-                remove_silence=self.remove_silence,
-                progress=lambda frac: ctx.progress(
-                    PROGRESS["convert"] + int(frac * span), "Transcribing on TPU..."
-                ),
-            )
+
+            def _run_transcribe(t):
+                return t.transcribe(
+                    audio,
+                    remove_silence=self.remove_silence,
+                    progress=lambda frac: ctx.progress(
+                        PROGRESS["convert"] + int(frac * span),
+                        "Transcribing on TPU...",
+                    ),
+                )
+
+            try:
+                asr = _run_transcribe(self.transcriber)
+            except Exception as exc:  # noqa: BLE001 — model-fallback boundary
+                if self.fallback_transcriber is None:
+                    raise
+                logger.warning(
+                    "primary transcriber failed (%s); retrying with fallback model",
+                    exc,
+                )
+                asr = _run_transcribe(self.fallback_transcriber)
             segments_raw = asr["segments"]
 
             turns = self.diarizer.diarize(audio) if self.diarizer is not None else []

@@ -143,6 +143,34 @@ def test_meeting_job_failure_salvage(wav_file, processor_parts):
         engine.shutdown(wait=False)
 
 
+def test_meeting_model_fallback(wav_file, processor_parts):
+    """Primary transcriber failure falls back to the secondary model
+    (reference's medium->small retry ladder)."""
+    transcriber, _ = processor_parts
+
+    class Boom:
+        def transcribe(self, *a, **k):
+            raise RuntimeError("primary blew up")
+
+    proc = MeetingProcessor(
+        transcriber=Boom(),
+        fallback_transcriber=transcriber,
+        diarizer=None,
+    )
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("fb", file_id=wav_file)
+        engine.submit("fb", lambda ctx: proc.process(ctx, wav_file))
+        for _ in range(600):
+            st = engine.get_job_status("fb")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "completed", st.get("error")
+    finally:
+        engine.shutdown(wait=False)
+
+
 def test_meeting_job_missing_file():
     proc = MeetingProcessor(transcriber=None, diarizer=None)
     engine = JobEngine(max_workers=1)
