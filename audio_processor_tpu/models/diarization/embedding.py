@@ -141,8 +141,12 @@ def forward(params: Params, cfg: EmbeddingConfig, feats: jnp.ndarray) -> jnp.nda
 
 @partial(jax.jit, static_argnames=("cfg",))
 def embed_crops(params: Params, cfg: EmbeddingConfig, audio: jnp.ndarray) -> jnp.ndarray:
-    """audio (B, crop_samples) -> (B, embed_dim), fbank fused in the jit."""
+    """audio (B, crop_samples) -> (B, embed_dim), fbank fused in the jit.
+
+    int16 input is dequantised on device (halves host->HBM transfer)."""
     from ...ops import fbank as fbank_lib
 
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
     feats = fbank_lib.fbank(audio, n_mels=cfg.n_mels)
     return forward(params, cfg, feats)

@@ -276,10 +276,15 @@ def _lstm_scan(p, x, reverse: bool):
 def segment_windows(params: Params, cfg: SegmentationConfig, audio: jnp.ndarray):
     """Jitted batched forward + powerset -> per-speaker probabilities.
 
+    Accepts float32 waveforms or int16 (dequantised on device — int16 is
+    audio's native bit depth and halves the host->HBM transfer).
+
     Returns (B, num_frames, num_speakers) activation in [0, 1]: probability
     that each local speaker is active, obtained by summing softmaxed
     powerset classes through the fixed membership matrix.
     """
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
     logits = forward(params, cfg, audio)
     probs = jax.nn.softmax(logits, axis=-1)
     member = jnp.asarray(powerset_matrix(cfg))  # (7, 3)

@@ -82,14 +82,19 @@ class Diarizer:
             out[i, : len(piece)] = piece
         return out, np.asarray(starts, np.float64) / self.seg_cfg.sample_rate
 
+    @staticmethod
+    def _to_i16(x: np.ndarray) -> np.ndarray:
+        """Ship audio host->device as int16 (halves transfer bytes)."""
+        return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+
     def _segment_all(self, windows: np.ndarray) -> np.ndarray:
         """(B, W) -> (B, F, n_spk) activations, batched in pow2 slabs."""
         outs = []
         for i in range(0, len(windows), self.max_batch):
             slab = windows[i : i + self.max_batch]
             b = _bucket_pow2(len(slab), self.max_batch)
-            padded = np.zeros((b, windows.shape[1]), np.float32)
-            padded[: len(slab)] = slab
+            padded = np.zeros((b, windows.shape[1]), np.int16)
+            padded[: len(slab)] = self._to_i16(slab)
             probs = seg_lib.segment_windows(
                 self.seg_params, self.seg_cfg, jnp.asarray(padded)
             )
@@ -101,8 +106,8 @@ class Diarizer:
         for i in range(0, len(crops), self.max_batch):
             slab = crops[i : i + self.max_batch]
             b = _bucket_pow2(len(slab), self.max_batch)
-            padded = np.zeros((b, crops.shape[1]), np.float32)
-            padded[: len(slab)] = slab
+            padded = np.zeros((b, crops.shape[1]), np.int16)
+            padded[: len(slab)] = self._to_i16(slab)
             emb = emb_lib.embed_crops(self.emb_params, self.emb_cfg, jnp.asarray(padded))
             outs.append(np.asarray(emb)[: len(slab)])
         return np.concatenate(outs, axis=0)

@@ -67,7 +67,9 @@ def main() -> None:
     sot_seq = tuple(st.sot_sequence())
 
     @jax.jit
-    def encode_batch(params, audio):
+    def encode_batch(params, audio_i16):
+        # audio ships as int16 (native bit depth): halves host->HBM bytes
+        audio = audio_i16.astype(jnp.float32) / 32768.0
         mel = frontend.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
         return model_lib.encode(params, cfg, mel, compute_dtype=jnp.dtype(args.dtype))
 
@@ -86,7 +88,9 @@ def main() -> None:
         )
         return res.tokens
 
-    audio_dev = jnp.asarray(chunk_batch)
+    audio_dev = jnp.asarray(
+        np.clip(chunk_batch * 32768.0, -32768, 32767).astype(np.int16)
+    )
 
     # warmup / compile.  NOTE: block_until_ready does not actually block on
     # the tunnelled axon platform — sync via host transfer instead.
