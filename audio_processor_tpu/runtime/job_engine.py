@@ -263,6 +263,34 @@ class JobEngine:
     def active_count(self) -> int:
         return len(self.list_jobs("active"))
 
+    def metrics(self) -> dict:
+        """Aggregate counters for the /api/metrics endpoint (SURVEY.md §5.5:
+        the reference has no metrics system at all)."""
+        records = self.store.list()
+        by_status: dict[str, int] = {}
+        rtfs: list[float] = []
+        stage_totals: dict[str, list[float]] = {}
+        for rec in records:
+            by_status[rec.get("status", "?")] = by_status.get(rec.get("status", "?"), 0) + 1
+            result = rec.get("result") or {}
+            if isinstance(result, dict) and result.get("rtf_x"):
+                rtfs.append(float(result["rtf_x"]))
+            for name, secs in (rec.get("stage_timings") or {}).items():
+                stage_totals.setdefault(name, []).append(float(secs))
+        out: dict = {
+            "jobs_total": len(records),
+            "jobs_by_status": by_status,
+        }
+        if rtfs:
+            rtfs.sort()
+            out["rtf_x_p50"] = rtfs[len(rtfs) // 2]
+            out["rtf_x_mean"] = round(sum(rtfs) / len(rtfs), 2)
+        if stage_totals:
+            out["stage_seconds_mean"] = {
+                k: round(sum(v) / len(v), 3) for k, v in stage_totals.items()
+            }
+        return out
+
     # -- cancellation -------------------------------------------------------
 
     def cancel_job(self, job_id: str) -> dict:

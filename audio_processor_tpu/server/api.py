@@ -150,6 +150,10 @@ def make_api_blueprint(services: Any) -> Blueprint:
             return {"success": False, "error": "Job not completed yet"}, 400
         return {"success": True, "result": status.get("result", {})}
 
+    @bp.route("/metrics")
+    def metrics(request: Request):
+        return {"success": True, "metrics": engine.metrics()}
+
     @bp.route("/jobs/debug")
     def jobs_debug(request: Request):
         listed = engine.list_jobs("all")

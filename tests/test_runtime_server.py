@@ -389,6 +389,23 @@ def test_api_result_before_completion(api_app):
     assert status == 400
 
 
+def test_api_metrics(api_app):
+    app, engine = api_app
+    status, data, _ = call_app(app, "POST", "/api/process", body={"file_id": "m"})
+    job_id = data["job_id"]
+    for _ in range(200):
+        st = engine.get_job_status(job_id)
+        if st["status"] == "completed":
+            break
+        time.sleep(0.02)
+    status, data, _ = call_app(app, "GET", "/api/metrics")
+    assert status == 200
+    m = data["metrics"]
+    assert m["jobs_total"] == 1
+    assert m["jobs_by_status"].get("completed") == 1
+    assert "stage_seconds_mean" in m
+
+
 def test_api_drive_files_requires_auth(api_app):
     app, _ = api_app
     status, data, _ = call_app(app, "GET", "/api/drive/files")
