@@ -1,0 +1,42 @@
+"""build_services + create_app integration (hermetic, no external config)."""
+import os
+
+import pytest
+
+from tests.test_runtime_server import call_app
+
+
+def test_build_services_degrades_gracefully(tmp_path, monkeypatch):
+    for var in (
+        "GEMINI_API_KEY", "NOTION_TOKEN", "NOTION_DATABASE_ID",
+        "GOOGLE_SA_JSON_PATH", "REDIS_HOST",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("CREDENTIAL_STORE_URL", "memory://")
+
+    from audio_processor_tpu.runtime.services import build_services
+
+    services = build_services(
+        model="test",
+        store_url=f"sqlite://{tmp_path}/jobs.db",
+        max_workers=1,
+        diarization=False,
+    )
+    try:
+        assert services.processor.gemini is None
+        assert services.processor.notion is None
+        assert services.processor.drive is None
+        assert services.credential_store is not None
+
+        from audio_processor_tpu.server.app import create_app
+
+        app = create_app(services, secret_key="t")
+        status, data, _ = call_app(app, "GET", "/api/health")
+        assert status == 200 and data["status"] == "healthy"
+        status, data, _ = call_app(app, "GET", "/api/metrics")
+        assert data["metrics"]["jobs_total"] == 0
+        # clear_credentials exists and is callable (reference defect fixed)
+        services.set_oauth_credentials.__call__  # attribute exists
+        services.clear_credentials()
+    finally:
+        services.engine.shutdown(wait=False)
