@@ -69,6 +69,9 @@ class Transcriber:
     logprob_threshold: float = -1.0
     compression_ratio_threshold: float = 2.4
     enable_fallback: bool = True
+    # drop chunks Whisper itself flags as silence: P(<|nospeech|>) above the
+    # threshold AND below-threshold avg logprob (openai-whisper's gate)
+    no_speech_threshold: float | None = 0.6
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
@@ -243,6 +246,16 @@ class Transcriber:
                 failed = failed & self._failed_rows(merged, retry_tokens, n_real)
         if progress:
             progress(0.9)
+
+        # no-speech gate: a chunk is silence iff nospeech prob is high AND
+        # the decode was low-confidence (both conditions, as openai-whisper)
+        if self.no_speech_threshold is not None and self.beam_size == 0:
+            lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+            avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
+            silent = (
+                np.asarray(result.no_speech_prob)[:n_real] > self.no_speech_threshold
+            ) & (avg_lp < self.logprob_threshold)
+            tokens[silent] = self.special.eot
 
         segments = decode_lib.tokens_to_segments(
             tokens, self.special, offsets[:n_real], self.tokenizer.decode
