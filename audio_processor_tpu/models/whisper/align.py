@@ -1,0 +1,176 @@
+"""Word-level timestamps via cross-attention alignment + DTW.
+
+openai-whisper's word_timestamps=True recipe, rebuilt for this stack: run
+the decoder teacher-forced over the decoded tokens while accumulating a
+MEAN cross-attention map over the last half of the layers (we have no
+per-checkpoint alignment-head masks offline; the layer-mean is the
+standard fallback and stays (B, T_text, T_audio) — small — instead of
+materialising all L*H maps), then find the monotonic token->frame path by
+dynamic time warping on the host and split token spans into words.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+from .decode import SpecialTokens
+from .model import (
+    Params,
+    _merge_heads,
+    _split_heads,
+    attention,
+    layer_norm,
+    linear,
+    mlp,
+)
+
+AUDIO_FRAME_S = 0.02  # one encoder position = 20 ms
+
+
+def cross_attention_map(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, T)
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+) -> jnp.ndarray:
+    """Teacher-forced pass -> mean cross-attention (B, T, Ta) over the last
+    half of the decoder layers (all heads averaged)."""
+    p = params["decoder"]
+    b, t = tokens.shape
+    x = p["token_emb"][tokens].astype(jnp.float32)
+    x = x + p["pos_emb"][:t].astype(jnp.float32)
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+    audio_states = audio_states.astype(jnp.float32)
+    half_start = cfg.n_text_layer // 2
+
+    def block_fn(carry, scanned):
+        x, acc, layer_idx = carry
+        bp = scanned
+        xn = layer_norm(bp["attn_ln"], x)
+        q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
+        k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
+        v = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
+        x = x + linear(bp["attn"]["out"], _merge_heads(attention(q, k, v, causal)))
+
+        xa = layer_norm(bp["cross_attn_ln"], x)
+        qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
+        kx = _split_heads(linear(bp["cross_attn"]["k"], audio_states), cfg.n_text_head)
+        vx = _split_heads(linear(bp["cross_attn"]["v"], audio_states), cfg.n_text_head)
+        dh = qx.shape[-1]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qx, kx) / math.sqrt(dh)
+        probs = jax.nn.softmax(scores, axis=-1)  # (B, H, T, Ta)
+        acc = acc + jnp.where(
+            layer_idx >= half_start, jnp.mean(probs, axis=1), 0.0
+        )
+        ox = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
+        x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
+        x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
+        return (x, acc, layer_idx + 1), None
+
+    acc0 = jnp.zeros((b, t, audio_states.shape[1]), jnp.float32)
+    (x, acc, _), _ = jax.lax.scan(block_fn, (x, acc0, jnp.int32(0)), p["blocks"])
+    n_used = cfg.n_text_layer - half_start
+    return acc / n_used
+
+
+def dtw_path(matrix: np.ndarray) -> np.ndarray:
+    """Monotonic alignment through a (T_text, T_audio) similarity matrix.
+
+    Returns for each text row the audio column where it starts (the
+    standard backtrace of whisper's DTW on -log attention weights)."""
+    t, ta = matrix.shape
+    cost = -np.log(np.maximum(matrix, 1e-9))
+    acc = np.full((t + 1, ta + 1), np.inf)
+    acc[0, 0] = 0.0
+    trace = np.zeros((t + 1, ta + 1), np.int8)
+    for i in range(1, t + 1):
+        row = cost[i - 1]
+        for j in range(1, ta + 1):
+            c0 = acc[i - 1, j - 1]  # diagonal
+            c1 = acc[i - 1, j]  # down (next token, same frame)
+            c2 = acc[i, j - 1]  # right (same token, next frame)
+            best = min(c0, c1, c2)
+            acc[i, j] = row[j - 1] + best
+            trace[i, j] = 0 if best == c0 else (1 if best == c1 else 2)
+    # backtrace
+    i, j = t, ta
+    starts = np.zeros(t, np.int64)
+    while i > 0 and j > 0:
+        starts[i - 1] = j - 1
+        step = trace[i, j]
+        if step == 0:
+            i, j = i - 1, j - 1
+        elif step == 1:
+            i -= 1
+        else:
+            j -= 1
+    return starts
+
+
+def word_timestamps(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+    token_rows: np.ndarray,  # (B, T) decoded text tokens, EOT-padded
+    st: SpecialTokens,
+    decode_text,
+    chunk_offsets_s: np.ndarray,
+) -> list[list[dict]]:
+    """Per chunk: [{"word", "start", "end"}] in the global timeline."""
+    b, t = token_rows.shape
+    if t == 0:
+        return [[] for _ in range(b)]
+    attn = np.asarray(
+        cross_attention_map(params, cfg, jnp.asarray(token_rows, jnp.int32), audio_states)
+    )
+    out: list[list[dict]] = []
+    for row_i in range(b):
+        toks = token_rows[row_i]
+        text_pos = [i for i, tok in enumerate(toks) if tok < st.eot]
+        if not text_pos:
+            out.append([])
+            continue
+        m = attn[row_i][text_pos]  # (n_text, Ta)
+        # smooth + normalise per token
+        m = m / np.maximum(m.sum(-1, keepdims=True), 1e-9)
+        starts = dtw_path(m)
+        # split tokens into words on decoded-space boundaries
+        words: list[dict] = []
+        cur_ids: list[int] = []
+        cur_start = starts[0]
+        offset = float(chunk_offsets_s[row_i])
+        for k, pos in enumerate(text_pos):
+            tok = int(toks[pos])
+            piece = decode_text([tok])
+            if piece.startswith(" ") and cur_ids:
+                word = decode_text(cur_ids).strip()
+                if word:
+                    words.append(
+                        {
+                            "word": word,
+                            "start": round(offset + cur_start * AUDIO_FRAME_S, 3),
+                            "end": round(offset + starts[k] * AUDIO_FRAME_S, 3),
+                        }
+                    )
+                cur_ids = [tok]
+                cur_start = starts[k]
+            else:
+                cur_ids.append(tok)
+        if cur_ids:
+            word = decode_text(cur_ids).strip()
+            end_frame = starts[-1] + 10  # ~200 ms tail for the last word
+            if word:
+                words.append(
+                    {
+                        "word": word,
+                        "start": round(offset + cur_start * AUDIO_FRAME_S, 3),
+                        "end": round(offset + end_frame * AUDIO_FRAME_S, 3),
+                    }
+                )
+        out.append(words)
+    return out

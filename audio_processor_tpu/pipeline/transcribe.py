@@ -72,6 +72,8 @@ class Transcriber:
     # drop chunks Whisper itself flags as silence: P(<|nospeech|>) above the
     # threshold AND below-threshold avg logprob (openai-whisper's gate)
     no_speech_threshold: float | None = 0.6
+    # cross-attention DTW word alignment (openai word_timestamps=True)
+    word_timestamps: bool = False
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
@@ -265,12 +267,38 @@ class Transcriber:
             seg["start"] = round(time_map.to_original(seg["start"]), 3)
             seg["end"] = round(time_map.to_original(seg["end"]), 3)
 
+        words = None
+        if self.word_timestamps:
+            from ..models.whisper import align
+
+            per_chunk = align.word_timestamps(
+                self.params,
+                self.cfg,
+                audio_states[:n_real],
+                tokens,
+                self.special,
+                self.tokenizer.decode,
+                offsets[:n_real],
+            )
+            words = [
+                {
+                    "word": w["word"],
+                    "start": round(time_map.to_original(w["start"]), 3),
+                    "end": round(time_map.to_original(w["end"]), 3),
+                }
+                for chunk_words in per_chunk
+                for w in chunk_words
+            ]
+
         elapsed = _time.perf_counter() - t0
         if progress:
             progress(1.0)
-        return {
+        out = {
             "text": " ".join(s["text"] for s in segments),
             "segments": segments,
             "duration": duration_s,
             "rtf_x": duration_s / max(elapsed, 1e-9),
         }
+        if words is not None:
+            out["words"] = words
+        return out

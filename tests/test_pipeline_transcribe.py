@@ -59,6 +59,18 @@ def test_transcribe_with_beam(speech_like_audio):
         assert set(seg) == {"start", "end", "text"}
 
 
+def test_transcribe_word_timestamps(speech_like_audio):
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6,
+        word_timestamps=True, no_speech_threshold=None,
+    )
+    out = t.transcribe(speech_like_audio, remove_silence=False)
+    assert "words" in out
+    for w in out["words"]:
+        assert set(w) == {"word", "start", "end"}
+        assert 0.0 <= w["start"] <= w["end"] <= 30.5
+
+
 def test_transcribe_resamples(transcriber, rng):
     audio = rng.normal(0, 0.1, 8000 * 5).astype(np.float32)  # 5 s @ 8 kHz
     out = transcriber.transcribe(audio, sample_rate=8000, remove_silence=False)
