@@ -53,12 +53,31 @@ class Diarizer:
     min_speakers: int = 1
     max_speakers: int | None = None
     max_batch: int = 128
+    seg_fn: Any = None  # segment_windows impl; default pyannote-compatible
+
+    def __post_init__(self):
+        if self.seg_fn is None:
+            self.seg_fn = seg_lib.segment_windows
 
     @classmethod
-    def random_init(cls, seed: int = 0, **kw) -> "Diarizer":
-        seg_cfg = seg_lib.SegmentationConfig()
-        emb_cfg = emb_lib.EmbeddingConfig()
+    def random_init(cls, seed: int = 0, segmentation: str = "pyannet", **kw) -> "Diarizer":
+        """segmentation='pyannet' (checkpoint-compatible SincNet+BiLSTM) or
+        'tpu' (recurrence-free conv+attention variant, fully parallel)."""
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        emb_cfg = emb_lib.EmbeddingConfig()
+        if segmentation == "tpu":
+            from ..models.diarization import segmentation_tpu as seg_tpu
+
+            seg_cfg = seg_tpu.TpuSegmentationConfig()
+            return cls(
+                seg_params=seg_tpu.init_params(seg_cfg, k1),
+                seg_cfg=seg_cfg,
+                emb_params=emb_lib.init_params(emb_cfg, k2),
+                emb_cfg=emb_cfg,
+                seg_fn=seg_tpu.segment_windows,
+                **kw,
+            )
+        seg_cfg = seg_lib.SegmentationConfig()
         return cls(
             seg_params=seg_lib.init_params(seg_cfg, k1),
             seg_cfg=seg_cfg,
@@ -95,9 +114,7 @@ class Diarizer:
             b = _bucket_pow2(len(slab), self.max_batch)
             padded = np.zeros((b, windows.shape[1]), np.int16)
             padded[: len(slab)] = self._to_i16(slab)
-            probs = seg_lib.segment_windows(
-                self.seg_params, self.seg_cfg, jnp.asarray(padded)
-            )
+            probs = self.seg_fn(self.seg_params, self.seg_cfg, jnp.asarray(padded))
             outs.append(np.asarray(probs)[: len(slab)])
         return np.concatenate(outs, axis=0)
 

@@ -58,6 +58,33 @@ def test_sinc_filters_are_bandpass():
         assert resp[0, i] < 0.1 * resp[:, i].max()  # DC well below passband
 
 
+def test_tpu_segmentation_variant():
+    from audio_processor_tpu.models.diarization import segmentation_tpu as st
+
+    cfg = st.TpuSegmentationConfig(n_layer=1, d_model=64, n_head=2)
+    params = st.init_params(cfg, jax.random.PRNGKey(0))
+    audio = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, cfg.window_samples)), jnp.float32
+    )
+    probs = st.segment_windows(params, cfg, audio)
+    assert probs.shape == (2, cfg.num_frames, 3)
+    p = np.asarray(probs)
+    assert (p >= 0).all() and (p <= 1 + 1e-5).all()
+    # int16 input path
+    i16 = (np.asarray(audio) * 32768).astype(np.int16)
+    p2 = np.asarray(st.segment_windows(params, cfg, jnp.asarray(i16)))
+    np.testing.assert_allclose(p2, p, atol=2e-3)
+
+
+def test_diarizer_with_tpu_segmentation(rng):
+    d = Diarizer.random_init(segmentation="tpu", window_step_s=5.0)
+    audio = rng.normal(0, 0.2, 12 * 16000).astype(np.float32)
+    turns = d.diarize(audio)
+    for t in turns:
+        assert t["speaker"].startswith("SPEAKER_")
+        assert 0 <= t["start"] <= t["end"] <= 12.05
+
+
 # --- embeddings ------------------------------------------------------------
 
 EMB_CFG = emb_lib.EmbeddingConfig(blocks=(1, 1, 1, 1))  # slim for CPU tests
