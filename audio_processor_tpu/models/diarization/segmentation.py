@@ -188,8 +188,12 @@ def materialize_sinc_filters(p, cfg: SegmentationConfig) -> jnp.ndarray:
     (low_hz, band_hz) pair.
     """
     sr = cfg.sample_rate
-    low = jnp.abs(p["low_hz"]) + 30.0
-    high = jnp.clip(low + jnp.abs(p["band_hz"]), 50.0, sr / 2)
+    # SincNet parameterisation (min_low_hz = min_band_hz = 50, the published
+    # defaults pyannote's SincConv uses) so converted checkpoints reproduce
+    # the exact filterbank
+    min_low_hz = min_band_hz = 50.0
+    low = min_low_hz + jnp.abs(p["low_hz"])
+    high = jnp.clip(low + min_band_hz + jnp.abs(p["band_hz"]), min_low_hz, sr / 2)
     band = high - low
     k = cfg.sinc_kernel
     half = (k - 1) // 2
