@@ -16,8 +16,6 @@ import sys
 
 
 def cmd_transcribe(args) -> None:
-    import numpy as np
-
     from .pipeline import ingest
     from .pipeline.transcribe import Transcriber
 

@@ -9,12 +9,11 @@ injectable transport, with google-auth used only to mint/refresh tokens.
 """
 from __future__ import annotations
 
-import io
 import json
 import logging
 import os
 import re
-from typing import Any, Callable
+from typing import Callable
 
 logger = logging.getLogger(__name__)
 

@@ -15,7 +15,7 @@ import logging
 import os
 import time
 from datetime import datetime
-from typing import Any, Callable
+from typing import Callable
 
 from . import notion_formatter as nf
 from ..utils.timestamps import format_timestamp

@@ -11,8 +11,6 @@ dynamic time warping on the host and split token spans into words.
 from __future__ import annotations
 
 import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

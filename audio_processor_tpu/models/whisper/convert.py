@@ -8,13 +8,12 @@ never needs torch.
 """
 from __future__ import annotations
 
-import io
 from typing import Any, Mapping
 
 import numpy as np
 import jax.numpy as jnp
 
-from .config import WhisperConfig, get_config
+from .config import WhisperConfig
 from .model import Params
 
 

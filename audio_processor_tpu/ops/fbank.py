@@ -8,7 +8,6 @@ TPU-first construction: framing by strided slicing, DFT as matmul.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from datetime import datetime, timezone
 from typing import Any, Callable
 
 from ..utils.constants import JOB_STATUS
-from .job_store import ACTIVE_STATUSES, MemoryJobStore, make_store
+from .job_store import ACTIVE_STATUSES, make_store
 
 logger = logging.getLogger(__name__)
 

@@ -20,8 +20,6 @@ import json
 import sqlite3
 import threading
 import time
-from typing import Any, Iterable
-
 from ..utils.constants import JOB_STATUS
 
 ACTIVE_STATUSES = (JOB_STATUS["PENDING"], JOB_STATUS["PROCESSING"])

@@ -16,7 +16,7 @@ import uuid
 from datetime import datetime
 from typing import Any
 
-from .web import Blueprint, Request, jsonify
+from .web import Blueprint, Request
 
 logger = logging.getLogger(__name__)
 

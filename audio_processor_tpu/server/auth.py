@@ -24,7 +24,7 @@ import time
 from typing import Any, Callable
 from urllib.parse import urlencode
 
-from .web import Blueprint, Request, jsonify, redirect
+from .web import Blueprint, Request, redirect
 
 logger = logging.getLogger(__name__)
 

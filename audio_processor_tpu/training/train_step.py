@@ -17,7 +17,6 @@ import optax
 
 from ..models.whisper import model as whisper_model
 from ..models.whisper.config import WhisperConfig
-from ..parallel import mesh as mesh_lib
 from ..parallel import sharding as sharding_lib
 from jax.sharding import NamedSharding, PartitionSpec as P
 
