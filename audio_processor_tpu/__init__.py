@@ -23,3 +23,25 @@ utils        WAV I/O, timestamps, constants, logging.
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "Transcriber": ("audio_processor_tpu.pipeline.transcribe", "Transcriber"),
+    "StreamingTranscriber": ("audio_processor_tpu.pipeline.streaming", "StreamingTranscriber"),
+    "Diarizer": ("audio_processor_tpu.pipeline.diarize", "Diarizer"),
+    "MeetingProcessor": ("audio_processor_tpu.pipeline.meeting", "MeetingProcessor"),
+    "fuse_segments": ("audio_processor_tpu.pipeline.fuse", "fuse_segments"),
+    "JobEngine": ("audio_processor_tpu.runtime.job_engine", "JobEngine"),
+    "build_services": ("audio_processor_tpu.runtime.services", "build_services"),
+    "create_app": ("audio_processor_tpu.server.app", "create_app"),
+    "word_error_rate": ("audio_processor_tpu.utils.metrics", "word_error_rate"),
+    "diarization_error_rate": ("audio_processor_tpu.utils.metrics", "diarization_error_rate"),
+}
+
+
+def __getattr__(name):  # lazy top-level API: import jax only when needed
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
