@@ -74,6 +74,8 @@ class Transcriber:
     no_speech_threshold: float | None = 0.6
     # cross-attention DTW word alignment (openai word_timestamps=True)
     word_timestamps: bool = False
+    # fused Pallas log-mel kernel instead of the XLA-fused jnp frontend
+    use_pallas_frontend: bool = False
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
@@ -83,7 +85,12 @@ class Transcriber:
         # transfer, which dominates wall time behind a tunnelled TPU.
         def _fe(p, chunks_i16):
             audio = chunks_i16.astype(jnp.float32) / 32768.0
-            mel = frontend.log_mel_spectrogram(audio, n_mels=self.cfg.n_mels)
+            if self.use_pallas_frontend and jax.default_backend() == "tpu":
+                from ..ops.pallas.mel_kernel import log_mel_pallas
+
+                mel = log_mel_pallas(audio, n_mels=self.cfg.n_mels)
+            else:
+                mel = frontend.log_mel_spectrogram(audio, n_mels=self.cfg.n_mels)
             return model_lib.encode(
                 p, self.cfg, mel, compute_dtype=jnp.dtype(self.compute_dtype)
             )
