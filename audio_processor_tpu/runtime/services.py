@@ -23,8 +23,38 @@ class Services:
     engine: JobEngine
     processor: MeetingProcessor
     credential_store: Any | None = None  # integrations.credentials.CredentialStore
-    oauth_drive: Any | None = None  # per-user DriveClient (set after login)
     config: dict = field(default_factory=dict)
+    # per-user OAuth Drive clients.  The reference keeps ONE global OAuth
+    # service, so with two logged-in users the last login silently wins
+    # (audio_processor.py:133-150 + the before_request restore); here each
+    # user_id gets its own client.
+    oauth_drives: dict = field(default_factory=dict)
+    _last_user: str | None = None
+
+    @property
+    def oauth_drive(self):
+        """Single-user compatibility accessor (the '__default__' client)."""
+        if "__default__" in self.oauth_drives:
+            return self.oauth_drives["__default__"]
+        if len(self.oauth_drives) == 1:
+            return next(iter(self.oauth_drives.values()))
+        return None
+
+    @oauth_drive.setter
+    def oauth_drive(self, client) -> None:
+        if client is None:
+            self.oauth_drives.clear()
+            self._last_user = None
+        else:
+            self.oauth_drives["__default__"] = client
+            self._last_user = "__default__"
+
+    def drive_for(self, user_id: str | None):
+        """This user's client; falls back ONLY to the explicit default —
+        never to another user's client (no cross-user credential leakage)."""
+        if user_id is not None and user_id in self.oauth_drives:
+            return self.oauth_drives[user_id]
+        return self.oauth_drives.get("__default__")
 
     def submit_processing_job(
         self,
@@ -33,7 +63,7 @@ class Services:
         attachment_file_ids: list[str] | None,
         user_id: str | None,
     ) -> None:
-        oauth_drive = self.oauth_drive
+        oauth_drive = self.drive_for(user_id)
 
         def run(ctx):
             return self.processor.process(
@@ -42,17 +72,25 @@ class Services:
 
         self.engine.submit(job_id, run, failure_result=build_failure_result)
 
-    def set_oauth_credentials(self, creds) -> None:
-        """Build the per-user Drive client from OAuth credentials
-        (reference: audio_processor.py:133-150)."""
+    def set_oauth_credentials(self, creds, user_id: str | None = None) -> None:
+        """Build a per-user Drive client from OAuth credentials
+        (reference: audio_processor.py:133-150 — but per user, not global)."""
         from ..integrations.drive import DriveClient
 
-        self.oauth_drive = DriveClient.from_google_credentials(creds)
+        key = user_id or "__default__"
+        self.oauth_drives[key] = DriveClient.from_google_credentials(creds)
+        self._last_user = key
 
-    def clear_credentials(self) -> None:
+    def clear_credentials(self, user_id: str | None = None) -> None:
         """Defined properly here — the reference calls a method that doesn't
         exist and swallows the AttributeError (auth_routes.py:698-701)."""
-        self.oauth_drive = None
+        if user_id is None:
+            self.oauth_drives.clear()
+            self._last_user = None
+        else:
+            self.oauth_drives.pop(user_id, None)
+            if self._last_user == user_id:
+                self._last_user = None
 
 
 def build_services(

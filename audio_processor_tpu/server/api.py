@@ -107,7 +107,7 @@ def make_api_blueprint(services: Any) -> Blueprint:
     def drive_files(request: Request):
         if not (request.session and request.session.get("authenticated")):
             return {"success": False, "error": "Not authenticated"}, 401
-        drive = services.oauth_drive
+        drive = services.drive_for(request.session.get("user_id"))
         if drive is None:
             return {"success": False, "error": "OAuth not completed; please log in"}, 401
         try:

@@ -55,11 +55,11 @@ def create_app(services: Any, secret_key: str | None = None) -> App:
         user_id = request.session.get("user_id") if request.session else None
         if not user_id or services.credential_store is None:
             return None
-        if services.oauth_drive is None:
+        if services.drive_for(user_id) is None:
             try:
                 creds = services.credential_store.get_valid_credentials(user_id)
                 if creds is not None:
-                    services.set_oauth_credentials(creds)
+                    services.set_oauth_credentials(creds, user_id=user_id)
                     request.session["authenticated"] = True
             except Exception as exc:  # noqa: BLE001 — auth is best-effort here
                 logger.warning("credential restore failed for %s: %s", user_id, exc)

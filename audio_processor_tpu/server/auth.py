@@ -199,7 +199,7 @@ def make_auth_blueprint(
             return
         creds = store.get_valid_credentials(user_id)
         if creds is not None:
-            services.set_oauth_credentials(creds)
+            services.set_oauth_credentials(creds, user_id=user_id)
 
     @bp.route("/api/auth/callback")
     def auth_callback(request: Request):
@@ -262,7 +262,7 @@ def make_auth_blueprint(
             creds = store.get_valid_credentials(user_id)
             if creds is not None:
                 request.session["authenticated"] = True
-                services.set_oauth_credentials(creds)
+                services.set_oauth_credentials(creds, user_id=user_id)
                 return {
                     "authenticated": True,
                     "user": request.session.get("user_info", {"id": user_id}),
@@ -281,7 +281,7 @@ def make_auth_blueprint(
         if user_id and store is not None:
             store.delete_credentials(user_id)
         request.session.clear()
-        services.clear_credentials()
+        services.clear_credentials(user_id)
         return {"success": True}
 
     return bp

@@ -130,14 +130,14 @@ def test_full_token_login_flow(app_and_services):
     status, data, _ = call_app(app, "GET", "/api/auth/userinfo", headers={"Cookie": cookie})
     assert data["user"]["name"] == "Alice"
 
-    # logout clears store + oauth drive client
-    services.oauth_drive = object()
+    # logout clears the store + THIS user's drive client (per-user model)
+    services.oauth_drives["u-77"] = object()
     status, data, headers2 = call_app(
         app, "POST", "/api/auth/logout", headers={"Cookie": cookie}
     )
     assert data["success"]
     assert services.credential_store.load_credentials_dict("u-77") is None
-    assert services.oauth_drive is None
+    assert services.drive_for("u-77") is None
 
 
 def test_token_endpoint_validation(app_and_services):
