@@ -150,6 +150,36 @@ def make_api_blueprint(services: Any) -> Blueprint:
             return {"success": False, "error": "Job not completed yet"}, 400
         return {"success": True, "result": status.get("result", {})}
 
+    @bp.route("/job/<job_id>/events")
+    def job_events(request: Request, job_id: str):
+        """Server-sent events: push status updates instead of 3 s polling
+        (the frontend still supports polling as the fallback transport)."""
+        import json as _json
+        import time as _time
+
+        from .web import StreamingResponse
+
+        if engine.store.get(job_id) is None:
+            return {"success": False, "error": "Job not found"}, 404
+
+        def stream():
+            last = None
+            deadline = _time.time() + 3600
+            while _time.time() < deadline:
+                status = engine.get_job_status(job_id)
+                if status is None:
+                    break
+                snapshot = (status["status"], status["progress"], status.get("message"))
+                if snapshot != last:
+                    last = snapshot
+                    yield f"data: {_json.dumps(status)}\n\n"
+                if status["status"] in ("completed", "failed", "cancelled"):
+                    break
+                _time.sleep(0.5)
+            yield "event: end\ndata: {}\n\n"
+
+        return StreamingResponse(stream())
+
     @bp.route("/metrics")
     def metrics(request: Request):
         return {"success": True, "metrics": engine.metrics()}

@@ -133,6 +133,31 @@ class Response:
         return [self.body]
 
 
+class StreamingResponse(Response):
+    """Chunked/streaming body from a bytes iterator (used for SSE)."""
+
+    def __init__(
+        self,
+        iterator,
+        status: int = 200,
+        headers: dict[str, str] | None = None,
+        content_type: str = "text/event-stream",
+    ):
+        super().__init__(b"", status=status, headers=headers, content_type=content_type)
+        self.headers.setdefault("Cache-Control", "no-cache")
+        self.iterator = iterator
+
+    def wsgi(self, start_response):
+        headers = list(self.headers.items())
+        for c in self._cookies:
+            headers.append(("Set-Cookie", c))
+        start_response(_STATUS_TEXT.get(self.status, f"{self.status} Unknown"), headers)
+        return (
+            chunk.encode("utf-8") if isinstance(chunk, str) else chunk
+            for chunk in self.iterator
+        )
+
+
 def jsonify(data: Any, status: int = 200) -> Response:
     return Response(
         json.dumps(data), status=status, content_type="application/json"

@@ -35,10 +35,12 @@ const TaskStore = {
 const Tasks = {
   tasks: [],            // {jobId, name, status, progress, message, createdAt, result, history:[{t,progress}]}
   pollTimer: null,
+  sseStreams: {},       // jobId -> EventSource (SSE preferred, polling fallback)
 
   init() {
     this.tasks = TaskStore.load();
     this.renderAll();
+    this.active().forEach((t) => this.subscribe(t.jobId));
     this.startPolling();
     document.addEventListener("visibilitychange", () => {
       if (document.hidden) TaskStore.save(this.tasks);
@@ -66,8 +68,38 @@ const Tasks = {
     this.tasks.unshift(task);
     TaskStore.save(this.tasks);
     this.renderAll();
+    this.subscribe(task.jobId);
     this.pollNow();
     return task;
+  },
+
+  subscribe(jobId) {
+    if (typeof EventSource === "undefined" || this.sseStreams[jobId]) return;
+    try {
+      const es = new EventSource(`/api/job/${jobId}/events`);
+      es.onmessage = (ev) => {
+        try {
+          const job = JSON.parse(ev.data);
+          this.applyUpdate(jobId, job);
+        } catch (e) { /* malformed frame: polling still covers us */ }
+      };
+      es.addEventListener("end", () => { es.close(); delete this.sseStreams[jobId]; });
+      es.onerror = () => { es.close(); delete this.sseStreams[jobId]; };
+      this.sseStreams[jobId] = es;
+    } catch (e) { /* SSE unavailable: polling fallback */ }
+  },
+
+  applyUpdate(jobId, job) {
+    const task = this.byId(jobId);
+    if (!task || !job) return;
+    task.status = job.status;
+    task.progress = job.progress;
+    task.message = job.status === "failed" ? (job.error || job.message) : (job.message || "");
+    task.history.push({ t: Date.now(), progress: job.progress });
+    if (task.history.length > 20) task.history.shift();
+    if (job.status === "completed") task.result = job.result || null;
+    TaskStore.save(this.tasks);
+    this.renderTask(task);
   },
 
   active() {
@@ -80,7 +112,8 @@ const Tasks = {
   },
 
   async pollNow() {
-    const active = this.active();
+    // polling covers only tasks without a live SSE stream
+    const active = this.active().filter((t) => !this.sseStreams[t.jobId]);
     if (!active.length) return;
     const ids = active.map((t) => t.jobId);
     let jobs = null;

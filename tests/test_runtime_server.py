@@ -389,6 +389,38 @@ def test_api_result_before_completion(api_app):
     assert status == 400
 
 
+def test_api_sse_events(api_app):
+    app, engine = api_app
+    status, data, _ = call_app(app, "POST", "/api/process", body={"file_id": "sse"})
+    job_id = data["job_id"]
+
+    environ = {
+        "REQUEST_METHOD": "GET",
+        "PATH_INFO": f"/api/job/{job_id}/events",
+        "QUERY_STRING": "",
+        "wsgi.input": io.BytesIO(b""),
+    }
+    captured = {}
+
+    def start_response(st, hdrs):
+        captured["status"] = st
+        captured["headers"] = dict(hdrs)
+
+    chunks = []
+    for chunk in app(environ, start_response):
+        chunks.append(chunk)
+        if b"event: end" in chunk:
+            break
+    assert captured["status"].startswith("200")
+    assert captured["headers"]["Content-Type"].startswith("text/event-stream")
+    payload = b"".join(chunks).decode()
+    assert '"status": "completed"' in payload
+    assert payload.rstrip().endswith("data: {}")
+
+    status, _, _ = call_app(app, "GET", "/api/job/ghost/events")
+    assert status == 404
+
+
 def test_api_metrics(api_app):
     app, engine = api_app
     status, data, _ = call_app(app, "POST", "/api/process", body={"file_id": "m"})
