@@ -1,0 +1,122 @@
+"""Unit tests for the vectorised Whisper sampling rules
+(decode.apply_logit_rules) — each rule checked in isolation."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from audio_processor_tpu.models.whisper import decode
+from audio_processor_tpu.models.whisper.config import WhisperConfig
+
+CFG = WhisperConfig(
+    name="rules", n_mels=80, n_audio_ctx=16, n_audio_state=32,
+    n_audio_head=2, n_audio_layer=1, n_vocab=64, n_text_ctx=16,
+    n_text_state=32, n_text_head=2, n_text_layer=1,
+)
+ST = decode.SpecialTokens.for_config(CFG)
+V = CFG.n_vocab
+TB = ST.timestamp_begin
+
+
+def _apply(logits, **kw):
+    defaults = dict(
+        step=jnp.int32(1),
+        last_token=jnp.asarray([1]),
+        penultimate_token=jnp.asarray([2]),
+        max_ts_token=jnp.asarray([TB]),
+        suppress_mask=None,
+        use_timestamps=True,
+    )
+    defaults.update(kw)
+    return np.asarray(decode.apply_logit_rules(jnp.asarray(logits), ST, **defaults))
+
+
+def _flat():
+    return np.zeros((1, V), np.float32)
+
+
+def test_static_suppress_list():
+    mask = np.zeros(V, bool)
+    mask[5] = True
+    out = _apply(_flat(), suppress_mask=jnp.asarray(mask), use_timestamps=False)
+    assert out[0, 5] == -np.inf
+    assert np.isfinite(out[0, 6])
+
+
+def test_first_sample_must_be_timestamp_and_capped():
+    out = _apply(_flat(), step=jnp.int32(0))
+    assert np.isinf(out[0, : TB]).all()  # all text suppressed
+    assert np.isfinite(out[0, TB])
+    # cap: timestamps past tb+50 suppressed (vocab too small to reach here,
+    # so check via a config-independent index if available)
+    cap = TB + 51
+    if cap < V:
+        assert out[0, cap] == -np.inf
+
+
+def test_after_two_timestamps_forces_text():
+    out = _apply(
+        _flat(),
+        step=jnp.int32(3),
+        last_token=jnp.asarray([TB + 5]),
+        penultimate_token=jnp.asarray([TB + 5]),
+        max_ts_token=jnp.asarray([TB + 5]),
+    )
+    assert np.isinf(out[0, TB:]).all()  # no more timestamps
+    assert np.isfinite(out[0, 1])  # text allowed
+
+
+def test_after_single_timestamp_forces_timestamp_or_eot():
+    logits = _flat()
+    # give EOT dominant mass so the force-timestamp-by-probability rule
+    # (which, like openai's, may mask EOT when timestamp mass wins) stays out
+    logits[0, ST.eot] = 10.0
+    out = _apply(
+        logits,
+        step=jnp.int32(3),
+        last_token=jnp.asarray([TB + 5]),
+        penultimate_token=jnp.asarray([1]),  # text
+        max_ts_token=jnp.asarray([TB + 5]),
+    )
+    assert np.isinf(out[0, : ST.eot]).all()  # text suppressed
+    assert np.isfinite(out[0, ST.eot])
+    # monotonicity: timestamps <= last are suppressed, > last allowed
+    assert out[0, TB + 5] == -np.inf
+    if TB + 6 < V:
+        assert np.isfinite(out[0, TB + 6])
+
+
+def test_monotonic_floor_after_text():
+    out = _apply(
+        _flat(),
+        step=jnp.int32(4),
+        last_token=jnp.asarray([7]),  # text token
+        penultimate_token=jnp.asarray([TB + 9]),
+        max_ts_token=jnp.asarray([TB + 9]),
+    )
+    # same timestamp may repeat (>= max seen), lower ones may not
+    assert out[0, TB + 8] == -np.inf
+    assert np.isfinite(out[0, TB + 9])
+
+
+def test_suppress_blank_at_first_sample():
+    out = _apply(
+        _flat(), step=jnp.int32(0), use_timestamps=False, space_blank_id=3
+    )
+    assert out[0, 3] == -np.inf
+    assert out[0, ST.eot] == -np.inf
+    out1 = _apply(
+        _flat(), step=jnp.int32(1), use_timestamps=False, space_blank_id=3
+    )
+    assert np.isfinite(out1[0, 3])
+
+
+def test_force_timestamp_when_ts_mass_dominates():
+    logits = _flat()
+    logits[0, TB:] = 3.0  # huge total timestamp mass
+    out = _apply(
+        logits,
+        step=jnp.int32(3),
+        last_token=jnp.asarray([1]),
+        penultimate_token=jnp.asarray([2]),
+    )
+    assert np.isinf(out[0, :TB][np.isfinite(logits[0, :TB])]).all()
