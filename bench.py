@@ -33,7 +33,18 @@ def main() -> None:
                     help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
 
+    import os as _os
+
     import jax
+
+    cache_dir = _os.environ.get("JAX_CACHE_DIR", _os.path.expanduser("~/.aptpu_jax_cache"))
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -20,7 +20,22 @@ logging.basicConfig(
 )
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: restarts reuse compiled programs
+    instead of paying multi-minute recompiles per process."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.aptpu_jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        logging.getLogger(__name__).info("compilation cache unavailable: %s", exc)
+
+
 def build_app():
+    _enable_compile_cache()
     from audio_processor_tpu.runtime.services import build_services
     from audio_processor_tpu.server.app import create_app
 
