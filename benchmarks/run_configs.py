@@ -20,6 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _compile_cache():
+    try:
+        import jax
+
+        d = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.aptpu_jax_cache"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_compile_cache()
+
+
 def _emit(metric, value, unit, baseline=None):
     print(json.dumps({
         "metric": metric,
