@@ -70,14 +70,18 @@ class MeetingProcessor:
         t_job = time.perf_counter()
         audio_tmp: str | None = None
         attach_tmp: str | None = None
+        # reads fall back to the user's OAuth client when no service account
+        # is configured; writes (rename) stay on the SA client — the OAuth
+        # scope is drive.readonly (reference: auth_routes.py:96-101)
+        read_drive = self.drive or oauth_drive
         try:
             # -- stage 1: metadata -----------------------------------------
             ctx.stage(PROGRESS["start"], "Fetching file metadata...")
             is_local = os.path.exists(file_id)
             if is_local:
                 original_filename = os.path.basename(file_id)
-            elif self.drive is not None:
-                meta = self.drive.get_metadata(file_id, fields="name")
+            elif read_drive is not None:
+                meta = read_drive.get_metadata(file_id, fields="name")
                 original_filename = meta.get("name", file_id)
             else:
                 raise ValueError(f"file {file_id!r} not found and no Drive client")
@@ -94,8 +98,8 @@ class MeetingProcessor:
                     try:
                         if os.path.exists(aid):
                             text = pdf_lib.extract_text_from_file(aid)
-                        elif self.drive is not None:
-                            text = pdf_lib.extract_text(self.drive.download_bytes(aid))
+                        elif read_drive is not None:
+                            text = pdf_lib.extract_text(read_drive.download_bytes(aid))
                         else:
                             text = ""
                         if text:
@@ -112,7 +116,7 @@ class MeetingProcessor:
                 audio_path = os.path.join(
                     audio_tmp, sanitize_filename(original_filename)
                 )
-                self.drive.download(file_id, audio_path)
+                read_drive.download(file_id, audio_path)
 
             # -- stage 4: decode + transcribe + diarize + fuse -------------
             ctx.stage(PROGRESS["preprocess"], "Decoding audio...")
@@ -196,8 +200,8 @@ class MeetingProcessor:
                     else ""
                 )
                 drive_link = (
-                    self.drive.file_link(file_id)
-                    if (self.drive is not None and not is_local)
+                    read_drive.file_link(file_id)
+                    if (read_drive is not None and not is_local)
                     else None
                 )
                 page_id, page_url = self.notion.create_meeting_page(
