@@ -278,14 +278,18 @@ def trim_silence_host(
     returns (trimmed_audio, kept_intervals) where kept_intervals is a list of
     (orig_start_s, orig_end_s) in the original timeline, in order.  Use
     utils.timestamps.TimeMap to map trimmed-time segment boundaries back.
+
+    Pure numpy on purpose: it runs per job on ARBITRARY-length audio, so a
+    device version would recompile per length and round-trip the raw
+    waveform; the cumsum-based RMS below is ~milliseconds for an hour.
     """
     hop = 160
-    mask = np.asarray(
-        silence_mask(
-            jnp.asarray(audio),
-            threshold_db=threshold_db,
-            pad_frames=int(keep_pad_s * sample_rate / hop),
-        )
+    mask = _silence_keep_mask_np(
+        np.asarray(audio, np.float32),
+        frame_length=400,
+        hop=hop,
+        threshold_db=threshold_db,
+        pad_frames=int(keep_pad_s * sample_rate / hop),
     )
     # collapse to kept intervals, merging gaps shorter than min_gap_s
     min_gap = int(min_gap_s * sample_rate / hop)
@@ -301,6 +305,29 @@ def trim_silence_host(
         pieces.append(audio[s_smp:e_smp])
         intervals.append((s_smp / sample_rate, e_smp / sample_rate))
     return np.concatenate(pieces) if pieces else audio, intervals
+
+
+def _silence_keep_mask_np(
+    audio: np.ndarray,
+    frame_length: int = 400,
+    hop: int = 160,
+    threshold_db: float = -40.0,
+    pad_frames: int = 25,
+) -> np.ndarray:
+    """numpy twin of silence_mask (per-hop keep flags via cumsum RMS)."""
+    n_frames = max(len(audio) // hop, 1)
+    half = frame_length // 2
+    padded = np.pad(audio.astype(np.float64), (half, half))
+    csum = np.concatenate([[0.0], np.cumsum(padded * padded)])
+    starts = np.arange(n_frames) * hop
+    energy = csum[starts + frame_length] - csum[starts]
+    rms = np.sqrt(energy / frame_length + 1e-12)
+    db = 20.0 * np.log10(rms + 1e-12)
+    keep = db > (db.max() + threshold_db)
+    if pad_frames > 0:
+        kernel = np.ones(2 * pad_frames + 1)
+        keep = np.convolve(keep.astype(np.float64), kernel, mode="same") > 0.5
+    return keep
 
 
 def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
