@@ -154,20 +154,21 @@ class Diarizer:
         crops, owners = [], []
         active = probs > self.onset
         min_frames = int(self.min_speech_s / fs)
+        step = int(fs * sr)
         for w in range(n_win):
+            # one frame-major view of the window; per-speaker crops are a
+            # single fancy-index (the per-frame python loop here was the
+            # dominant host cost on talkative audio)
+            base = int(starts_s[w] * sr)
+            win = audio[base : base + n_frames * step]
+            if len(win) < n_frames * step:
+                win = np.pad(win, (0, n_frames * step - len(win)))
+            frames_view = win.reshape(n_frames, step)
             for s in range(n_spk):
                 frames_on = np.flatnonzero(active[w, :, s])
                 if len(frames_on) < max(min_frames, 1):
                     continue
-                # concatenate this speaker's speech samples inside the window
-                base = int(starts_s[w] * sr)
-                sample_idx = []
-                step = int(fs * sr)
-                for f in frames_on:
-                    lo = base + f * step
-                    sample_idx.append((lo, lo + step))
-                pieces = [audio[lo:hi] for lo, hi in sample_idx]
-                speech = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+                speech = frames_view[frames_on].reshape(-1)
                 if len(speech) < crop_len:
                     speech = np.pad(speech, (0, crop_len - len(speech)), mode="wrap")
                 crops.append(speech[:crop_len])
