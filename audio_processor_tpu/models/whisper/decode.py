@@ -454,9 +454,16 @@ def greedy_decode(
 
     tb = st.timestamp_begin
 
+    # Loop-INVARIANT state (the big cross-attention caches + scales) stays
+    # OUT of the while_loop carry — closed over instead — so XLA never has
+    # to thread multi-GB buffers through the loop state; only the mutable
+    # self-cache slabs ride the carry.
+    cross = (cache.cross_k, cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
+
     class LoopState(NamedTuple):
         step: jnp.ndarray
-        cache: Cache
+        self_k: jnp.ndarray
+        self_v: jnp.ndarray
         logits: jnp.ndarray  # (B, V) logits for the next sample
         tokens: jnp.ndarray  # (B, max_new_tokens)
         last: jnp.ndarray  # (B,)
@@ -468,7 +475,8 @@ def greedy_decode(
 
     init = LoopState(
         step=jnp.int32(0),
-        cache=cache,
+        self_k=cache.self_k,
+        self_v=cache.self_v,
         logits=last_logits,
         tokens=jnp.full((b, max_new_tokens), st.eot, jnp.int32),
         last=jnp.full((b,), sot_sequence[-1], jnp.int32),
@@ -516,12 +524,14 @@ def greedy_decode(
             (next_tok >= tb) & ~s.finished, jnp.maximum(s.max_ts, next_tok), s.max_ts
         )
 
-        logits, cache = decoder_forward_cached(
-            params, cfg, next_tok[:, None], s.cache, prompt_len + s.step
+        step_cache = Cache(s.self_k, s.self_v, *cross)
+        logits, new_cache = decoder_forward_cached(
+            params, cfg, next_tok[:, None], step_cache, prompt_len + s.step
         )
         return LoopState(
             step=s.step + 1,
-            cache=cache,
+            self_k=new_cache.self_k,
+            self_v=new_cache.self_v,
             logits=logits[:, -1],
             tokens=tokens,
             last=next_tok,
