@@ -112,6 +112,61 @@ def from_pyannet_state_dict(
 _EMBED_LINEAR_CANDIDATES = ("seg_1", "embedding", "fc", "embed", "bottleneck")
 
 
+# ---------------------------------------------------------------------------
+# Native .npz serialisation for the diarization stack (torch-free serving,
+# mirroring models/whisper/convert.save_params)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, list):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        raise TypeError(type(tree))
+    for k, v in items:
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, (dict, list)):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(tree)
+
+
+def save_diarizer_params(path: str, seg_params: dict, emb_params: dict) -> None:
+    flat = {f"seg/{k}": v for k, v in _flatten(seg_params).items()}
+    flat.update({f"emb/{k}": v for k, v in _flatten(emb_params).items()})
+    np.savez(path, **flat)
+
+
+def load_diarizer_params(path: str) -> tuple[dict, dict]:
+    with np.load(path) as z:
+        seg_flat = {k[4:]: z[k] for k in z.files if k.startswith("seg/")}
+        emb_flat = {k[4:]: z[k] for k in z.files if k.startswith("emb/")}
+    return _unflatten(seg_flat), _unflatten(emb_flat)
+
+
 def from_resnet_state_dict(
     sd: Mapping[str, Any], cfg: EmbeddingConfig | None = None
 ) -> tuple[dict, EmbeddingConfig]:

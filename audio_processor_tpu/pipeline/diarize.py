@@ -86,6 +86,21 @@ class Diarizer:
             **kw,
         )
 
+    @classmethod
+    def from_npz(cls, path: str, **kw) -> "Diarizer":
+        """Load converted pyannote/ResNet weights saved by
+        models.diarization.convert.save_diarizer_params."""
+        from ..models.diarization import convert as dconvert
+
+        seg_params, emb_params = dconvert.load_diarizer_params(path)
+        return cls(
+            seg_params=seg_params,
+            seg_cfg=seg_lib.SegmentationConfig(),
+            emb_params=emb_params,
+            emb_cfg=emb_lib.EmbeddingConfig(),
+            **kw,
+        )
+
     # ------------------------------------------------------------------
 
     def _windows(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -116,6 +116,25 @@ def test_resnet_conversion_runs(rng, embed_key):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
 
 
+def test_diarizer_npz_roundtrip(tmp_path, rng):
+    import jax
+
+    from audio_processor_tpu.pipeline.diarize import Diarizer
+
+    d = Diarizer.random_init()
+    p = str(tmp_path / "diar.npz")
+    convert.save_diarizer_params(p, d.seg_params, d.emb_params)
+    d2 = Diarizer.from_npz(p)
+    for a, b in zip(jax.tree.leaves(d.seg_params), jax.tree.leaves(d2.seg_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # lstm layer list structure survives (list-of-dicts, not dict of digits)
+    assert isinstance(d2.seg_params["lstm"], list)
+    assert len(d2.seg_params["lstm"]) == len(d.seg_params["lstm"])
+    for a, b in zip(jax.tree.leaves(d.emb_params), jax.tree.leaves(d2.emb_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert isinstance(d2.emb_params["stages"], list)
+
+
 def test_resnet_conversion_missing_embed_raises(rng):
     cfg = emb_lib.EmbeddingConfig(blocks=(1, 1, 1, 1))
     sd = _resnet_state_dict(cfg, rng)
