@@ -92,6 +92,24 @@ def cmd_convert_whisper(args) -> None:
           f"{cfg.n_audio_layer}+{cfg.n_text_layer} layers)")
 
 
+def cmd_convert_diarizer(args) -> None:
+    """pyannote segmentation + ResNet embedding checkpoints -> native .npz."""
+    import torch
+
+    from .models.diarization import convert as dconvert
+
+    seg_sd = torch.load(args.segmentation, map_location="cpu", weights_only=False)
+    if isinstance(seg_sd, dict) and "state_dict" in seg_sd:
+        seg_sd = seg_sd["state_dict"]
+    emb_sd = torch.load(args.embedding, map_location="cpu", weights_only=False)
+    if isinstance(emb_sd, dict) and "state_dict" in emb_sd:
+        emb_sd = emb_sd["state_dict"]
+    seg_params, _ = dconvert.from_pyannet_state_dict(seg_sd)
+    emb_params, _ = dconvert.from_resnet_state_dict(emb_sd)
+    dconvert.save_diarizer_params(args.out, seg_params, emb_params)
+    print(f"converted -> {args.out}")
+
+
 def cmd_wer(args) -> None:
     from .utils.metrics import word_error_rate
 
@@ -130,6 +148,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("checkpoint")
     c.add_argument("out")
     c.set_defaults(fn=cmd_convert_whisper)
+
+    cd = sub.add_parser("convert-diarizer", help="pyannote+ResNet ckpts -> .npz")
+    cd.add_argument("segmentation", help="pyannote PyanNet checkpoint (.ckpt/.pt)")
+    cd.add_argument("embedding", help="ResNet34 embedding checkpoint (.pt)")
+    cd.add_argument("out")
+    cd.set_defaults(fn=cmd_convert_diarizer)
 
     w = sub.add_parser("wer", help="word error rate between two text files")
     w.add_argument("reference")

@@ -119,7 +119,11 @@ def build_services(
     if diarization:
         from ..pipeline.diarize import Diarizer
 
-        diarizer = Diarizer.random_init()
+        diar_path = os.environ.get("APTPU_DIARIZER_PATH")
+        if diar_path and os.path.exists(diar_path):
+            diarizer = Diarizer.from_npz(diar_path)
+        else:
+            diarizer = Diarizer.random_init()
 
     drive = None
     if with_drive:
