@@ -76,6 +76,10 @@ class Transcriber:
     word_timestamps: bool = False
     # fused Pallas log-mel kernel instead of the XLA-fused jnp frontend
     use_pallas_frontend: bool = False
+    # chunks per device pass: long meetings process in equal slabs so HBM
+    # stays bounded and every slab reuses ONE compiled program (batch 64 is
+    # the measured sweet spot for whisper-small on v5e)
+    max_chunk_batch: int = 64
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
@@ -123,23 +127,6 @@ class Transcriber:
 
     # -- chunking -----------------------------------------------------------
 
-    def _chunk(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-        """audio (n,) -> (chunks (B,480000), offsets_s (B,), n_real)."""
-        n = len(audio)
-        n_chunks = max(1, math.ceil(n / CHUNK_SAMPLES))
-        bucket = _bucket(n_chunks)
-        if self.mesh is not None:
-            from ..parallel import mesh as mesh_lib
-
-            bucket = mesh_lib.round_up_batch(bucket, self.mesh)
-        chunks = np.zeros((bucket, CHUNK_SAMPLES), np.float32)
-        offsets = np.zeros((bucket,), np.float64)
-        for i in range(n_chunks):
-            piece = audio[i * CHUNK_SAMPLES : (i + 1) * CHUNK_SAMPLES]
-            chunks[i, : len(piece)] = piece
-            offsets[i] = i * 30.0
-        return chunks, offsets, n_chunks
-
     def _failed_rows(self, result, tokens: np.ndarray, n_real: int) -> np.ndarray:
         """Quality gate per chunk: low avg logprob or repetitive output."""
         import zlib
@@ -155,6 +142,67 @@ class Transcriber:
                 ratio = len(text) / max(len(zlib.compress(text)), 1)
                 failed[i] |= ratio > self.compression_ratio_threshold
         return failed
+
+    def _decode_slab(self, audio_states, n_real: int) -> np.ndarray:
+        """Decode one slab: greedy/beam + temperature fallback + no-speech
+        gate.  Returns (n_real, max_new_tokens) int32 token rows."""
+        sot_seq = tuple(self.special.sot_sequence(language=self.language))
+
+        def run_decode(temperature: float, seed: int = 0):
+            return decode_lib.greedy_decode(
+                self.params,
+                self.cfg,
+                audio_states,
+                sot_sequence=sot_seq,
+                max_new_tokens=self.max_new_tokens,
+                use_timestamps=True,
+                dtype_name=self.compute_dtype,
+                quantize_cross_kv=self.quantize_cross_kv,
+                temperature=temperature,
+                rng_seed=seed,
+            )
+
+        if self.beam_size > 0:
+            result = decode_lib.beam_decode(
+                self.params,
+                self.cfg,
+                audio_states,
+                sot_sequence=sot_seq,
+                beam_size=self.beam_size,
+                max_new_tokens=self.max_new_tokens,
+                use_timestamps=True,
+                dtype_name=self.compute_dtype,
+                quantize_cross_kv=self.quantize_cross_kv,
+            )
+            return np.array(result.tokens)[:n_real]
+
+        result = run_decode(0.0)
+        tokens = np.array(result.tokens)[:n_real]  # writable copy
+
+        if self.enable_fallback:
+            failed = self._failed_rows(result, tokens, n_real)
+            for temp in self.temperature_ladder:
+                if not failed.any():
+                    break
+                logger.info(
+                    "quality fallback: %d/%d chunks re-decoding at T=%.1f",
+                    int(failed.sum()), n_real, temp,
+                )
+                retry = run_decode(temp, seed=int(temp * 10))
+                retry_tokens = np.asarray(retry.tokens)[:n_real]
+                tokens[failed] = retry_tokens[failed]
+                failed = failed & self._failed_rows(retry, retry_tokens, n_real)
+
+        # no-speech gate: a chunk is silence iff nospeech prob is high AND
+        # the decode was low-confidence (both conditions, as openai-whisper)
+        if self.no_speech_threshold is not None:
+            lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+            avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
+            silent = (
+                np.asarray(result.no_speech_prob)[:n_real] > self.no_speech_threshold
+            ) & (avg_lp < self.logprob_threshold)
+            tokens[silent] = self.special.eot
+        return tokens
 
     # -- main entry ---------------------------------------------------------
 
@@ -189,85 +237,43 @@ class Transcriber:
             else:
                 time_map = TimeMap.identity(duration_s)
 
-        chunks, offsets, n_real = self._chunk(audio)
-        if progress:
-            progress(0.1)
-
-        chunks_i16 = np.clip(chunks * 32768.0, -32768, 32767).astype(np.int16)
-        chunks_dev = jnp.asarray(chunks_i16)
+        # slab-wise: long meetings process in fixed-size slabs so HBM stays
+        # bounded and every slab after the first reuses the compiled program
+        n_chunks = max(1, math.ceil(len(audio) / CHUNK_SAMPLES))
+        slab = min(_bucket(n_chunks), self.max_chunk_batch)
         if self.mesh is not None:
-            # shard the 30 s windows over the mesh's data axis; XLA
-            # partitions the whole encode+decode program from here
-            chunks_dev = jax.device_put(chunks_dev, mesh_lib.data_sharding(self.mesh))
-        audio_states = self._frontend_encode(self.params, chunks_dev)
-        if progress:
-            progress(0.4)
+            slab = mesh_lib.round_up_batch(slab, self.mesh)
 
-        sot_seq = tuple(self.special.sot_sequence(language=self.language))
-
-        def run_decode(temperature: float, seed: int = 0):
-            return decode_lib.greedy_decode(
-                self.params,
-                self.cfg,
-                audio_states,
-                sot_sequence=sot_seq,
-                max_new_tokens=self.max_new_tokens,
-                use_timestamps=True,
-                dtype_name=self.compute_dtype,
-                quantize_cross_kv=self.quantize_cross_kv,
-                temperature=temperature,
-                rng_seed=seed,
-            )
-
-        if self.beam_size > 0:
-            result = decode_lib.beam_decode(
-                self.params,
-                self.cfg,
-                audio_states,
-                sot_sequence=sot_seq,
-                beam_size=self.beam_size,
-                max_new_tokens=self.max_new_tokens,
-                use_timestamps=True,
-                dtype_name=self.compute_dtype,
-                quantize_cross_kv=self.quantize_cross_kv,
-            )
-        else:
-            result = run_decode(0.0)
-        tokens = np.array(result.tokens)[:n_real]  # writable copy
-
-        if self.enable_fallback and self.beam_size == 0:
-            failed = self._failed_rows(result, tokens, n_real)
-            for temp in self.temperature_ladder:
-                if not failed.any():
-                    break
-                logger.info(
-                    "quality fallback: %d/%d chunks re-decoding at T=%.1f",
-                    int(failed.sum()), n_real, temp,
+        token_rows: list[np.ndarray] = []
+        states_per_slab: list[Any] = []  # kept only for word alignment
+        n_slabs = math.ceil(n_chunks / slab)
+        for si in range(n_slabs):
+            lo = si * slab
+            real = min(slab, n_chunks - lo)
+            chunk_arr = np.zeros((slab, CHUNK_SAMPLES), np.int16)
+            for i in range(real):
+                piece = audio[(lo + i) * CHUNK_SAMPLES : (lo + i + 1) * CHUNK_SAMPLES]
+                chunk_arr[i, : len(piece)] = np.clip(
+                    piece * 32768.0, -32768, 32767
+                ).astype(np.int16)
+            chunks_dev = jnp.asarray(chunk_arr)
+            if self.mesh is not None:
+                chunks_dev = jax.device_put(
+                    chunks_dev, mesh_lib.data_sharding(self.mesh)
                 )
-                retry = run_decode(temp, seed=int(temp * 10))
-                retry_tokens = np.asarray(retry.tokens)[:n_real]
-                tokens[failed] = retry_tokens[failed]
-                merged = decode_lib.DecodeResult(
-                    tokens=retry.tokens, lengths=retry.lengths,
-                    sum_logprob=retry.sum_logprob,
-                    no_speech_prob=retry.no_speech_prob,
-                )
-                failed = failed & self._failed_rows(merged, retry_tokens, n_real)
-        if progress:
-            progress(0.9)
+            audio_states = self._frontend_encode(self.params, chunks_dev)
+            token_rows.append(self._decode_slab(audio_states, real))
+            if self.word_timestamps:
+                states_per_slab.append(audio_states)
+            if progress:
+                progress(0.1 + 0.8 * (si + 1) / n_slabs)
 
-        # no-speech gate: a chunk is silence iff nospeech prob is high AND
-        # the decode was low-confidence (both conditions, as openai-whisper)
-        if self.no_speech_threshold is not None and self.beam_size == 0:
-            lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
-            avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
-            silent = (
-                np.asarray(result.no_speech_prob)[:n_real] > self.no_speech_threshold
-            ) & (avg_lp < self.logprob_threshold)
-            tokens[silent] = self.special.eot
+        tokens = np.concatenate(token_rows, axis=0)
+        n_real = n_chunks
+        offsets = np.arange(n_chunks, dtype=np.float64) * 30.0
 
         segments = decode_lib.tokens_to_segments(
-            tokens, self.special, offsets[:n_real], self.tokenizer.decode
+            tokens, self.special, offsets, self.tokenizer.decode
         )
         # map trimmed-timeline stamps back to the original recording
         for seg in segments:
@@ -278,15 +284,21 @@ class Transcriber:
         if self.word_timestamps:
             from ..models.whisper import align
 
-            per_chunk = align.word_timestamps(
-                self.params,
-                self.cfg,
-                audio_states[:n_real],
-                tokens,
-                self.special,
-                self.tokenizer.decode,
-                offsets[:n_real],
-            )
+            per_chunk = []
+            for si, slab_states in enumerate(states_per_slab):
+                lo = si * slab
+                real = min(slab, n_chunks - lo)
+                per_chunk.extend(
+                    align.word_timestamps(
+                        self.params,
+                        self.cfg,
+                        slab_states[:real],
+                        tokens[lo : lo + real],
+                        self.special,
+                        self.tokenizer.decode,
+                        offsets[lo : lo + real],
+                    )
+                )
             words = [
                 {
                     "word": w["word"],
