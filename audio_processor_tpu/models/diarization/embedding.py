@@ -120,17 +120,30 @@ def _basic_block(p, x, stride):
     return jax.nn.relu(out + x)
 
 
-def forward(params: Params, cfg: EmbeddingConfig, feats: jnp.ndarray) -> jnp.ndarray:
-    """feats (B, T, n_mels) kaldi fbank -> L2-normalised embeddings (B, D)."""
-    x = feats[..., None]  # (B, T, M, 1)
-    x = jax.nn.relu(_bn(params["stem_bn"], _conv2d(params["stem_conv"], x, 1)))
-    for si, stage in enumerate(params["stages"]):
+def forward(
+    params: Params,
+    cfg: EmbeddingConfig,
+    feats: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """feats (B, T, n_mels) kaldi fbank -> L2-normalised embeddings (B, D).
+
+    Convs run in compute_dtype (bf16 on TPU: ~4x the f32 conv throughput;
+    cosine similarities are insensitive at this precision); statistics
+    pooling and the final projection stay in f32.
+    """
+    cast = jax.tree.map(
+        lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params
+    )
+    x = feats.astype(compute_dtype)[..., None]  # (B, T, M, 1)
+    x = jax.nn.relu(_bn(cast["stem_bn"], _conv2d(cast["stem_conv"], x, 1)))
+    for si, stage in enumerate(cast["stages"]):
         for bi, block in enumerate(stage):
             stride = 2 if (si > 0 and bi == 0) else 1
             x = _basic_block(block, x, stride)
-    # temporal statistics pooling over time, per (mel-band, channel)
+    # temporal statistics pooling over time, per (mel-band, channel) — f32
     b, t, m, c = x.shape
-    flat = x.reshape(b, t, m * c)
+    flat = x.reshape(b, t, m * c).astype(jnp.float32)
     mean = jnp.mean(flat, axis=1)
     std = jnp.sqrt(jnp.var(flat, axis=1) + 1e-7)
     stats = jnp.concatenate([mean, std], axis=-1)
