@@ -327,8 +327,9 @@ def _silence_keep_mask_np(
     need = (2 * n_frames + 3) * block
     if len(padded) < need:
         padded = np.pad(padded, (0, need - len(padded)))
-    x2 = padded[: (len(padded) // block) * block].astype(np.float64) ** 2
-    bsum = x2.reshape(-1, block).sum(axis=1)
+    x2 = padded[: (len(padded) // block) * block]
+    x2 = x2 * x2  # stay f32: halves memory traffic; f64 accumulation below
+    bsum = x2.reshape(-1, block).sum(axis=1, dtype=np.float64)
     energy = sum(bsum[k : k + 2 * n_frames : 2] for k in range(5))
     rms = np.sqrt(energy / frame_length + 1e-12)
     db = 20.0 * np.log10(rms + 1e-12)
