@@ -143,27 +143,11 @@ class Transcriber:
                 failed[i] |= ratio > self.compression_ratio_threshold
         return failed
 
-    def _decode_slab(self, audio_states, n_real: int) -> np.ndarray:
-        """Decode one slab: greedy/beam + temperature fallback + no-speech
-        gate.  Returns (n_real, max_new_tokens) int32 token rows."""
+    def _run_decode(self, audio_states, temperature: float = 0.0, seed: int = 0):
+        """Dispatch one slab's decode (ASYNC — result holds device arrays)."""
         sot_seq = tuple(self.special.sot_sequence(language=self.language))
-
-        def run_decode(temperature: float, seed: int = 0):
-            return decode_lib.greedy_decode(
-                self.params,
-                self.cfg,
-                audio_states,
-                sot_sequence=sot_seq,
-                max_new_tokens=self.max_new_tokens,
-                use_timestamps=True,
-                dtype_name=self.compute_dtype,
-                quantize_cross_kv=self.quantize_cross_kv,
-                temperature=temperature,
-                rng_seed=seed,
-            )
-
         if self.beam_size > 0:
-            result = decode_lib.beam_decode(
+            return decode_lib.beam_decode(
                 self.params,
                 self.cfg,
                 audio_states,
@@ -174,10 +158,27 @@ class Transcriber:
                 dtype_name=self.compute_dtype,
                 quantize_cross_kv=self.quantize_cross_kv,
             )
-            return np.array(result.tokens)[:n_real]
+        return decode_lib.greedy_decode(
+            self.params,
+            self.cfg,
+            audio_states,
+            sot_sequence=sot_seq,
+            max_new_tokens=self.max_new_tokens,
+            use_timestamps=True,
+            dtype_name=self.compute_dtype,
+            quantize_cross_kv=self.quantize_cross_kv,
+            temperature=temperature,
+            rng_seed=seed,
+        )
 
-        result = run_decode(0.0)
+    def _collect_slab(self, result, audio_states, n_real: int) -> np.ndarray:
+        """Sync one slab's decode to host and apply the quality gates."""
         tokens = np.array(result.tokens)[:n_real]  # writable copy
+        if self.beam_size > 0:
+            return tokens
+
+        def run_decode(temperature: float, seed: int = 0):
+            return self._run_decode(audio_states, temperature, seed)
 
         if self.enable_fallback:
             failed = self._failed_rows(result, tokens, n_real)
@@ -247,6 +248,14 @@ class Transcriber:
         token_rows: list[np.ndarray] = []
         states_per_slab: list[Any] = []  # kept only for word alignment
         n_slabs = math.ceil(n_chunks / slab)
+        in_flight: list[tuple[Any, Any, int]] = []  # (result, states, real)
+
+        def drain_one():
+            result, states, real = in_flight.pop(0)
+            token_rows.append(self._collect_slab(result, states, real))
+            if self.word_timestamps:
+                states_per_slab.append(states)
+
         for si in range(n_slabs):
             lo = si * slab
             real = min(slab, n_chunks - lo)
@@ -262,11 +271,16 @@ class Transcriber:
                     chunks_dev, mesh_lib.data_sharding(self.mesh)
                 )
             audio_states = self._frontend_encode(self.params, chunks_dev)
-            token_rows.append(self._decode_slab(audio_states, real))
-            if self.word_timestamps:
-                states_per_slab.append(audio_states)
+            # dispatch decode ASYNC and keep <=2 slabs in flight: the host
+            # builds slab i+1 while the device decodes slab i (hides this
+            # VM's jittery host time behind stable device time)
+            in_flight.append((self._run_decode(audio_states), audio_states, real))
+            if len(in_flight) >= 2:
+                drain_one()
             if progress:
                 progress(0.1 + 0.8 * (si + 1) / n_slabs)
+        while in_flight:
+            drain_one()
 
         tokens = np.concatenate(token_rows, axis=0)
         n_real = n_chunks
