@@ -258,4 +258,42 @@ int64_t aptpu_resample(const float* in, int64_t n_in, int64_t sr_in,
   return n;
 }
 
+// DTW backtrace for word-timestamp alignment: cost (t x ta) row-major,
+// out (t) receives the audio column where each text row starts.
+// Steps: diagonal / down (next row, same col) / right (same row, next col) —
+// the same recurrence as models/whisper/align.dtw_path's python DP, which
+// runs ~1 s per row on the host; this is ~1 ms.
+int aptpu_dtw(const float* cost, int64_t t, int64_t ta, int64_t* out) {
+  if (t <= 0 || ta <= 0) return -1;
+  const double INF = 1e30;
+  std::vector<double> prev(ta + 1, INF), cur(ta + 1, INF);
+  std::vector<int8_t> trace((t + 1) * (ta + 1), 0);
+  prev[0] = 0.0;
+  for (int64_t i = 1; i <= t; ++i) {
+    cur[0] = INF;
+    const float* row = cost + (i - 1) * ta;
+    for (int64_t j = 1; j <= ta; ++j) {
+      const double c0 = prev[j - 1];  // diagonal
+      const double c1 = prev[j];      // down
+      const double c2 = cur[j - 1];   // right
+      double best = c0;
+      int8_t tr = 0;
+      if (c1 < best) { best = c1; tr = 1; }
+      if (c2 < best) { best = c2; tr = 2; }
+      cur[j] = row[j - 1] + best;
+      trace[i * (ta + 1) + j] = tr;
+    }
+    std::swap(prev, cur);
+  }
+  int64_t i = t, j = ta;
+  while (i > 0 && j > 0) {
+    out[i - 1] = j - 1;
+    const int8_t tr = trace[i * (ta + 1) + j];
+    if (tr == 0) { --i; --j; }
+    else if (tr == 1) { --i; }
+    else { --j; }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -62,6 +62,11 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        lib.aptpu_dtw.restype = ctypes.c_int
+        lib.aptpu_dtw.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -102,6 +107,22 @@ def wav_info(path: str) -> dict:
     if lib.aptpu_wav_info(data, len(data), ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bits)) != 0:
         raise ValueError(f"not a WAV file: {path!r}")
     return {"sample_rate": sr.value, "channels": ch.value, "bits": bits.value}
+
+
+def dtw(cost: np.ndarray) -> np.ndarray:
+    """DTW backtrace over a (t, ta) cost matrix -> per-row start columns."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audio library not available")
+    c = np.ascontiguousarray(cost, np.float32)
+    t, ta = c.shape
+    out = np.zeros(t, np.int64)
+    if lib.aptpu_dtw(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, ta,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    ) != 0:
+        raise ValueError("dtw failed")
+    return out
 
 
 def resample(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
