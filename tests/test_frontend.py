@@ -80,6 +80,37 @@ def test_resample_upsample_preserves_frequency():
     assert abs(peak_hz - 440) < 5
 
 
+def test_silence_mask_device_matches_numpy_twin():
+    """The jnp silence_mask (device variant, static shapes for fused
+    pipelines) agrees with the numpy twin the host trim uses."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    sr = 16000
+    audio = np.zeros(4 * sr, dtype=np.float32)
+    audio[sr : 2 * sr] = rng.normal(0, 0.3, sr)
+    dev = np.asarray(frontend.silence_mask(jnp.asarray(audio), pad_frames=25))
+    host = frontend._silence_keep_mask_np(audio, pad_frames=25)
+    assert dev.shape == host.shape
+    # boundary frames may differ by the framing offset; interiors agree
+    agree = (dev == host).mean()
+    assert agree > 0.97, agree
+
+
+def test_native_dtw_matches_python_fallback(monkeypatch):
+    from audio_processor_tpu.models.whisper import align
+    from audio_processor_tpu.native import audio_io
+
+    if not audio_io.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(1)
+    m = rng.uniform(0.01, 1.0, (40, 200))
+    native = align.dtw_path(m)
+    monkeypatch.setattr(audio_io, "available", lambda: False)
+    python = align.dtw_path(m)
+    np.testing.assert_array_equal(native, python)
+
+
 def test_trim_silence_removes_long_gaps():
     sr = 16000
     audio = np.zeros(6 * sr, dtype=np.float32)
