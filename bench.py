@@ -37,7 +37,7 @@ def main() -> None:
 
     import jax
 
-    cache_dir = _os.environ.get("JAX_CACHE_DIR", _os.path.expanduser("~/.aptpu_jax_cache"))
+    cache_dir = _os.environ.get("JAX_CACHE_DIR", _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
     try:
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

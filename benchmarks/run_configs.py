@@ -24,7 +24,7 @@ def _compile_cache():
     try:
         import jax
 
-        d = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.aptpu_jax_cache"))
+        d = os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

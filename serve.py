@@ -26,7 +26,7 @@ def _enable_compile_cache():
     try:
         import jax
 
-        cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.aptpu_jax_cache"))
+        cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
