@@ -160,6 +160,25 @@ def test_batch_blocks():
     assert [len(b) for b in batches] == [90, 90, 20]
 
 
+def test_markdown_unclosed_fence_does_not_crash():
+    blocks = nf.markdown_to_blocks("```python\nprint('x')\n# no closing fence")
+    assert blocks[0]["type"] == "code"
+    assert "print" in blocks[0]["code"]["rich_text"][0]["text"]["content"]
+
+
+def test_gemini_summary_includes_attachment_context():
+    seen = {}
+
+    def http(url, payload, timeout):
+        seen["prompt"] = payload["contents"][0]["parts"][0]["text"]
+        return 200, _gemini_response('{"title": "T", "summary": "S", "todos": []}')
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    c.generate_summary("the transcript", attachment_text="SPEC-42 design doc")
+    assert "SPEC-42 design doc" in seen["prompt"]
+    assert "the transcript" in seen["prompt"]
+
+
 # --- notion client ---------------------------------------------------------
 
 def test_notion_create_page_batches():
