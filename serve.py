@@ -48,13 +48,19 @@ def build_app():
     return create_app(services)
 
 
-# WSGI callable for production servers: `gunicorn serve:app` equivalent,
-# e.g. `python -m wsgiref` or any WSGI container.
-app = None
+# WSGI callable for production containers (`<server> serve:application`):
+# builds the service stack lazily on the first request-serving worker.
+_wsgi_app = None
+
+
+def application(environ, start_response):
+    global _wsgi_app
+    if _wsgi_app is None:
+        _wsgi_app = build_app()
+    return _wsgi_app(environ, start_response)
 
 
 def main() -> None:
-    global app
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=int(os.environ.get("PORT", 5000)))
