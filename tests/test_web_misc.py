@@ -1,0 +1,85 @@
+"""Odds and ends: template rendering, cookies, redirects, 24-bit WAV."""
+import numpy as np
+
+from audio_processor_tpu.server.web import App, Response, redirect
+from audio_processor_tpu.utils import wavio
+from tests.test_runtime_server import call_app
+
+
+def test_render_template_with_context(tmp_path):
+    (tmp_path / "page.html").write_text("<h1>{{ title }}</h1><p>{{ body }}</p>")
+    app = App(template_dir=str(tmp_path))
+
+    @app.route("/page")
+    def page(request):
+        return app.render_template("page.html", title="Hello", body="World")
+
+    status, data, _ = call_app(app, "GET", "/page")
+    assert status == 200 and data == b"<h1>Hello</h1><p>World</p>"
+
+
+def test_redirect_and_cookie_attributes():
+    app = App()
+
+    @app.route("/go")
+    def go(request):
+        resp = redirect("/elsewhere")
+        resp.set_cookie("k", "v", max_age=60)
+        return resp
+
+    status, _, headers = call_app(app, "GET", "/go")
+    assert status == 302
+    assert headers["Location"] == ["/elsewhere"]
+    cookie = headers["Set-Cookie"][0]
+    assert "k=v" in cookie and "HttpOnly" in cookie and "Max-Age=60" in cookie
+
+
+def test_response_tuple_and_dict_returns():
+    app = App()
+
+    @app.route("/d")
+    def d(request):
+        return {"x": 1}
+
+    @app.route("/t")
+    def t(request):
+        return {"y": 2}, 201
+
+    status, data, _ = call_app(app, "GET", "/d")
+    assert (status, data) == (200, {"x": 1})
+    status, data, _ = call_app(app, "GET", "/t")
+    assert (status, data) == (201, {"y": 2})
+
+
+def test_wav_24bit_read(tmp_path):
+    import struct
+
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, 500) * 0.5).astype(np.float64)
+    as24 = np.clip(np.round(x * 8388607), -8388608, 8388607).astype(np.int64)
+    payload = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in as24
+    )
+    header = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+    header += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 48000, 3, 24)
+    header += b"data" + struct.pack("<I", len(payload))
+    p = str(tmp_path / "x24.wav")
+    with open(p, "wb") as f:
+        f.write(header + payload)
+    y, rate = wavio.read_wav_mono(p)
+    assert rate == 16000
+    np.testing.assert_allclose(y, x, atol=2e-7)
+
+
+def test_streaming_resamples_input():
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    st = StreamingTranscriber(
+        Transcriber.random_init("test", compute_dtype="float32", max_new_tokens=4),
+        sample_rate=8000,
+    )
+    rng = np.random.default_rng(0)
+    list(st.feed(rng.normal(0, 0.1, 8000 * 3).astype(np.float32)))
+    # 3 s at 8 kHz -> 3 s at 16 kHz in the buffer
+    assert abs(len(st._buffer) - 48000) < 50
