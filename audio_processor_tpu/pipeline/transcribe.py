@@ -80,9 +80,13 @@ class Transcriber:
     # stays bounded and every slab reuses ONE compiled program (batch 64 is
     # the measured sweet spot for whisper-small on v5e)
     max_chunk_batch: int = 64
+    # auto language detection on the first chunk (multilingual models with
+    # no pinned language — whisper's detect_language behaviour)
+    auto_language: bool = True
 
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        self._active_language: int | None = None  # per-call detected language
 
         # ONE jit for dequant -> log-mel -> encoder.  Audio ships to the
         # device as int16 (its native bit depth): halves the host->HBM
@@ -145,7 +149,8 @@ class Transcriber:
 
     def _run_decode(self, audio_states, temperature: float = 0.0, seed: int = 0):
         """Dispatch one slab's decode (ASYNC — result holds device arrays)."""
-        sot_seq = tuple(self.special.sot_sequence(language=self.language))
+        lang = self._active_language if self._active_language is not None else self.language
+        sot_seq = tuple(self.special.sot_sequence(language=lang))
         if self.beam_size > 0:
             return decode_lib.beam_decode(
                 self.params,
@@ -226,6 +231,7 @@ class Transcriber:
         import time as _time
 
         t0 = _time.perf_counter()
+        self._active_language = None  # re-detected per call
         duration_s = len(audio) / sample_rate
 
         if sample_rate != 16_000:
@@ -271,6 +277,16 @@ class Transcriber:
                     chunks_dev, mesh_lib.data_sharding(self.mesh)
                 )
             audio_states = self._frontend_encode(self.params, chunks_dev)
+            if (
+                si == 0
+                and self.auto_language
+                and self.language is None
+                and self.cfg.is_multilingual
+            ):
+                lang_idx, _ = decode_lib.detect_language(
+                    self.params, self.cfg, audio_states[:1]
+                )
+                self._active_language = int(lang_idx[0])
             # dispatch decode ASYNC and keep <=2 slabs in flight: the host
             # builds slab i+1 while the device decodes slab i (hides this
             # VM's jittery host time behind stable device time)
@@ -332,6 +348,17 @@ class Transcriber:
             "duration": duration_s,
             "rtf_x": duration_s / max(elapsed, 1e-9),
         }
+        lang = self._active_language if self._active_language is not None else self.language
+        if lang is not None and self.cfg.is_multilingual:
+            from ..models.whisper.tokenizer import WHISPER_LANGUAGES, WHISPER_LANGUAGES_V3
+
+            langs = (
+                WHISPER_LANGUAGES_V3
+                if self.special.num_languages >= 100
+                else WHISPER_LANGUAGES
+            )
+            if 0 <= lang < len(langs):
+                out["language"] = langs[lang]
         if words is not None:
             out["words"] = words
         return out

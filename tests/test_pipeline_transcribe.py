@@ -50,6 +50,19 @@ def test_transcribe_with_silence_removal(transcriber, rng):
         assert 0.0 <= seg["end"] <= 20.0
 
 
+def test_auto_language_detection(speech_like_audio):
+    """Multilingual config + no pinned language -> detected code in output."""
+    t = Transcriber.random_init(
+        "tiny", compute_dtype="float32", max_new_tokens=4,
+        no_speech_threshold=None,
+    )
+    out = t.transcribe(speech_like_audio[: 16000 * 3], remove_silence=False)
+    assert "language" in out
+    from audio_processor_tpu.models.whisper.tokenizer import WHISPER_LANGUAGES
+
+    assert out["language"] in WHISPER_LANGUAGES
+
+
 def test_transcribe_with_beam(speech_like_audio):
     t = Transcriber.random_init(
         "test", compute_dtype="float32", max_new_tokens=6, beam_size=2
