@@ -19,10 +19,19 @@ def cmd_transcribe(args) -> None:
     from .pipeline import ingest
     from .pipeline.transcribe import Transcriber
 
+    kw = {}
+    if args.language:
+        from .models.whisper.tokenizer import language_index
+
+        kw["language"] = language_index(args.language)
+    if args.beam:
+        kw["beam_size"] = args.beam
+    if args.word_timestamps:
+        kw["word_timestamps"] = True
     if args.model_path:
-        t = Transcriber.from_npz(args.model_path)
+        t = Transcriber.from_npz(args.model_path, **kw)
     else:
-        t = Transcriber.random_init(args.model)
+        t = Transcriber.random_init(args.model, **kw)
     audio = ingest.load_audio(args.audio)
     out = t.transcribe(audio, remove_silence=not args.keep_silence)
     if args.json:
@@ -130,6 +139,9 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--model-path", help=".npz converted checkpoint")
     t.add_argument("--keep-silence", action="store_true")
     t.add_argument("--json", action="store_true")
+    t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
+    t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
+    t.add_argument("--word-timestamps", action="store_true")
     t.set_defaults(fn=cmd_transcribe)
 
     d = sub.add_parser("diarize", help="diarize an audio file")
