@@ -3,12 +3,15 @@
 Replaces the reference's whisper_model.transcribe() call and its
 model-size-fallback retry ladder (reference:
 app/services/audio_processor.py:1053-1101).  Long audio scales over the
-BATCH axis: the recording is cut into 30 s windows, all windows run through
-log-mel + encoder + KV-cache decode as ONE batched jit program, sharded
-over the mesh's data axis (SURVEY.md §7 stage 3).
+BATCH axis: the recording is cut into 30 s windows that run through
+log-mel + encoder + KV-cache decode in fixed-size slabs (default 64
+windows — the measured throughput sweet spot), sharded over the mesh's
+data axis (SURVEY.md §7 stage 3).
 
-Batch sizes are bucketed to powers of two so arbitrary-length meetings hit
-a handful of compiled programs instead of one compile per length.
+Slabs keep HBM bounded for arbitrarily long meetings, reuse ONE compiled
+program after the first (short clips bucket to powers of two), and are
+pipelined: decode dispatch is async with two slabs in flight, so host-side
+slab assembly overlaps device compute.
 """
 from __future__ import annotations
 
