@@ -50,6 +50,33 @@ def test_sqlite_store_cross_instance(tmp_path):
     assert a.get("j1")["status"] == "completed"
 
 
+def test_sqlite_store_cross_process(tmp_path):
+    """The literal gunicorn-split-brain scenario: a job created by another
+    PROCESS is visible (and updatable) here — the property whose absence is
+    a reference defect (SURVEY.md appendix)."""
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "jobs.db")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "from audio_processor_tpu.runtime.job_store import SqliteJobStore;"
+        f"s = SqliteJobStore({path!r});"
+        "s.create('xp', {'id': 'xp', 'status': 'pending', 'progress': 0});"
+        "s.request_cancel('xp')"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=60)
+
+    store = SqliteJobStore(path)
+    rec = store.get("xp")
+    assert rec and rec["status"] == "pending"
+    assert store.is_cancel_requested("xp")
+    store.update("xp", status="cancelled")
+    assert store.get("xp")["status"] == "cancelled"
+
+
 def test_make_store_urls(tmp_path):
     assert isinstance(make_store(None), MemoryJobStore)
     assert isinstance(make_store("memory://"), MemoryJobStore)
