@@ -37,6 +37,12 @@ def main() -> None:
 
     import jax
 
+    # honour an explicit platform request (the axon sitecustomize otherwise
+    # force-selects the TPU backend via jax.config) — lets CI smoke-test
+    # this script on CPU
+    if _os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = _os.environ.get("JAX_CACHE_DIR", _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
     try:
         _os.makedirs(cache_dir, exist_ok=True)
