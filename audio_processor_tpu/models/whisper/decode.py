@@ -115,6 +115,65 @@ class SpecialTokens:
 
 
 # ---------------------------------------------------------------------------
+# Standard suppress list (openai-whisper's SuppressTokens default)
+# ---------------------------------------------------------------------------
+
+# Symbols whose tokens are suppressed to avoid non-speech annotations like
+# "♪♪♪" or "[DAVID]" while keeping basic punctuation — the same list
+# openai-whisper's tokenizer.non_speech_tokens builds.
+_NON_SPEECH_SYMBOLS = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』') + (
+    "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
+)
+_MISC_SYMBOLS = set("♩♪♫♬♭♮♯")
+
+
+def non_speech_token_ids(tokenizer) -> list[int]:
+    """Token ids of non-speech annotation symbols (openai's list).
+
+    Single-token symbols are suppressed directly; multi-token ones only for
+    the miscellaneous music symbols (safe to kill their first byte).  " -"
+    and " '" contribute their first token so hyphens/quotes can't START a
+    word but remain legal inside one.
+    """
+    ids: set[int] = set()
+    for prefix in (" -", " '"):
+        toks = tokenizer.encode(prefix)
+        if toks:
+            ids.add(toks[0])
+    for symbol in _NON_SPEECH_SYMBOLS + list(_MISC_SYMBOLS):
+        for variant in (symbol, " " + symbol):
+            toks = tokenizer.encode(variant)
+            if len(toks) == 1:
+                ids.add(toks[0])
+            elif toks and symbol in _MISC_SYMBOLS:
+                ids.add(toks[0])
+    return sorted(ids)
+
+
+def build_suppress_mask(tokenizer, st: SpecialTokens) -> np.ndarray:
+    """(V,) bool mask of always-suppressed ids: openai-whisper's default
+    SuppressTokens = non-speech symbols + sot/task/lm/prev/nospeech specials.
+
+    The reference inherits exactly this via whisper.transcribe's defaults
+    (reference: app/services/audio_processor.py:1076)."""
+    mask = np.zeros(st.n_vocab, bool)
+    specials = [st.sot, st.translate, st.transcribe, st.startoflm,
+                st.startofprev, st.no_speech]
+    for t in specials + non_speech_token_ids(tokenizer):
+        if 0 <= t < st.n_vocab:
+            mask[t] = True
+    return mask
+
+
+def space_blank_token_id(tokenizer, st: SpecialTokens) -> int | None:
+    """Id of the " " token for the SuppressBlank rule (first sample)."""
+    toks = tokenizer.encode(" ")
+    if toks and 0 <= toks[0] < st.n_vocab:
+        return int(toks[0])
+    return None
+
+
+# ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------
 
@@ -360,6 +419,10 @@ def apply_logit_rules(
     last_was_ts = last_token >= tb
     penult_was_ts = (step < 2) | (penultimate_token >= tb)
 
+    # 2b. <|notimestamps|> is never legal in timestamp mode (openai's
+    #     ApplyTimestampRules masks it unconditionally)
+    logits = jnp.where((vocab_ids == st.no_timestamps)[None, :], NEG_INF, logits)
+
     # 3. ts-pairing: after <ts> <ts> force text; after text <ts> force ts/EOT
     mask_ts = last_was_ts & penult_was_ts  # cannot sample another timestamp
     mask_text = last_was_ts & ~penult_was_ts  # must sample timestamp or EOT
@@ -367,9 +430,14 @@ def apply_logit_rules(
     logits = jnp.where(mask_ts[:, None] & is_ts[None, :], NEG_INF, logits)
     logits = jnp.where(mask_text[:, None] & text_ids[None, :], NEG_INF, logits)
 
-    # 4. timestamps are non-decreasing: suppress ts tokens below the max seen.
-    #    (openai: strictly greater if last was a timestamp, >= otherwise)
-    floor = jnp.where(last_was_ts, max_ts_token + 1, max_ts_token)
+    # 4. timestamps are non-decreasing: callers pass max_ts_token = tb - 1
+    #    until the first timestamp is sampled (no floor then).  openai's
+    #    ApplyTimestampRules allows re-sampling the SAME timestamp when the
+    #    last token was a lone timestamp (that is how the contiguous
+    #    <|t|><|t|> segment-boundary pair forms) and requires strictly
+    #    greater otherwise (preventing zero-length segments).
+    lone_ts = last_was_ts & ~penult_was_ts
+    floor = jnp.where(lone_ts, max_ts_token, max_ts_token + 1)
     below = vocab_ids[None, :] < floor[:, None]
     logits = jnp.where(below & is_ts[None, :], NEG_INF, logits)
 
@@ -481,7 +549,7 @@ def greedy_decode(
         tokens=jnp.full((b, max_new_tokens), st.eot, jnp.int32),
         last=jnp.full((b,), sot_sequence[-1], jnp.int32),
         penult=jnp.full((b,), sot_sequence[0], jnp.int32),
-        max_ts=jnp.full((b,), tb, jnp.int32),
+        max_ts=jnp.full((b,), tb - 1, jnp.int32),
         finished=jnp.zeros((b,), bool),
         sum_logprob=jnp.zeros((b,), jnp.float32),
         key=jax.random.PRNGKey(rng_seed),
@@ -629,7 +697,7 @@ def beam_decode(
         finished=jnp.zeros((b, k), bool),
         last=jnp.full((b, k), sot_sequence[-1], jnp.int32),
         penult=jnp.full((b, k), sot_sequence[0], jnp.int32),
-        max_ts=jnp.full((b, k), tb, jnp.int32),
+        max_ts=jnp.full((b, k), tb - 1, jnp.int32),
     )
 
     def cond(s: BeamState):

@@ -58,7 +58,12 @@ bool parse_wav(const uint8_t* data, int64_t size, WavFormat* fmt,
     }
     pos += 8 + csize + (csize & 1);  // word alignment
   }
-  return have_fmt && have_data && fmt->channels > 0;
+  // Reject degenerate/hostile headers: sample_rate = 0 would divide by zero
+  // in the resampler (SIGFPE kills the whole process — a signal, not an
+  // exception, so Python callers can't catch it) and an absurd rate would
+  // size the polyphase kernel at 16*max(up,down) taps (tens of GB).
+  return have_fmt && have_data && fmt->channels > 0 &&
+         fmt->sample_rate > 0 && fmt->sample_rate <= 768000;
 }
 
 // Decode interleaved PCM to mono float32.
@@ -214,7 +219,8 @@ extern "C" {
 // Returns the number of output samples, or -1 on failure.  Two-call
 // protocol: pass out=nullptr to query the size, then fill.
 int64_t aptpu_decode_wav(const uint8_t* data, int64_t size, int64_t target_sr,
-                         float* out, int64_t out_capacity) {
+                         float* out, int64_t out_capacity) try {
+  if (target_sr <= 0 || target_sr > 768000) return -1;
   WavFormat fmt;
   const uint8_t* payload = nullptr;
   int64_t payload_size = 0;
@@ -229,11 +235,13 @@ int64_t aptpu_decode_wav(const uint8_t* data, int64_t size, int64_t target_sr,
     std::memcpy(out, resampled.data(), n * sizeof(float));
   }
   return n;
+} catch (...) {  // bad_alloc etc. must not cross the C ABI -> terminate
+  return -1;
 }
 
 // Query the source sample rate/channels of a WAV buffer (for diagnostics).
 int aptpu_wav_info(const uint8_t* data, int64_t size, int64_t* sample_rate,
-                   int* channels, int* bits) {
+                   int* channels, int* bits) try {
   WavFormat fmt;
   const uint8_t* payload = nullptr;
   int64_t payload_size = 0;
@@ -242,11 +250,17 @@ int aptpu_wav_info(const uint8_t* data, int64_t size, int64_t* sample_rate,
   *channels = fmt.channels;
   *bits = fmt.bits;
   return 0;
+} catch (...) {
+  return -1;
 }
 
 // Standalone resampler for raw float32 mono buffers.
 int64_t aptpu_resample(const float* in, int64_t n_in, int64_t sr_in,
-                       int64_t sr_out, float* out, int64_t out_capacity) {
+                       int64_t sr_out, float* out, int64_t out_capacity) try {
+  if (n_in < 0 || sr_in <= 0 || sr_out <= 0 || sr_in > 768000 ||
+      sr_out > 768000) {
+    return -1;
+  }
   std::vector<float> input(in, in + n_in);
   std::vector<float> output;
   resample_poly(input, sr_in, sr_out, &output);
@@ -256,6 +270,8 @@ int64_t aptpu_resample(const float* in, int64_t n_in, int64_t sr_in,
     std::memcpy(out, output.data(), n * sizeof(float));
   }
   return n;
+} catch (...) {
+  return -1;
 }
 
 // DTW backtrace for word-timestamp alignment: cost (t x ta) row-major,
@@ -263,7 +279,7 @@ int64_t aptpu_resample(const float* in, int64_t n_in, int64_t sr_in,
 // Steps: diagonal / down (next row, same col) / right (same row, next col) —
 // the same recurrence as models/whisper/align.dtw_path's python DP, which
 // runs ~1 s per row on the host; this is ~1 ms.
-int aptpu_dtw(const float* cost, int64_t t, int64_t ta, int64_t* out) {
+int aptpu_dtw(const float* cost, int64_t t, int64_t ta, int64_t* out) try {
   if (t <= 0 || ta <= 0) return -1;
   const double INF = 1e30;
   std::vector<double> prev(ta + 1, INF), cur(ta + 1, INF);
@@ -294,6 +310,8 @@ int aptpu_dtw(const float* cost, int64_t t, int64_t ta, int64_t* out) {
     else { --j; }
   }
   return 0;
+} catch (...) {
+  return -1;
 }
 
 }  // extern "C"

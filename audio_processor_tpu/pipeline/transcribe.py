@@ -90,6 +90,15 @@ class Transcriber:
     def __post_init__(self):
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
         self._active_language: int | None = None  # per-call detected language
+        # openai-whisper's default SuppressTokens (non-speech symbols +
+        # sot/task/prev/nospeech specials) and SuppressBlank — the rules the
+        # reference gets implicitly from whisper.transcribe
+        self._suppress_mask = jnp.asarray(
+            decode_lib.build_suppress_mask(self.tokenizer, self.special)
+        )
+        self._space_blank_id = decode_lib.space_blank_token_id(
+            self.tokenizer, self.special
+        )
 
         # ONE jit for dequant -> log-mel -> encoder.  Audio ships to the
         # device as int16 (its native bit depth): halves the host->HBM
@@ -163,6 +172,7 @@ class Transcriber:
                 beam_size=self.beam_size,
                 max_new_tokens=self.max_new_tokens,
                 use_timestamps=True,
+                suppress_mask=self._suppress_mask,
                 dtype_name=self.compute_dtype,
                 quantize_cross_kv=self.quantize_cross_kv,
             )
@@ -173,6 +183,8 @@ class Transcriber:
             sot_sequence=sot_seq,
             max_new_tokens=self.max_new_tokens,
             use_timestamps=True,
+            suppress_mask=self._suppress_mask,
+            space_blank_id=self._space_blank_id,
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
             temperature=temperature,

@@ -110,9 +110,23 @@ def build_services(
     """
     from ..pipeline.transcribe import Transcriber
 
-    if model_path and os.path.exists(model_path):
+    # A configured-but-missing checkpoint is a deployment error (e.g. the
+    # model volume was not mounted): refuse to start rather than silently
+    # serve random-weight garbage transcripts as "completed" jobs.
+    if model_path:
+        if not os.path.exists(model_path):
+            raise FileNotFoundError(
+                f"model_path / APTPU_MODEL_PATH is set to {model_path!r} but "
+                "no such file exists — refusing to fall back to random "
+                "weights (is the model volume mounted?)"
+            )
         transcriber = Transcriber.from_npz(model_path)
     else:
+        logger.warning(
+            "no Whisper checkpoint configured (APTPU_MODEL_PATH unset) — "
+            "serving RANDOM weights; transcripts will be garbage. "
+            "Test/bench mode only."
+        )
         transcriber = Transcriber.random_init(model)
 
     diarizer = None
@@ -120,9 +134,18 @@ def build_services(
         from ..pipeline.diarize import Diarizer
 
         diar_path = os.environ.get("APTPU_DIARIZER_PATH")
-        if diar_path and os.path.exists(diar_path):
+        if diar_path:
+            if not os.path.exists(diar_path):
+                raise FileNotFoundError(
+                    f"APTPU_DIARIZER_PATH is set to {diar_path!r} but no such "
+                    "file exists — refusing to fall back to random weights"
+                )
             diarizer = Diarizer.from_npz(diar_path)
         else:
+            logger.warning(
+                "no diarization checkpoint configured (APTPU_DIARIZER_PATH "
+                "unset) — serving RANDOM segmentation/embedding weights"
+            )
             diarizer = Diarizer.random_init()
 
     drive = None

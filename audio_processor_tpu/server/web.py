@@ -288,8 +288,13 @@ class App:
 
     def _serve_static(self, path: str) -> Response:
         assert self.static_dir
-        full = os.path.normpath(os.path.join(self.static_dir, path))
-        if not full.startswith(os.path.abspath(self.static_dir)):
+        # resolve both sides and compare path components — a bare
+        # startswith(root) would let /static/../static-sibling escape to any
+        # sibling directory sharing the root's name as a prefix, and breaks
+        # for a relative static_dir
+        root = os.path.realpath(self.static_dir)
+        full = os.path.realpath(os.path.join(root, path))
+        if os.path.commonpath([root, full]) != root:
             return Response(b"forbidden", 403)
         if not os.path.isfile(full):
             return jsonify({"error": "not found"}, 404)

@@ -61,6 +61,12 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
     audio_format, channels, rate, bits = fmt
+    # mirror the native decoder's header bounds: rate 0 would divide by zero
+    # downstream (resample), an absurd rate would size a multi-GB filter
+    if not (0 < rate <= 768_000):
+        raise ValueError(f"{path}: invalid sample rate {rate}")
+    if channels < 1:
+        raise ValueError(f"{path}: invalid channel count {channels}")
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0) / 128.0

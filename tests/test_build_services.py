@@ -40,3 +40,29 @@ def test_build_services_degrades_gracefully(tmp_path, monkeypatch):
         services.clear_credentials()
     finally:
         services.engine.shutdown(wait=False)
+
+
+def test_build_services_fails_fast_on_missing_checkpoint(tmp_path):
+    """A configured-but-missing model path must raise, not silently serve
+    random weights (advisor finding: unmounted model volume -> garbage
+    transcripts reported as completed)."""
+    from audio_processor_tpu.runtime.services import build_services
+
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        build_services(
+            model="test",
+            model_path=str(tmp_path / "nope" / "whisper.npz"),
+            diarization=False,
+            with_drive=False,
+            with_llm=False,
+        )
+
+
+def test_build_services_fails_fast_on_missing_diarizer(tmp_path, monkeypatch):
+    from audio_processor_tpu.runtime.services import build_services
+
+    monkeypatch.setenv("APTPU_DIARIZER_PATH", str(tmp_path / "missing.npz"))
+    with pytest.raises(FileNotFoundError, match="APTPU_DIARIZER_PATH"):
+        build_services(
+            model="test", diarization=True, with_drive=False, with_llm=False
+        )

@@ -22,7 +22,7 @@ def _apply(logits, **kw):
         step=jnp.int32(1),
         last_token=jnp.asarray([1]),
         penultimate_token=jnp.asarray([2]),
-        max_ts_token=jnp.asarray([TB]),
+        max_ts_token=jnp.asarray([TB - 1]),  # sentinel: no timestamp sampled yet
         suppress_mask=None,
         use_timestamps=True,
     )
@@ -79,10 +79,11 @@ def test_after_single_timestamp_forces_timestamp_or_eot():
     )
     assert np.isinf(out[0, : ST.eot]).all()  # text suppressed
     assert np.isfinite(out[0, ST.eot])
-    # monotonicity: timestamps <= last are suppressed, > last allowed
-    assert out[0, TB + 5] == -np.inf
-    if TB + 6 < V:
-        assert np.isfinite(out[0, TB + 6])
+    # openai allows re-sampling the SAME timestamp after a lone timestamp —
+    # that is exactly how the contiguous <|t|><|t|> boundary pair forms —
+    # but nothing below it
+    assert np.isfinite(out[0, TB + 5])
+    assert out[0, TB + 4] == -np.inf
 
 
 def test_monotonic_floor_after_text():
@@ -93,9 +94,38 @@ def test_monotonic_floor_after_text():
         penultimate_token=jnp.asarray([TB + 9]),
         max_ts_token=jnp.asarray([TB + 9]),
     )
-    # same timestamp may repeat (>= max seen), lower ones may not
-    assert out[0, TB + 8] == -np.inf
-    assert np.isfinite(out[0, TB + 9])
+    # after text, the next timestamp must be STRICTLY greater than the max
+    # seen (openai's zero-length-segment guard)
+    assert out[0, TB + 9] == -np.inf
+    assert np.isfinite(out[0, TB + 10])
+
+
+def test_no_floor_before_first_timestamp():
+    out = _apply(
+        _flat(),
+        step=jnp.int32(2),
+        last_token=jnp.asarray([7]),
+        penultimate_token=jnp.asarray([TB + 1]),  # e.g. the forced initial ts
+        max_ts_token=jnp.asarray([TB + 1]),
+    )
+    # floor after text = max_ts + 1: the opening timestamp cannot repeat as
+    # a close (zero-length segment), but the next slot can
+    assert out[0, TB + 1] == -np.inf
+    assert np.isfinite(out[0, TB + 2])
+    # sentinel tb-1 with text last: nothing below tb suppressed by the floor
+    out2 = _apply(
+        _flat(),
+        step=jnp.int32(0),
+        last_token=jnp.asarray([1]),
+        penultimate_token=jnp.asarray([2]),
+        max_ts_token=jnp.asarray([TB - 1]),
+    )
+    assert np.isfinite(out2[0, TB])  # <|0.00|> available at the first sample
+
+
+def test_no_timestamps_token_suppressed_in_timestamp_mode():
+    out = _apply(_flat(), step=jnp.int32(3))
+    assert out[0, ST.no_timestamps] == -np.inf
 
 
 def test_suppress_blank_at_first_sample():
@@ -120,3 +150,29 @@ def test_force_timestamp_when_ts_mass_dominates():
         penultimate_token=jnp.asarray([2]),
     )
     assert np.isinf(out[0, :TB][np.isfinite(logits[0, :TB])]).all()
+
+
+def test_build_suppress_mask_covers_specials_and_symbols():
+    from audio_processor_tpu.models.whisper.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    mask = decode.build_suppress_mask(tok, ST)
+    assert mask.shape == (V,)
+    # specials always suppressed (openai's SuppressTokens tail)
+    for t in (ST.sot, ST.translate, ST.transcribe, ST.startoflm,
+              ST.startofprev, ST.no_speech):
+        assert mask[t]
+    # EOT and timestamps never statically suppressed
+    assert not mask[ST.eot]
+    assert not mask[TB]
+    # a non-speech symbol byte inside the vocab range is suppressed
+    assert mask[ord("#")]
+    # basic punctuation (kept by openai's list) stays legal — note ","/"."
+    # collide with special ids in this deliberately tiny 64-token vocab
+    assert not mask[ord("!")]
+
+
+def test_space_blank_token_id():
+    from audio_processor_tpu.models.whisper.tokenizer import ByteTokenizer
+
+    assert decode.space_blank_token_id(ByteTokenizer(), ST) == 32

@@ -68,3 +68,36 @@ def test_ingest_uses_native_path(tmp_path):
     y = ingest.load_audio(p)
     assert abs(len(y) - 16000) <= 2
     assert y.dtype == np.float32
+
+
+def _raw_wav(sample_rate: int, n_samples: int = 64) -> bytes:
+    """Hand-build a PCM16 mono WAV with an arbitrary (possibly hostile)
+    header-declared sample rate."""
+    import struct
+
+    data = (np.zeros(n_samples, np.int16)).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate & 0xFFFFFFFF,
+                      (sample_rate * 2) & 0xFFFFFFFF, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("rate", [0, 0xFFFFFFFF, 10_000_000])
+def test_native_rejects_hostile_sample_rates(tmp_path, rate):
+    """sample_rate=0 used to SIGFPE (integer div-by-zero) inside the
+    resampler, killing the whole server process; absurd rates allocated a
+    multi-GB polyphase kernel. Both must now fail cleanly."""
+    p = str(tmp_path / f"evil_{rate}.wav")
+    with open(p, "wb") as f:
+        f.write(_raw_wav(rate))
+    with pytest.raises(ValueError):
+        audio_io.decode(p)
+
+
+def test_native_accepts_boundary_sample_rate(tmp_path):
+    p = str(tmp_path / "hi.wav")
+    with open(p, "wb") as f:
+        f.write(_raw_wav(768_000, n_samples=768))
+    y, rate = audio_io.decode(p, 16000)
+    assert rate == 16000 and len(y) >= 1
