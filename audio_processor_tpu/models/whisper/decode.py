@@ -467,15 +467,13 @@ class DecodeResult(NamedTuple):
     no_speech_prob: jnp.ndarray  # (B,) P(no_speech) at the SOT position
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
-        "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
-    ),
-    donate_argnames=(),
+_GREEDY_STATIC_ARGNAMES = (
+    "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
+    "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
 )
-def greedy_decode(
+
+
+def _greedy_decode_impl(
     params: Params,
     cfg: WhisperConfig,
     audio_states: jnp.ndarray,  # (B, Ta, d) encoder output
@@ -618,6 +616,18 @@ def greedy_decode(
         sum_logprob=final.sum_logprob,
         no_speech_prob=no_speech_prob,
     )
+
+
+# NOTE on buffer donation: donating audio_states (donate_argnames) is a
+# no-op for this program — XLA donation only aliases inputs to OUTPUTS, and
+# the decode outputs (token ids, scalars) are tiny, so the runtime warns
+# "donated buffers were not usable".  The real ~300 MB/slab HBM win is the
+# caller dropping its reference to audio_states right after dispatch so the
+# buffer frees when the decode completes (pipeline/transcribe does this
+# when no retry/alignment pass needs the states).
+greedy_decode = jax.jit(
+    _greedy_decode_impl, static_argnames=_GREEDY_STATIC_ARGNAMES
+)
 
 
 # ---------------------------------------------------------------------------
@@ -819,15 +829,25 @@ def tokens_to_segments(
     chunk_offsets_s: np.ndarray,  # (B,) start time of each 30 s chunk
     decode_text,  # callable: list[int] -> str
     chunk_length_s: float = 30.0,
+    chunk_durations_s: np.ndarray | None = None,  # (B,) actual audio seconds
 ) -> list[dict]:
     """Parse timestamp tokens into Whisper-schema segments.
 
     Output rows are {"start","end","text"} dicts — exactly the shape the
     reference's fusion loop consumes (reference:
     app/services/audio_processor.py:1114-1119).
+
+    A trailing segment with no closing timestamp token ends at the chunk's
+    ACTUAL audio duration (openai-whisper's segment_duration fallback), not
+    at the padded 30 s boundary — without this the final chunk of every
+    recording gets a systematically stretched end stamp.
     """
+    if chunk_durations_s is None:
+        chunk_durations_s = np.full(len(token_rows), chunk_length_s)
     segments: list[dict] = []
-    for row, offset in zip(token_rows, chunk_offsets_s):
+    for row, offset, chunk_dur in zip(
+        token_rows, chunk_offsets_s, chunk_durations_s
+    ):
         toks = [int(t) for t in row if int(t) != st.eot]
         cur_start = None
         cur_text: list[int] = []
@@ -857,11 +877,12 @@ def tokens_to_segments(
         if cur_text:
             text = decode_text(cur_text).strip()
             if text:
-                end = cur_start + (chunk_length_s - cur_start)
+                start = cur_start or 0.0
+                end = min(max(float(chunk_dur), start + 0.02), chunk_length_s)
                 segments.append(
                     {
-                        "start": float(offset + (cur_start or 0.0)),
-                        "end": float(offset + min(end, chunk_length_s)),
+                        "start": float(offset + start),
+                        "end": float(offset + end),
                         "text": text,
                     }
                 )

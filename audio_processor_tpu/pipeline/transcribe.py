@@ -197,22 +197,30 @@ class Transcriber:
         if self.beam_size > 0:
             return tokens
 
-        def run_decode(temperature: float, seed: int = 0):
-            return self._run_decode(audio_states, temperature, seed)
-
         if self.enable_fallback:
             failed = self._failed_rows(result, tokens, n_real)
             for temp in self.temperature_ladder:
                 if not failed.any():
                     break
+                # COMPACTED retry: gather only the failed rows (padded to a
+                # power-of-two bucket for compile-count hygiene) instead of
+                # re-decoding the whole slab — one bad chunk in a 64-row
+                # slab costs a 1-row decode per rung, not 64.
+                idx = np.flatnonzero(failed)
+                bucket = min(_bucket(len(idx)), self.max_chunk_batch)
+                pad_idx = np.zeros(bucket, np.int64)
+                pad_idx[: len(idx)] = idx
                 logger.info(
-                    "quality fallback: %d/%d chunks re-decoding at T=%.1f",
-                    int(failed.sum()), n_real, temp,
+                    "quality fallback: %d/%d chunks re-decoding at T=%.1f "
+                    "(batch %d)", len(idx), n_real, temp, bucket,
                 )
-                retry = run_decode(temp, seed=int(temp * 10))
-                retry_tokens = np.asarray(retry.tokens)[:n_real]
-                tokens[failed] = retry_tokens[failed]
-                failed = failed & self._failed_rows(retry, retry_tokens, n_real)
+                sub_states = jnp.take(audio_states, jnp.asarray(pad_idx), axis=0)
+                retry = self._run_decode(sub_states, temp, seed=int(temp * 10))
+                retry_tokens = np.array(retry.tokens)[: len(idx)]
+                tokens[idx] = retry_tokens
+                refailed = self._failed_rows(retry, retry_tokens, len(idx))
+                failed[:] = False
+                failed[idx[refailed]] = True
 
         # no-speech gate: a chunk is silence iff nospeech prob is high AND
         # the decode was low-confidence (both conditions, as openai-whisper)
@@ -270,6 +278,14 @@ class Transcriber:
         states_per_slab: list[Any] = []  # kept only for word alignment
         n_slabs = math.ceil(n_chunks / slab)
         in_flight: list[tuple[Any, Any, int]] = []  # (result, states, real)
+        # drop the encoder-state reference right after decode dispatch when
+        # nothing downstream re-reads it (no temperature retries, no word
+        # alignment): frees ~300 MB/slab of HBM at whisper-small batch 64
+        # instead of holding it across the 2-deep decode pipeline.  (XLA
+        # input donation can't do this — see note at decode.greedy_decode.)
+        keep_states = (
+            self.enable_fallback or self.word_timestamps or self.beam_size > 0
+        )
 
         def drain_one():
             result, states, real = in_flight.pop(0)
@@ -305,7 +321,14 @@ class Transcriber:
             # dispatch decode ASYNC and keep <=2 slabs in flight: the host
             # builds slab i+1 while the device decodes slab i (hides this
             # VM's jittery host time behind stable device time)
-            in_flight.append((self._run_decode(audio_states), audio_states, real))
+            in_flight.append(
+                (
+                    self._run_decode(audio_states),
+                    audio_states if keep_states else None,
+                    real,
+                )
+            )
+            del audio_states
             if len(in_flight) >= 2:
                 drain_one()
             if progress:
@@ -316,9 +339,14 @@ class Transcriber:
         tokens = np.concatenate(token_rows, axis=0)
         n_real = n_chunks
         offsets = np.arange(n_chunks, dtype=np.float64) * 30.0
+        # actual audio seconds per chunk (the last one is usually short) —
+        # bounds unclosed trailing segments to real content, not 30 s
+        content_s = len(audio) / 16_000.0
+        durations = np.clip(content_s - offsets, 0.0, 30.0)
 
         segments = decode_lib.tokens_to_segments(
-            tokens, self.special, offsets, self.tokenizer.decode
+            tokens, self.special, offsets, self.tokenizer.decode,
+            chunk_durations_s=durations,
         )
         # map trimmed-timeline stamps back to the original recording
         for seg in segments:

@@ -88,3 +88,63 @@ def test_transcribe_resamples(transcriber, rng):
     audio = rng.normal(0, 0.1, 8000 * 5).astype(np.float32)  # 5 s @ 8 kHz
     out = transcriber.transcribe(audio, sample_rate=8000, remove_silence=False)
     assert out["duration"] == pytest.approx(5.0, abs=0.01)
+
+
+def test_temperature_fallback_compacts_failed_rows(rng, monkeypatch):
+    """The quality-gate retry must re-decode ONLY the failed rows (gathered
+    into a small bucket), not the whole slab (VERDICT r1 weak #3)."""
+    tr = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        enable_fallback=True, temperature_ladder=(0.5,),
+    )
+    # 65 s -> 3 chunks -> a 4-row slab, so a single bad row is compactable
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    calls = []
+    orig = tr._run_decode
+
+    def spy(audio_states, temperature=0.0, seed=0):
+        calls.append((audio_states.shape[0], temperature))
+        return orig(audio_states, temperature, seed)
+
+    monkeypatch.setattr(tr, "_run_decode", spy)
+
+    fail_first = {"n": 0}
+    orig_failed = tr._failed_rows
+
+    def fake_failed(result, tokens, n_real):
+        out = np.zeros(n_real, bool)
+        if fail_first["n"] == 0 and n_real > 1:
+            out[1] = True  # exactly one bad row in the first gate pass
+        fail_first["n"] += 1
+        return out
+
+    monkeypatch.setattr(tr, "_failed_rows", fake_failed)
+    tr.transcribe(audio, remove_silence=False)
+
+    temps = [c for c in calls if c[1] > 0]
+    assert temps, "fallback rung never ran"
+    # the retry decoded a 1-row bucket, not the full slab
+    assert temps[0][0] == 1
+    assert calls[0][0] > 1  # the primary decode really was a bigger slab
+
+
+def test_trailing_segment_end_uses_content_duration(transcriber, rng):
+    """An unclosed trailing segment must end at the chunk's actual audio
+    length, not the padded 30 s boundary (VERDICT r1 weak #2)."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    st = transcriber.special
+    tb = st.timestamp_begin
+    tok = transcriber.tokenizer
+    rows = np.array(
+        [[tb + 10] + tok.encode("tail text") + [st.eot] * 4], dtype=np.int32
+    )
+    segs = decode_lib.tokens_to_segments(
+        rows, st, np.array([0.0]), tok.decode,
+        chunk_durations_s=np.array([7.5]),
+    )
+    assert len(segs) == 1
+    assert segs[0]["end"] == pytest.approx(7.5)
+    # and without durations the legacy 30 s bound still applies
+    segs30 = decode_lib.tokens_to_segments(rows, st, np.array([0.0]), tok.decode)
+    assert segs30[0]["end"] == pytest.approx(30.0)
