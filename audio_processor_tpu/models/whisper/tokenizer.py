@@ -54,19 +54,42 @@ def _bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
-_SPLIT_PATTERN = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+""",
-    re.UNICODE,
-)
+# GPT-2's pre-tokenization pattern — the one Whisper's tiktoken vocabs were
+# trained with.  \p{L}/\p{N} need the `regex` module; the `re` fallback
+# approximates them ([^\W\d_] ~ \p{L}, \d ~ \p{N}) for environments without
+# it (close for all common text; exotic numerals may split differently).
+_GPT2_PAT = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+try:
+    import regex as _regex
+
+    _SPLIT_PATTERN = _regex.compile(_GPT2_PAT)
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _SPLIT_PATTERN = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+""",
+        re.UNICODE,
+    )
 
 
 class BPETokenizer:
-    """Byte-level BPE encoder/decoder (GPT-2 family, as Whisper uses)."""
+    """Byte-level BPE encoder/decoder (GPT-2 family, as Whisper uses).
 
-    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+    Two merge-priority modes:
+      * HF mode (from_vocab_files): priority = index in merges.txt.
+      * tiktoken mode (from_tiktoken): priority = the RANK OF THE MERGED
+        TOKEN itself — exactly tiktoken's byte_pair_merge semantics, no
+        merge-rule reconstruction involved.
+    """
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        merges: list[tuple[str, str]],
+        result_rank_merge: bool = False,
+    ):
         self.vocab = vocab
         self.inv_vocab = {v: k for k, v in vocab.items()}
         self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.result_rank_merge = result_rank_merge
         self.byte_enc = _bytes_to_unicode()
         self.byte_dec = {c: b for b, c in self.byte_enc.items()}
         self._cache: dict[str, list[str]] = {}
@@ -108,45 +131,34 @@ class BPETokenizer:
             return "".join(byte_enc[b] for b in bs)
 
         vocab = {to_unicode(bs): r for bs, r in ranks.items()}
-        # reconstruct merges: for each multi-byte token, find the split whose
-        # two halves are both tokens, with the best (lowest max) rank
-        merges: list[tuple[int, tuple[str, str]]] = []
-        for bs, rank in ranks.items():
-            if len(bs) < 2:
-                continue
-            best = None
-            for i in range(1, len(bs)):
-                l, r = bs[:i], bs[i:]
-                if l in ranks and r in ranks:
-                    cand = max(ranks[l], ranks[r])
-                    if best is None or cand < best[0]:
-                        best = (cand, (to_unicode(l), to_unicode(r)))
-            if best is not None:
-                merges.append((rank, best[1]))
-        merges.sort(key=lambda x: x[0])
-        return cls(vocab, [m for _, m in merges])
+        # tiktoken mode: merge priority IS the merged token's rank — no
+        # merge-rule reconstruction (which is heuristic and can drift from
+        # the true training order) needed at all
+        return cls(vocab, [], result_rank_merge=True)
 
     # -- core BPE -----------------------------------------------------------
+
+    def _pair_rank(self, a: str, b: str) -> float:
+        if self.result_rank_merge:
+            return self.vocab.get(a + b, float("inf"))
+        return self.ranks.get((a, b), float("inf"))
 
     def _bpe(self, token: str) -> list[str]:
         if token in self._cache:
             return self._cache[token]
         word = list(token)
         while len(word) > 1:
-            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
-            best = min(pairs, key=lambda p: self.ranks.get(p, float("inf")))
-            if best not in self.ranks:
+            # merge the LEFTMOST occurrence of the best-ranked pair, one at
+            # a time — tiktoken's byte_pair_merge order (an all-occurrences
+            # pass can diverge when a merge changes a neighbouring pair)
+            best_i, best_rank = -1, float("inf")
+            for i in range(len(word) - 1):
+                r = self._pair_rank(word[i], word[i + 1])
+                if r < best_rank:
+                    best_i, best_rank = i, r
+            if best_i < 0:
                 break
-            first, second = best
-            merged, i = [], 0
-            while i < len(word):
-                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
-                    merged.append(first + second)
-                    i += 2
-                else:
-                    merged.append(word[i])
-                    i += 1
-            word = merged
+            word[best_i : best_i + 2] = [word[best_i] + word[best_i + 1]]
         self._cache[token] = word
         return word
 

@@ -1,0 +1,186 @@
+"""Full greedy-decode parity against an independent torch reference.
+
+Extends the logit-level gates in test_whisper_model.py to the COMPLETE
+decode loop: the same random-init HF Whisper, decoded token-by-token by a
+plain torch argmax loop (the reference semantics openai-whisper reduces to
+with suppression off), must produce EXACTLY the token sequences our
+on-device lax.while_loop greedy decode emits — EOT stop, padding, logprob
+accounting and all.  This is the strongest end-to-end decode gate possible
+without pretrained checkpoints in the image (VERDICT r1 item 1; reference
+engine: app/services/audio_processor.py:1056-1098).
+
+test_real_checkpoint_transcript is the runnable-but-skipped trained-weight
+gate: point APTPU_PARITY_CHECKPOINT at a converted .npz + expected
+transcript JSON and it hard-fails on any drift.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from audio_processor_tpu.models.whisper import convert, decode, model
+from audio_processor_tpu.models.whisper.config import WhisperConfig
+
+CFG = WhisperConfig(
+    name="genparity",
+    n_mels=80,
+    n_audio_ctx=96,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=1024,
+    n_text_ctx=64,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+ST = decode.SpecialTokens.for_config(CFG)
+MAX_NEW = 24
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+
+    torch.manual_seed(7)
+    hf_cfg = HFConfig(
+        vocab_size=CFG.n_vocab,
+        num_mel_bins=CFG.n_mels,
+        encoder_layers=CFG.n_audio_layer,
+        encoder_attention_heads=CFG.n_audio_head,
+        decoder_layers=CFG.n_text_layer,
+        decoder_attention_heads=CFG.n_text_head,
+        d_model=CFG.n_audio_state,
+        max_source_positions=CFG.n_audio_ctx,
+        max_target_positions=CFG.n_text_ctx,
+        encoder_ffn_dim=4 * CFG.n_audio_state,
+        decoder_ffn_dim=4 * CFG.n_text_state,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=3,
+        suppress_tokens=[],
+        begin_suppress_tokens=[],
+    )
+    hf = WhisperModel(hf_cfg).eval()
+    params = convert.from_hf_state_dict(hf.state_dict(), CFG)
+    return hf, params
+
+
+def _torch_greedy(hf, mel: np.ndarray, sot: int, eot: int, max_new: int):
+    """Plain torch reference greedy loop: argmax, stop at EOT, EOT-pad."""
+    import torch
+
+    with torch.no_grad():
+        enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state
+        b = mel.shape[0]
+        seq = torch.full((b, 1), sot, dtype=torch.long)
+        emb_t = hf.decoder.embed_tokens.weight.T
+        finished = torch.zeros(b, dtype=torch.bool)
+        out_tokens = np.full((b, max_new), eot, np.int64)
+        sum_lp = np.zeros(b, np.float64)
+        for step in range(max_new):
+            hs = hf.decoder(input_ids=seq, encoder_hidden_states=enc).last_hidden_state
+            logits = hs[:, -1] @ emb_t  # tied embeddings, as whisper
+            nxt = logits.argmax(-1)
+            lp = torch.log_softmax(logits.float(), -1).gather(
+                1, nxt[:, None]
+            )[:, 0]
+            nxt = torch.where(finished, torch.full_like(nxt, eot), nxt)
+            sum_lp += np.where(finished.numpy(), 0.0, lp.numpy())
+            finished |= nxt == eot
+            out_tokens[:, step] = nxt.numpy()
+            seq = torch.cat([seq, nxt[:, None]], dim=1)
+            if bool(finished.all()):
+                break
+    return out_tokens, sum_lp
+
+
+def test_greedy_decode_matches_torch_reference(hf_pair, rng):
+    hf, params = hf_pair
+    mel = rng.normal(0, 1, (3, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    ref_tokens, ref_lp = _torch_greedy(hf, mel, ST.sot, ST.eot, MAX_NEW)
+
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    res = decode.greedy_decode(
+        params,
+        CFG,
+        audio,
+        sot_sequence=(ST.sot,),
+        max_new_tokens=MAX_NEW,
+        use_timestamps=False,  # raw argmax loop — rules gated separately
+        suppress_mask=None,
+    )
+    ours = np.asarray(res.tokens)
+    assert ours.shape[1] == MAX_NEW
+    np.testing.assert_array_equal(
+        ours, ref_tokens,
+        err_msg="greedy token sequences diverge from the torch reference",
+    )
+    # logprob accounting must track too (used by the quality gate); the
+    # reference loop sums the same per-token logprobs
+    ours_lp = np.asarray(res.sum_logprob)
+    # rows that hit EOT: our loop adds the EOT logprob at the stopping
+    # sample, the torch oracle does the same — compare directly
+    np.testing.assert_allclose(ours_lp, ref_lp, atol=5e-3)
+
+
+def test_greedy_decode_matches_torch_with_prompt(hf_pair, rng):
+    """Multi-token sot sequences (prefill path) must agree too."""
+    import torch
+
+    hf, params = hf_pair
+    mel = rng.normal(0, 1, (2, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    prompt = (ST.sot, 5, 17)  # arbitrary forced prefix
+
+    with torch.no_grad():
+        enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state
+        seq = torch.tensor([list(prompt)] * 2, dtype=torch.long)
+        emb_t = hf.decoder.embed_tokens.weight.T
+        ref_rows = []
+        for step in range(8):
+            hs = hf.decoder(input_ids=seq, encoder_hidden_states=enc).last_hidden_state
+            nxt = (hs[:, -1] @ emb_t).argmax(-1)
+            ref_rows.append(nxt.numpy().copy())
+            seq = torch.cat([seq, nxt[:, None]], dim=1)
+    ref = np.stack(ref_rows, axis=1)
+
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    res = decode.greedy_decode(
+        params, CFG, audio,
+        sot_sequence=prompt, max_new_tokens=8, use_timestamps=False,
+    )
+    ours = np.asarray(res.tokens)
+    # compare up to each row's first EOT (reference loop doesn't early-stop)
+    for b in range(2):
+        row = ours[b]
+        n = int((row != ST.eot).sum())
+        np.testing.assert_array_equal(row[: n + 1], ref[b][: n + 1])
+
+
+def test_real_checkpoint_transcript():
+    """Trained-weight gate: converted real checkpoint -> known transcript.
+
+    Set APTPU_PARITY_CHECKPOINT=/path/to/case.json with
+    {"model_npz": ..., "wav": ..., "expected_text": ..., "tokenizer": ...}
+    (produced by tools/make_parity_case.py on a machine with network) and
+    this hard-fails on any conversion/decode-rule drift.  Skipped when no
+    checkpoint can enter the image (zero egress).
+    """
+    case_path = os.environ.get("APTPU_PARITY_CHECKPOINT")
+    if not case_path or not os.path.exists(case_path):
+        pytest.skip("no real Whisper checkpoint in this image (zero egress)")
+    with open(case_path) as f:
+        case = json.load(f)
+    from audio_processor_tpu.models.whisper.tokenizer import BPETokenizer
+    from audio_processor_tpu.pipeline.ingest import load_audio
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    tok = BPETokenizer.from_tiktoken(case["tokenizer"])
+    tr = Transcriber.from_npz(case["model_npz"], tokenizer=tok)
+    out = tr.transcribe(load_audio(case["wav"]), remove_silence=False)
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    assert norm(out["text"]) == norm(case["expected_text"])
