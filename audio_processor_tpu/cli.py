@@ -28,6 +28,8 @@ def cmd_transcribe(args) -> None:
         kw["beam_size"] = args.beam
     if args.word_timestamps:
         kw["word_timestamps"] = True
+    if args.condition:
+        kw["condition_on_previous_text"] = True
     if args.model_path:
         t = Transcriber.from_npz(args.model_path, **kw)
     else:
@@ -142,6 +144,11 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     t.add_argument("--word-timestamps", action="store_true")
+    t.add_argument(
+        "--condition", action="store_true",
+        help="condition each window on the previous window's text "
+        "(openai-whisper's condition_on_previous_text; hybrid group mode)",
+    )
     t.set_defaults(fn=cmd_transcribe)
 
     d = sub.add_parser("diarize", help="diarize an audio file")

@@ -261,11 +261,14 @@ def init_cache(
 # Cached decoder forward (prefill with T>1, or single-step with T=1)
 # ---------------------------------------------------------------------------
 
-def _cached_attention(q, k_cache, v_cache, t_valid):
+def _cached_attention(q, k_cache, v_cache, t_valid, min_valid=None):
     """q (B,T,H,Dh) against a (B,T_max,H,Dh) cache; positions >= t_valid masked.
 
     t_valid: (T,) absolute position of each query token + 1 (how much of the
     cache it may see) — implements causality inside the prefill window too.
+    min_valid: optional (B,) first visible cache position per row — masks
+    out left-padding in prompted decode (rows with different prompt
+    lengths share one padded cache).
     """
     dh = q.shape[-1]
     scores = jnp.einsum(
@@ -273,7 +276,17 @@ def _cached_attention(q, k_cache, v_cache, t_valid):
     ) * (1.0 / math.sqrt(dh))
     pos = jnp.arange(k_cache.shape[1])
     mask = pos[None, :] < t_valid[:, None]  # (T, T_max)
-    scores = jnp.where(mask[None, None], scores, NEG_INF)
+    if min_valid is None:
+        scores = jnp.where(mask[None, None], scores, NEG_INF)
+    else:
+        # padding queries must still see THEMSELVES: a fully-masked row
+        # softmaxes to NaN, and 0-prob x NaN v-entries poison every later
+        # layer's attention sum for the real tokens too.  Real tokens sit
+        # at positions >= min_valid, so the self-term changes nothing for
+        # them; pad outputs are garbage-but-finite and never read.
+        self_vis = (pos[None, :] == (t_valid - 1)[:, None])[None]  # (1,T,Tmax)
+        vis = (pos[None, None, :] >= min_valid[:, None, None]) | self_vis
+        scores = jnp.where((mask[None] & vis)[:, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
@@ -285,18 +298,31 @@ def decoder_forward_cached(
     tokens: jnp.ndarray,  # (B, T)
     cache: Cache,
     pos: jnp.ndarray,  # scalar int: write offset into the cache
+    pos_offset: jnp.ndarray | None = None,  # (B,) per-row logical offset
+    min_valid: jnp.ndarray | None = None,  # (B,) first visible cache slot
 ) -> tuple[jnp.ndarray, Cache]:
     """Run the decoder over T new tokens, appending K/V to the cache at pos.
 
     Returns (logits (B, T, V), updated cache).  Layers are scanned; the
     carry is the hidden stream, the scanned xs are the stacked layer params
     plus that layer's cache slabs.
+
+    pos_offset/min_valid support LEFT-padded per-row prompts (prompted
+    decode): a row whose real tokens start at physical slot `pad` gets
+    positional embeddings indexed from 0 at that slot (pos_offset=pad) and
+    never attends to the padding (min_valid=pad).
     """
     p = params["decoder"]
     b, t = tokens.shape
     dtype = cache.self_k.dtype
     x = p["token_emb"][tokens].astype(dtype)
-    x = x + jax.lax.dynamic_slice_in_dim(p["pos_emb"], pos, t, axis=0).astype(dtype)
+    if pos_offset is None:
+        x = x + jax.lax.dynamic_slice_in_dim(p["pos_emb"], pos, t, axis=0).astype(dtype)
+    else:
+        pos_ids = jnp.maximum(
+            pos + jnp.arange(t)[None, :] - pos_offset[:, None], 0
+        )  # (B, T) logical positions
+        x = x + jnp.take(p["pos_emb"], pos_ids, axis=0).astype(dtype)
 
     t_valid = pos + jnp.arange(t) + 1  # each new token sees cache[: pos+i+1]
     quantized = cache.cross_k_scale is not None
@@ -329,7 +355,7 @@ def decoder_forward_cached(
         )
         sk = jax.lax.dynamic_index_in_dim(sk_all, l, 0, keepdims=False)
         sv = jax.lax.dynamic_index_in_dim(sv_all, l, 0, keepdims=False)
-        o = _cached_attention(q, sk, sv, t_valid)
+        o = _cached_attention(q, sk, sv, t_valid, min_valid)
         x = x + linear(bp["attn"]["out"], _merge_heads(o))
         # --- cross-attention against precomputed encoder K/V
         xa = layer_norm(bp["cross_attn_ln"], x)
@@ -467,6 +493,126 @@ class DecodeResult(NamedTuple):
     no_speech_prob: jnp.ndarray  # (B,) P(no_speech) at the SOT position
 
 
+def _sample_loop(
+    params: Params,
+    cfg: WhisperConfig,
+    st: SpecialTokens,
+    cache: Cache,
+    last_logits: jnp.ndarray,  # (B, V) logits for the first sample
+    *,
+    start_pos,  # physical cache slot of the first sampled token
+    max_new_tokens: int,
+    use_timestamps: bool,
+    suppress_mask,
+    space_blank_id,
+    temperature: float,
+    rng_seed: int,
+    last_init: jnp.ndarray,  # (B,)
+    penult_init: jnp.ndarray,  # (B,)
+    pos_offset: jnp.ndarray | None = None,
+    min_valid: jnp.ndarray | None = None,
+):
+    """The greedy/sampling while_loop shared by plain and prompted decode.
+
+    Returns (tokens (B, max_new), lengths, sum_logprob).
+    """
+    b = last_logits.shape[0]
+    tb = st.timestamp_begin
+
+    # Loop-INVARIANT state (the big cross-attention caches + scales) stays
+    # OUT of the while_loop carry — closed over instead — so XLA never has
+    # to thread multi-GB buffers through the loop state; only the mutable
+    # self-cache slabs ride the carry.
+    cross = (cache.cross_k, cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
+
+    class LoopState(NamedTuple):
+        step: jnp.ndarray
+        self_k: jnp.ndarray
+        self_v: jnp.ndarray
+        logits: jnp.ndarray  # (B, V) logits for the next sample
+        tokens: jnp.ndarray  # (B, max_new_tokens)
+        last: jnp.ndarray  # (B,)
+        penult: jnp.ndarray  # (B,)
+        max_ts: jnp.ndarray  # (B,)
+        finished: jnp.ndarray  # (B,) bool
+        sum_logprob: jnp.ndarray  # (B,)
+        key: jnp.ndarray  # PRNG key (sampling mode only)
+
+    init = LoopState(
+        step=jnp.int32(0),
+        self_k=cache.self_k,
+        self_v=cache.self_v,
+        logits=last_logits,
+        tokens=jnp.full((b, max_new_tokens), st.eot, jnp.int32),
+        last=last_init.astype(jnp.int32),
+        penult=penult_init.astype(jnp.int32),
+        max_ts=jnp.full((b,), tb - 1, jnp.int32),
+        finished=jnp.zeros((b,), bool),
+        sum_logprob=jnp.zeros((b,), jnp.float32),
+        key=jax.random.PRNGKey(rng_seed),
+    )
+
+    def cond(s: LoopState):
+        return (s.step < max_new_tokens) & ~jnp.all(s.finished)
+
+    def body(s: LoopState):
+        masked = apply_logit_rules(
+            s.logits,
+            st,
+            step=s.step,
+            last_token=s.last,
+            penultimate_token=s.penult,
+            max_ts_token=s.max_ts,
+            suppress_mask=suppress_mask,
+            use_timestamps=use_timestamps,
+            space_blank_id=space_blank_id,
+        )
+        if temperature > 0:
+            key, subkey = jax.random.split(s.key)
+            next_tok = jax.random.categorical(
+                subkey, masked / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            key = s.key
+            next_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        logprob = jnp.take_along_axis(
+            jax.nn.log_softmax(masked, axis=-1), next_tok[:, None], axis=-1
+        )[:, 0]
+        next_tok = jnp.where(s.finished, st.eot, next_tok)
+        now_finished = s.finished | (next_tok == st.eot)
+        sum_lp = s.sum_logprob + jnp.where(s.finished, 0.0, logprob)
+
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            s.tokens, next_tok[:, None], s.step, axis=1
+        )
+        new_max_ts = jnp.where(
+            (next_tok >= tb) & ~s.finished, jnp.maximum(s.max_ts, next_tok), s.max_ts
+        )
+
+        step_cache = Cache(s.self_k, s.self_v, *cross)
+        logits, new_cache = decoder_forward_cached(
+            params, cfg, next_tok[:, None], step_cache, start_pos + s.step,
+            pos_offset=pos_offset, min_valid=min_valid,
+        )
+        return LoopState(
+            step=s.step + 1,
+            self_k=new_cache.self_k,
+            self_v=new_cache.self_v,
+            logits=logits[:, -1],
+            tokens=tokens,
+            last=next_tok,
+            penult=s.last,
+            max_ts=new_max_ts,
+            finished=now_finished,
+            sum_logprob=sum_lp,
+            key=key,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    lengths = jnp.sum(final.tokens != st.eot, axis=-1)
+    return final.tokens, lengths, final.sum_logprob
+
+
 _GREEDY_STATIC_ARGNAMES = (
     "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
     "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
@@ -518,102 +664,22 @@ def _greedy_decode_impl(
     no_speech_prob = sot_probs[:, st.no_speech] if st.no_speech < cfg.n_vocab else jnp.zeros((b,))
     last_logits = logits[:, -1]
 
-    tb = st.timestamp_begin
-
-    # Loop-INVARIANT state (the big cross-attention caches + scales) stays
-    # OUT of the while_loop carry — closed over instead — so XLA never has
-    # to thread multi-GB buffers through the loop state; only the mutable
-    # self-cache slabs ride the carry.
-    cross = (cache.cross_k, cache.cross_v, cache.cross_k_scale, cache.cross_v_scale)
-
-    class LoopState(NamedTuple):
-        step: jnp.ndarray
-        self_k: jnp.ndarray
-        self_v: jnp.ndarray
-        logits: jnp.ndarray  # (B, V) logits for the next sample
-        tokens: jnp.ndarray  # (B, max_new_tokens)
-        last: jnp.ndarray  # (B,)
-        penult: jnp.ndarray  # (B,)
-        max_ts: jnp.ndarray  # (B,)
-        finished: jnp.ndarray  # (B,) bool
-        sum_logprob: jnp.ndarray  # (B,)
-        key: jnp.ndarray  # PRNG key (sampling mode only)
-
-    init = LoopState(
-        step=jnp.int32(0),
-        self_k=cache.self_k,
-        self_v=cache.self_v,
-        logits=last_logits,
-        tokens=jnp.full((b, max_new_tokens), st.eot, jnp.int32),
-        last=jnp.full((b,), sot_sequence[-1], jnp.int32),
-        penult=jnp.full((b,), sot_sequence[0], jnp.int32),
-        max_ts=jnp.full((b,), tb - 1, jnp.int32),
-        finished=jnp.zeros((b,), bool),
-        sum_logprob=jnp.zeros((b,), jnp.float32),
-        key=jax.random.PRNGKey(rng_seed),
+    tokens, lengths, sum_logprob = _sample_loop(
+        params, cfg, st, cache, last_logits,
+        start_pos=jnp.int32(prompt_len),
+        max_new_tokens=max_new_tokens,
+        use_timestamps=use_timestamps,
+        suppress_mask=suppress_mask,
+        space_blank_id=space_blank_id,
+        temperature=temperature,
+        rng_seed=rng_seed,
+        last_init=jnp.full((b,), sot_sequence[-1], jnp.int32),
+        penult_init=jnp.full((b,), sot_sequence[0], jnp.int32),
     )
-
-    def cond(s: LoopState):
-        return (s.step < max_new_tokens) & ~jnp.all(s.finished)
-
-    def body(s: LoopState):
-        masked = apply_logit_rules(
-            s.logits,
-            st,
-            step=s.step,
-            last_token=s.last,
-            penultimate_token=s.penult,
-            max_ts_token=s.max_ts,
-            suppress_mask=suppress_mask,
-            use_timestamps=use_timestamps,
-            space_blank_id=space_blank_id,
-        )
-        if temperature > 0:
-            key, subkey = jax.random.split(s.key)
-            next_tok = jax.random.categorical(
-                subkey, masked / temperature, axis=-1
-            ).astype(jnp.int32)
-        else:
-            key = s.key
-            next_tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-        logprob = jnp.take_along_axis(
-            jax.nn.log_softmax(masked, axis=-1), next_tok[:, None], axis=-1
-        )[:, 0]
-        next_tok = jnp.where(s.finished, st.eot, next_tok)
-        now_finished = s.finished | (next_tok == st.eot)
-        sum_lp = s.sum_logprob + jnp.where(s.finished, 0.0, logprob)
-
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            s.tokens, next_tok[:, None], s.step, axis=1
-        )
-        new_max_ts = jnp.where(
-            (next_tok >= tb) & ~s.finished, jnp.maximum(s.max_ts, next_tok), s.max_ts
-        )
-
-        step_cache = Cache(s.self_k, s.self_v, *cross)
-        logits, new_cache = decoder_forward_cached(
-            params, cfg, next_tok[:, None], step_cache, prompt_len + s.step
-        )
-        return LoopState(
-            step=s.step + 1,
-            self_k=new_cache.self_k,
-            self_v=new_cache.self_v,
-            logits=logits[:, -1],
-            tokens=tokens,
-            last=next_tok,
-            penult=s.last,
-            max_ts=new_max_ts,
-            finished=now_finished,
-            sum_logprob=sum_lp,
-            key=key,
-        )
-
-    final = jax.lax.while_loop(cond, body, init)
-    lengths = jnp.sum(final.tokens != st.eot, axis=-1)
     return DecodeResult(
-        tokens=final.tokens,
+        tokens=tokens,
         lengths=lengths,
-        sum_logprob=final.sum_logprob,
+        sum_logprob=sum_logprob,
         no_speech_prob=no_speech_prob,
     )
 
@@ -628,6 +694,120 @@ def _greedy_decode_impl(
 greedy_decode = jax.jit(
     _greedy_decode_impl, static_argnames=_GREEDY_STATIC_ARGNAMES
 )
+
+
+# ---------------------------------------------------------------------------
+# Prompted greedy decode (condition_on_previous_text support)
+# ---------------------------------------------------------------------------
+
+def _prompted_greedy_impl(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+    prompt_tokens: jnp.ndarray,  # (B, P) int32, LEFT-padded, suffix = sot seq
+    prompt_lens: jnp.ndarray,  # (B,) number of real tokens (right-aligned)
+    *,
+    sot_len: int,  # length of the trailing sot sequence (same for all rows)
+    max_new_tokens: int = 224,
+    use_timestamps: bool = True,
+    suppress_mask: jnp.ndarray | None = None,
+    space_blank_id: int | None = None,
+    dtype_name: str = "float32",
+    quantize_cross_kv: bool = False,
+    temperature: float = 0.0,
+    rng_seed: int = 0,
+) -> DecodeResult:
+    """Greedy decode with PER-ROW prompts: openai-whisper's
+    condition_on_previous_text mechanism (<|startofprev|> + previous-window
+    text + sot sequence), batched.
+
+    Rows are left-padded to a common length P so one compiled program
+    serves every prompt mix; padding is invisible (attention floor) and
+    positional embeddings start at each row's first real token, exactly as
+    if it were decoded alone.  The reference inherits this conditioning by
+    default from whisper.transcribe (reference:
+    app/services/audio_processor.py:1076); pipeline/transcribe exposes it
+    as the hybrid window-group mode.
+    """
+    st = SpecialTokens.for_config(cfg)
+    dtype = jnp.dtype(dtype_name)
+    b, p_len = prompt_tokens.shape
+    max_len = p_len + max_new_tokens
+
+    cache = init_cache(
+        params, cfg, audio_states, max_len, dtype=dtype,
+        quantize_cross_kv=quantize_cross_kv,
+    )
+    pad_len = (p_len - prompt_lens).astype(jnp.int32)  # (B,)
+
+    logits, cache = decoder_forward_cached(
+        params, cfg, prompt_tokens.astype(jnp.int32), cache, jnp.int32(0),
+        pos_offset=pad_len, min_valid=pad_len,
+    )
+    # every row's suffix is the same sot sequence -> <|sot|> sits at a
+    # fixed physical slot; no-speech prob reads the logits AT that slot
+    sot_probs = jax.nn.softmax(logits[:, p_len - sot_len], axis=-1)
+    no_speech_prob = (
+        sot_probs[:, st.no_speech]
+        if st.no_speech < cfg.n_vocab
+        else jnp.zeros((b,))
+    )
+
+    tokens, lengths, sum_logprob = _sample_loop(
+        params, cfg, st, cache, logits[:, -1],
+        start_pos=jnp.int32(p_len),
+        max_new_tokens=max_new_tokens,
+        use_timestamps=use_timestamps,
+        suppress_mask=suppress_mask,
+        space_blank_id=space_blank_id,
+        temperature=temperature,
+        rng_seed=rng_seed,
+        last_init=prompt_tokens[:, -1],
+        penult_init=prompt_tokens[:, -2] if p_len >= 2 else prompt_tokens[:, -1],
+        pos_offset=pad_len,
+        min_valid=pad_len,
+    )
+    return DecodeResult(
+        tokens=tokens,
+        lengths=lengths,
+        sum_logprob=sum_logprob,
+        no_speech_prob=no_speech_prob,
+    )
+
+
+prompted_greedy_decode = jax.jit(
+    _prompted_greedy_impl,
+    static_argnames=(
+        "cfg", "sot_len", "max_new_tokens", "use_timestamps", "dtype_name",
+        "space_blank_id", "quantize_cross_kv", "temperature",
+    ),
+)
+
+
+def build_prompt_rows(
+    histories: list[list[int]],  # per-row previous-window TEXT tokens
+    sot_sequence: tuple[int, ...],
+    st: SpecialTokens,
+    ctx_tokens: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble left-padded prompt rows for prompted_greedy_decode.
+
+    Row layout: [eot pad ...][<|startofprev|>][last <=ctx_tokens history
+    tokens][sot sequence].  Empty history -> just the sot sequence (the
+    prompted program then behaves exactly like plain greedy_decode, which
+    test_parity_prompted pins).  openai truncates the prompt to the last
+    n_text_ctx//2-1 tokens; ctx_tokens is the static equivalent here.
+    """
+    sot = list(sot_sequence)
+    p_len = 1 + ctx_tokens + len(sot)
+    rows = np.full((len(histories), p_len), st.eot, np.int32)
+    lens = np.zeros(len(histories), np.int32)
+    for i, hist in enumerate(histories):
+        ctx = [t for t in hist if t < st.eot][-ctx_tokens:]
+        real = ([st.startofprev] + ctx if ctx else []) + sot
+        rows[i, p_len - len(real):] = real
+        lens[i] = len(real)
+    return rows, lens
 
 
 # ---------------------------------------------------------------------------

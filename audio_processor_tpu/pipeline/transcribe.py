@@ -86,8 +86,24 @@ class Transcriber:
     # auto language detection on the first chunk (multilingual models with
     # no pinned language — whisper's detect_language behaviour)
     auto_language: bool = True
+    # openai-whisper's condition_on_previous_text, as the HYBRID window-
+    # group mode: windows are conditioned on the previous window's text
+    # WITHIN groups of condition_group_size consecutive windows, while
+    # groups decode in parallel across the batch — trading the reference
+    # engine's fully-sequential chaining for batch parallelism (group
+    # boundaries lose conditioning; everything inside a group matches
+    # openai's behaviour).  Greedy only; the temperature ladder is skipped
+    # in this mode (openai itself stops conditioning above T=0.5).
+    condition_on_previous_text: bool = False
+    condition_group_size: int = 8
+    condition_ctx_tokens: int = 48
 
     def __post_init__(self):
+        if self.condition_on_previous_text and self.word_timestamps:
+            raise ValueError(
+                "condition_on_previous_text does not support word_timestamps "
+                "yet (encoder states are not retained across rounds)"
+            )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
         self._active_language: int | None = None  # per-call detected language
         # openai-whisper's default SuppressTokens (non-speech symbols +
@@ -233,6 +249,152 @@ class Transcriber:
             tokens[silent] = self.special.eot
         return tokens
 
+    # -- language detection ---------------------------------------------------
+
+    def _detect_language_voting(
+        self, audio: np.ndarray, audio_states, chunk_ids: list[int]
+    ) -> int:
+        """Detect language by VOTING over the first several speech-bearing
+        chunks instead of blindly trusting chunk 0 (a meeting that opens
+        with music/silence pinned the wrong language for the whole job —
+        round-1 review weak #4).  Chunks whose RMS energy is near-silence
+        are excluded from the vote; the per-chunk language distributions
+        of the rest are averaged."""
+        kk = max(1, min(len(chunk_ids), 8))
+        k = 1 << (kk.bit_length() - 1)  # largest power of two <= kk
+        ids = chunk_ids[:k]
+        rms = np.array(
+            [
+                float(
+                    np.sqrt(
+                        np.mean(
+                            np.square(
+                                audio[ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES],
+                                dtype=np.float64,
+                            )
+                        )
+                        + 1e-12
+                    )
+                )
+                for ci in ids
+            ]
+        )
+        # -54 dBFS absolute floor AND within 20 dB of the loudest chunk
+        voters = np.flatnonzero((rms >= 2e-3) & (rms >= 0.1 * rms.max()))
+        if voters.size == 0:
+            voters = np.array([int(rms.argmax())])
+        _, probs = decode_lib.detect_language(
+            self.params, self.cfg, audio_states[:k]
+        )
+        mean_probs = np.asarray(probs)[voters].mean(axis=0)
+        return int(mean_probs.argmax())
+
+    # -- conditioned (window-group) decoding ---------------------------------
+
+    def _chunk_slab(self, audio: np.ndarray, chunk_ids: list[int], bucket: int):
+        """Assemble an int16 (bucket, CHUNK_SAMPLES) slab for given chunks."""
+        chunk_arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
+        for j, ci in enumerate(chunk_ids):
+            piece = audio[ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES]
+            chunk_arr[j, : len(piece)] = np.clip(
+                piece * 32768.0, -32768, 32767
+            ).astype(np.int16)
+        chunks_dev = jnp.asarray(chunk_arr)
+        if self.mesh is not None:
+            chunks_dev = jax.device_put(
+                chunks_dev, mesh_lib.data_sharding(self.mesh)
+            )
+        return chunks_dev
+
+    def _transcribe_conditioned(
+        self, audio: np.ndarray, n_chunks: int, progress=None
+    ) -> np.ndarray:
+        """Window-group conditioned decode (see condition_on_previous_text).
+
+        Round r decodes window r of EVERY group in one batch, prompted with
+        <|startofprev|> + the group's accumulated text (openai's prompt
+        mechanism, reference: whisper.transcribe defaults inherited at
+        app/services/audio_processor.py:1076).  G rounds total, so wall
+        time ~G sequential decodes of batch ceil(n_chunks/G).
+        """
+        g_size = max(1, self.condition_group_size)
+        n_groups = math.ceil(n_chunks / g_size)
+        token_rows = np.full(
+            (n_chunks, self.max_new_tokens), self.special.eot, np.int32
+        )
+        histories: list[list[int]] = [[] for _ in range(n_groups)]
+
+        for r in range(g_size):
+            chunk_ids = [
+                g * g_size + r for g in range(n_groups) if g * g_size + r < n_chunks
+            ]
+            if not chunk_ids:
+                break
+            bucket = min(_bucket(len(chunk_ids)), self.max_chunk_batch)
+            if self.mesh is not None:
+                bucket = mesh_lib.round_up_batch(bucket, self.mesh)
+            # NOTE: groups beyond max_chunk_batch decode in sub-batches
+            for lo in range(0, len(chunk_ids), bucket):
+                ids = chunk_ids[lo : lo + bucket]
+                states = self._frontend_encode(
+                    self.params, self._chunk_slab(audio, ids, bucket)
+                )
+                if (
+                    r == 0
+                    and lo == 0
+                    and self.auto_language
+                    and self.language is None
+                    and self.cfg.is_multilingual
+                ):
+                    self._active_language = self._detect_language_voting(
+                        audio, states, ids
+                    )
+                lang = (
+                    self._active_language
+                    if self._active_language is not None
+                    else self.language
+                )
+                sot_seq = tuple(self.special.sot_sequence(language=lang))
+                hists = [histories[ci // g_size] for ci in ids]
+                hists += [[]] * (bucket - len(ids))  # padding rows
+                rows, lens = decode_lib.build_prompt_rows(
+                    hists, sot_seq, self.special, self.condition_ctx_tokens
+                )
+                result = decode_lib.prompted_greedy_decode(
+                    self.params,
+                    self.cfg,
+                    states,
+                    jnp.asarray(rows),
+                    jnp.asarray(lens),
+                    sot_len=len(sot_seq),
+                    max_new_tokens=self.max_new_tokens,
+                    use_timestamps=True,
+                    suppress_mask=self._suppress_mask,
+                    space_blank_id=self._space_blank_id,
+                    dtype_name=self.compute_dtype,
+                    quantize_cross_kv=self.quantize_cross_kv,
+                )
+                tokens = np.array(result.tokens)[: len(ids)]
+                if self.no_speech_threshold is not None:
+                    lengths = np.maximum(np.asarray(result.lengths)[: len(ids)], 1)
+                    avg_lp = (
+                        np.asarray(result.sum_logprob)[: len(ids)] / (lengths + 1)
+                    )
+                    silent = (
+                        np.asarray(result.no_speech_prob)[: len(ids)]
+                        > self.no_speech_threshold
+                    ) & (avg_lp < self.logprob_threshold)
+                    tokens[silent] = self.special.eot
+                for j, ci in enumerate(ids):
+                    token_rows[ci] = tokens[j]
+                    text_toks = [
+                        int(t) for t in tokens[j] if int(t) < self.special.eot
+                    ]
+                    histories[ci // g_size].extend(text_toks)
+            if progress:
+                progress(0.1 + 0.8 * (r + 1) / g_size)
+        return token_rows
+
     # -- main entry ---------------------------------------------------------
 
     def transcribe(
@@ -274,6 +436,13 @@ class Transcriber:
         if self.mesh is not None:
             slab = mesh_lib.round_up_batch(slab, self.mesh)
 
+        if self.condition_on_previous_text and self.beam_size == 0:
+            tokens = self._transcribe_conditioned(audio, n_chunks, progress)
+            return self._finalize(
+                tokens, n_chunks, duration_s, time_map, t0, progress,
+                states_per_slab=[], slab=slab, audio=audio,
+            )
+
         token_rows: list[np.ndarray] = []
         states_per_slab: list[Any] = []  # kept only for word alignment
         n_slabs = math.ceil(n_chunks / slab)
@@ -314,10 +483,9 @@ class Transcriber:
                 and self.language is None
                 and self.cfg.is_multilingual
             ):
-                lang_idx, _ = decode_lib.detect_language(
-                    self.params, self.cfg, audio_states[:1]
+                self._active_language = self._detect_language_voting(
+                    audio, audio_states, list(range(real))
                 )
-                self._active_language = int(lang_idx[0])
             # dispatch decode ASYNC and keep <=2 slabs in flight: the host
             # builds slab i+1 while the device decodes slab i (hides this
             # VM's jittery host time behind stable device time)
@@ -337,7 +505,18 @@ class Transcriber:
             drain_one()
 
         tokens = np.concatenate(token_rows, axis=0)
-        n_real = n_chunks
+        return self._finalize(
+            tokens, n_chunks, duration_s, time_map, t0, progress,
+            states_per_slab=states_per_slab, slab=slab, audio=audio,
+        )
+
+    def _finalize(
+        self, tokens, n_chunks, duration_s, time_map, t0, progress,
+        *, states_per_slab, slab, audio,
+    ) -> dict:
+        """Shared tail: tokens -> segments -> (words) -> result dict."""
+        import time as _time
+
         offsets = np.arange(n_chunks, dtype=np.float64) * 30.0
         # actual audio seconds per chunk (the last one is usually short) —
         # bounds unclosed trailing segments to real content, not 30 s

@@ -12,6 +12,8 @@ Implementation differences (by design):
 from __future__ import annotations
 
 import logging
+import os
+import threading
 import uuid
 from datetime import datetime
 from typing import Any
@@ -150,6 +152,14 @@ def make_api_blueprint(services: Any) -> Blueprint:
             return {"success": False, "error": "Job not completed yet"}, 400
         return {"success": True, "result": status.get("result", {})}
 
+    # SSE subscribers each hold a server thread; in the thread-per-request
+    # dev server a few dozen tabs would exhaust the pool, so cap concurrent
+    # streams and let excess clients degrade to the 3 s polling transport
+    # the frontend already implements (round-1 review weak #5).
+    sse_slots = {"active": 0}
+    sse_lock = threading.Lock()
+    sse_max = int(os.environ.get("APTPU_SSE_MAX_SUBSCRIBERS", "16"))
+
     @bp.route("/job/<job_id>/events")
     def job_events(request: Request, job_id: str):
         """Server-sent events: push status updates instead of 3 s polling
@@ -161,22 +171,33 @@ def make_api_blueprint(services: Any) -> Blueprint:
 
         if engine.store.get(job_id) is None:
             return {"success": False, "error": "Job not found"}, 404
+        with sse_lock:
+            if sse_slots["active"] >= sse_max:
+                return (
+                    {"success": False, "error": "Too many event streams; use polling"},
+                    503,
+                )
+            sse_slots["active"] += 1
 
         def stream():
-            last = None
-            deadline = _time.time() + 3600
-            while _time.time() < deadline:
-                status = engine.get_job_status(job_id)
-                if status is None:
-                    break
-                snapshot = (status["status"], status["progress"], status.get("message"))
-                if snapshot != last:
-                    last = snapshot
-                    yield f"data: {_json.dumps(status)}\n\n"
-                if status["status"] in ("completed", "failed", "cancelled"):
-                    break
-                _time.sleep(0.5)
-            yield "event: end\ndata: {}\n\n"
+            try:
+                last = None
+                deadline = _time.time() + 1800
+                while _time.time() < deadline:
+                    status = engine.get_job_status(job_id)
+                    if status is None:
+                        break
+                    snapshot = (status["status"], status["progress"], status.get("message"))
+                    if snapshot != last:
+                        last = snapshot
+                        yield f"data: {_json.dumps(status)}\n\n"
+                    if status["status"] in ("completed", "failed", "cancelled"):
+                        break
+                    _time.sleep(0.5)
+                yield "event: end\ndata: {}\n\n"
+            finally:
+                with sse_lock:
+                    sse_slots["active"] -= 1
 
         return StreamingResponse(stream())
 

@@ -216,6 +216,30 @@ const Tasks = {
       add("Speakers", Object.entries(r.identified_speakers).map(([k, v]) => `${k} → ${v}`).join(", "));
     }
     if (r.rtf_x) add("Speed", `${r.rtf_x}× real-time`);
+    if (r.segments && r.segments.length) {
+      // full speaker-attributed transcript (the reference UI surfaces it;
+      // round-1 review flagged its omission here)
+      const row = document.createElement("div");
+      row.className = "result-row";
+      row.innerHTML = "<strong>Transcript</strong>";
+      const box = document.createElement("div");
+      box.className = "transcript-box";
+      for (const seg of r.segments) {
+        const line = document.createElement("div");
+        line.className = "transcript-line";
+        const t = new Date(Math.max(0, seg.start) * 1000).toISOString().substr(11, 8);
+        const who = document.createElement("span");
+        who.className = "transcript-speaker";
+        who.textContent = `[${t}] ${seg.speaker || ""}`;
+        const txt = document.createElement("span");
+        txt.textContent = ` ${seg.text}`;
+        line.appendChild(who);
+        line.appendChild(txt);
+        box.appendChild(line);
+      }
+      row.appendChild(box);
+      body.appendChild(row);
+    }
     if (r.notion_page_url) {
       const link = document.createElement("a");
       link.href = r.notion_page_url;

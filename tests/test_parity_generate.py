@@ -184,3 +184,117 @@ def test_real_checkpoint_transcript():
     out = tr.transcribe(load_audio(case["wav"]), remove_silence=False)
     norm = lambda s: " ".join(s.lower().split())  # noqa: E731
     assert norm(out["text"]) == norm(case["expected_text"])
+
+
+# ---------------------------------------------------------------------------
+# Prompted decode (condition_on_previous_text machinery)
+# ---------------------------------------------------------------------------
+
+def test_prompted_decode_with_empty_history_equals_plain_greedy(hf_pair, rng):
+    """Left-padded prompt rows with NO history must reproduce plain greedy
+    exactly — pins the padding mask, per-row positions, and sot alignment."""
+    _, params = hf_pair
+    mel = rng.normal(0, 1, (2, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    sot_seq = (ST.sot,)
+
+    plain = decode.greedy_decode(
+        params, CFG, audio, sot_sequence=sot_seq,
+        max_new_tokens=12, use_timestamps=True,
+    )
+    rows, lens = decode.build_prompt_rows([[], []], sot_seq, ST, ctx_tokens=8)
+    prompted = decode.prompted_greedy_decode(
+        params, CFG, audio, jnp.asarray(rows), jnp.asarray(lens),
+        sot_len=len(sot_seq), max_new_tokens=12, use_timestamps=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prompted.tokens), np.asarray(plain.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(prompted.no_speech_prob), np.asarray(plain.no_speech_prob),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(prompted.sum_logprob), np.asarray(plain.sum_logprob),
+        atol=5e-3,
+    )
+
+
+def test_prompted_decode_padding_invariant(hf_pair, rng):
+    """A row decoded alongside a longer-history neighbour must match the
+    same row decoded alone — padding must be truly invisible."""
+    _, params = hf_pair
+    mel = rng.normal(0, 1, (2, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    sot_seq = (ST.sot,)
+    hist_a = [5, 9, 11]
+    hist_b = [7, 8, 13, 21, 40, 41, 42, 3]
+
+    rows, lens = decode.build_prompt_rows(
+        [hist_a, hist_b], sot_seq, ST, ctx_tokens=8
+    )
+    both = decode.prompted_greedy_decode(
+        params, CFG, audio, jnp.asarray(rows), jnp.asarray(lens),
+        sot_len=1, max_new_tokens=10, use_timestamps=True,
+    )
+    rows_a, lens_a = decode.build_prompt_rows([hist_a], sot_seq, ST, ctx_tokens=8)
+    alone = decode.prompted_greedy_decode(
+        params, CFG, audio[:1], jnp.asarray(rows_a), jnp.asarray(lens_a),
+        sot_len=1, max_new_tokens=10, use_timestamps=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(both.tokens)[0], np.asarray(alone.tokens)[0]
+    )
+
+
+def test_prompted_decode_matches_torch_reference(hf_pair, rng):
+    """Prompt conditioning parity vs torch: feeding [startofprev, ctx..,
+    sot] through the torch decoder (positions from 0, no padding) must
+    yield the same greedy continuation as our padded batched program."""
+    import torch
+
+    hf, params = hf_pair
+    mel = rng.normal(0, 1, (1, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    hist = [5, 17, 23, 42]
+    real_prompt = [ST.startofprev] + hist + [ST.sot]
+
+    with torch.no_grad():
+        enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state
+        seq = torch.tensor([real_prompt], dtype=torch.long)
+        emb_t = hf.decoder.embed_tokens.weight.T
+        ref = []
+        for _ in range(8):
+            hs = hf.decoder(input_ids=seq, encoder_hidden_states=enc).last_hidden_state
+            nxt = (hs[:, -1] @ emb_t).argmax(-1)
+            ref.append(int(nxt[0]))
+            seq = torch.cat([seq, nxt[:, None]], dim=1)
+
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    rows, lens = decode.build_prompt_rows([hist], (ST.sot,), ST, ctx_tokens=12)
+    res = decode.prompted_greedy_decode(
+        params, CFG, audio, jnp.asarray(rows), jnp.asarray(lens),
+        sot_len=1, max_new_tokens=8, use_timestamps=False,
+    )
+    ours = np.asarray(res.tokens)[0]
+    n = int((ours != ST.eot).sum())
+    np.testing.assert_array_equal(ours[: n + 1], np.asarray(ref)[: n + 1])
+
+
+def test_prompted_decode_history_changes_output(hf_pair, rng):
+    """Conditioning must actually influence the decode: different histories over
+    the same audio produce different continuations (random weights make
+    the decoder ultra-sensitive to context, so equality would mean the
+    prompt is being ignored)."""
+    _, params = hf_pair
+    mel = rng.normal(0, 1, (1, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(np.float32)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+
+    outs = []
+    for hist in ([], [5, 9, 11, 200, 300]):
+        rows, lens = decode.build_prompt_rows([hist], (ST.sot,), ST, ctx_tokens=8)
+        res = decode.prompted_greedy_decode(
+            params, CFG, audio, jnp.asarray(rows), jnp.asarray(lens),
+            sot_len=1, max_new_tokens=12, use_timestamps=False,
+        )
+        outs.append(np.asarray(res.tokens)[0])
+    assert not np.array_equal(outs[0], outs[1])

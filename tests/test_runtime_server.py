@@ -469,3 +469,22 @@ def test_api_drive_files_requires_auth(api_app):
     app, _ = api_app
     status, data, _ = call_app(app, "GET", "/api/drive/files")
     assert status == 401
+
+
+def test_api_sse_subscriber_cap(monkeypatch):
+    """Above the cap, /events degrades to 503 so clients fall back to
+    polling instead of pinning server threads (round-1 review weak #5)."""
+    from audio_processor_tpu.runtime.services import Services
+
+    monkeypatch.setenv("APTPU_SSE_MAX_SUBSCRIBERS", "0")
+    engine = JobEngine(max_workers=1)
+    try:
+        services = Services(engine=engine, processor=_InstantProcessor())
+        app = App(secret_key="k")
+        app.register_blueprint(api_mod.make_api_blueprint(services))
+        engine.create_job("capped")
+        status, data, _ = call_app(app, "GET", "/api/job/capped/events")
+        assert status == 503
+        assert "polling" in data["error"]
+    finally:
+        engine.shutdown(wait=False)
