@@ -5,9 +5,12 @@ gunicorn's 2 workers each get a private copy of — submitting to worker A
 makes the job invisible to worker B (latent defect; reference:
 app/services/audio_processor.py:60 x Dockerfile:44, SURVEY.md appendix).
 
-Here the store is an interface with two backends:
+Here the store is an interface with three backends:
   * SqliteJobStore — WAL-mode sqlite, safe across threads AND processes,
     jobs survive restarts (SURVEY.md §5.4 rebuild note);
+  * RedisJobStore — for multi-host serving, matching the reference's
+    Redis-centric deployment (docker-compose.yml:2-9; the reference only
+    kept CREDENTIALS there, never jobs);
   * MemoryJobStore — dict + lock for tests and single-process runs.
 
 Status vocabulary and payload shapes mirror the reference's job records
@@ -164,11 +167,100 @@ class SqliteJobStore:
         self._conn().execute("DELETE FROM jobs WHERE job_id=?", (job_id,))
 
 
+class RedisJobStore:
+    """Cross-HOST job store on Redis (the reference deployment's store,
+    which it used only for credentials — jobs lived in process memory and
+    died with the container).
+
+    Layout: `aptpu:job:{id}` JSON record, `aptpu:cancel:{id}` flag,
+    `aptpu:jobs` sorted set (score = created_at) for ordered listing.
+    update() is a WATCH/MULTI read-merge-write transaction so concurrent
+    workers can't lose fields.
+
+    A pre-built client can be injected (tests use an in-repo fake; this
+    image ships no redis daemon or redis-py).
+    """
+
+    PREFIX = "aptpu"
+
+    def __init__(self, url: str | None = None, client=None):
+        if client is None:
+            import redis  # lazy: optional dependency
+
+            client = redis.Redis.from_url(
+                url or "redis://localhost:6379/0", decode_responses=True
+            )
+            client.ping()
+        self.client = client
+
+    def _key(self, job_id: str) -> str:
+        return f"{self.PREFIX}:job:{job_id}"
+
+    def _cancel_key(self, job_id: str) -> str:
+        return f"{self.PREFIX}:cancel:{job_id}"
+
+    @property
+    def _index(self) -> str:
+        return f"{self.PREFIX}:jobs"
+
+    def create(self, job_id: str, record: dict) -> None:
+        self.client.set(self._key(job_id), json.dumps(record))
+        self.client.zadd(self._index, {job_id: _now()})
+
+    def get(self, job_id: str) -> dict | None:
+        raw = self.client.get(self._key(job_id))
+        return json.loads(raw) if raw else None
+
+    def update(self, job_id: str, **fields) -> None:
+        key = self._key(job_id)
+        with self.client.pipeline() as pipe:
+            while True:
+                try:
+                    pipe.watch(key)
+                    raw = pipe.get(key)
+                    if raw is None:
+                        pipe.unwatch()
+                        return
+                    rec = json.loads(raw)
+                    rec.update(fields)
+                    pipe.multi()
+                    pipe.set(key, json.dumps(rec))
+                    pipe.execute()
+                    return
+                except Exception as exc:  # noqa: BLE001 — retry only on WatchError
+                    if type(exc).__name__ != "WatchError":
+                        raise
+
+    def list(self) -> list[dict]:
+        ids = self.client.zrange(self._index, 0, -1)
+        out = []
+        for job_id in ids:
+            raw = self.client.get(self._key(job_id))
+            if raw:
+                out.append(json.loads(raw))
+        return out
+
+    def request_cancel(self, job_id: str) -> None:
+        self.client.set(self._cancel_key(job_id), "1")
+
+    def is_cancel_requested(self, job_id: str) -> bool:
+        return bool(self.client.get(self._cancel_key(job_id)))
+
+    def clear_cancel(self, job_id: str) -> None:
+        self.client.delete(self._cancel_key(job_id))
+
+    def delete(self, job_id: str) -> None:
+        self.client.delete(self._key(job_id), self._cancel_key(job_id))
+        self.client.zrem(self._index, job_id)
+
+
 def make_store(url: str | None = None):
-    """'memory://', 'sqlite:///path.db', or None -> memory."""
+    """'memory://', 'sqlite:///path.db', 'redis://host:port/db', or None."""
     if not url or url == "memory://":
         return MemoryJobStore()
     if url.startswith("sqlite://"):
         # sqlite:///abs/path keeps the leading slash; sqlite://rel.db is relative
         return SqliteJobStore(url[len("sqlite://"):] or "jobs.db")
+    if url.startswith("redis://") or url.startswith("rediss://"):
+        return RedisJobStore(url)
     raise ValueError(f"unknown job store url {url!r}")

@@ -488,3 +488,103 @@ def test_api_sse_subscriber_cap(monkeypatch):
         assert "polling" in data["error"]
     finally:
         engine.shutdown(wait=False)
+
+
+# ---------------------------------------------------------------------------
+# redis job store (against the in-repo fake; no daemon in this image)
+# ---------------------------------------------------------------------------
+
+def _redis_store():
+    from audio_processor_tpu.runtime.job_store import RedisJobStore
+    from tests.fake_redis import FakeRedis
+
+    return RedisJobStore(client=FakeRedis())
+
+
+def test_redis_store_crud():
+    store = _redis_store()
+    store.create("j1", {"id": "j1", "status": "pending", "progress": 0})
+    assert store.get("j1")["status"] == "pending"
+    store.update("j1", status="processing", progress=50)
+    assert store.get("j1")["progress"] == 50
+    assert len(store.list()) == 1
+    assert not store.is_cancel_requested("j1")
+    store.request_cancel("j1")
+    assert store.is_cancel_requested("j1")
+    store.clear_cancel("j1")
+    assert not store.is_cancel_requested("j1")
+    store.delete("j1")
+    assert store.get("j1") is None
+    assert store.list() == []
+
+
+def test_redis_store_ordered_listing():
+    store = _redis_store()
+    for i in range(5):
+        store.create(f"j{i}", {"id": f"j{i}", "status": "pending"})
+    assert [r["id"] for r in store.list()] == [f"j{i}" for i in range(5)]
+
+
+def test_redis_store_update_retries_on_watch_conflict():
+    """A concurrent write between WATCH and EXEC must retry, not lose
+    fields (the optimistic-transaction contract)."""
+    from tests.fake_redis import FakeRedis
+
+    r = FakeRedis()
+    from audio_processor_tpu.runtime.job_store import RedisJobStore
+
+    store = RedisJobStore(client=r)
+    store.create("j1", {"id": "j1", "status": "pending", "progress": 0})
+
+    real_multi = FakePipelineClass = type(r.pipeline())
+    conflicted = {"done": False}
+    orig_multi = FakePipelineClass.multi
+
+    def sneaky_multi(self):
+        # first attempt: simulate another worker bumping progress between
+        # our WATCH/read and MULTI/EXEC
+        if not conflicted["done"]:
+            conflicted["done"] = True
+            rec = json.loads(r.get("aptpu:job:j1"))
+            rec["progress"] = 77
+            r.set("aptpu:job:j1", json.dumps(rec))
+        return orig_multi(self)
+
+    FakePipelineClass.multi = sneaky_multi
+    try:
+        store.update("j1", status="processing")
+    finally:
+        FakePipelineClass.multi = orig_multi
+
+    rec = store.get("j1")
+    # the retry re-read the record, so the concurrent progress=77 survives
+    assert rec["status"] == "processing"
+    assert rec["progress"] == 77
+
+
+def test_redis_store_with_engine():
+    """Full JobEngine lifecycle on the redis backend."""
+    from audio_processor_tpu.runtime.job_store import RedisJobStore
+    from tests.fake_redis import FakeRedis
+
+    engine = JobEngine(max_workers=1, store=RedisJobStore(client=FakeRedis()))
+    try:
+        engine.create_job("r1")
+        done = threading.Event()
+
+        def work(ctx):
+            ctx.stage(50, "halfway")
+            done.set()
+            return {"ok": True}
+
+        engine.submit("r1", work)
+        assert done.wait(10)
+        for _ in range(100):
+            if engine.get_job_status("r1")["status"] == "completed":
+                break
+            time.sleep(0.05)
+        status = engine.get_job_status("r1")
+        assert status["status"] == "completed"
+        assert status["result"] == {"ok": True}
+    finally:
+        engine.shutdown(wait=False)
