@@ -121,6 +121,51 @@ def cmd_convert_diarizer(args) -> None:
     print(f"converted -> {args.out}")
 
 
+def cmd_train_segmentation(args) -> None:
+    """Train the TPU-native segmentation net with the powerset loss.
+
+    Synthetic mixtures by default (hermetic smoke-training / calibration);
+    real corpora plug in by replacing the batch source."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.diarization import segmentation_tpu as seg
+    from .models.diarization.segmentation import powerset_matrix
+    from .training import diarization_trainer as dt
+
+    cfg = seg.TpuSegmentationConfig(window_s=args.window_s)
+    member = powerset_matrix(cfg)
+    lut = dt.powerset_lookup(member)
+    member_j, lut_j = jnp.asarray(member), jnp.asarray(lut)
+    rng = np.random.default_rng(args.seed)
+    state = dt.init_train_state(cfg, jax.random.PRNGKey(args.seed), lr=args.lr)
+
+    for step in range(args.steps):
+        xs, ys = zip(*(dt.synth_mixture(rng, cfg) for _ in range(args.batch)))
+        state, loss = dt.train_step(
+            state, cfg, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
+            member_j, lut_j, lr=args.lr,
+        )
+        if step % max(1, args.steps // 10) == 0 or step == args.steps - 1:
+            print(f"step {step:4d}  powerset loss {float(loss):.4f}")
+
+    if args.out:
+        flat = {}
+
+        def flatten(tree, prefix=""):
+            for k, v in tree.items():
+                key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+                if isinstance(v, dict):
+                    flatten(v, key)
+                else:
+                    flat[key] = np.asarray(v)
+
+        flatten(state.params)
+        np.savez(args.out, **flat)
+        print(f"saved {len(flat)} arrays -> {args.out}")
+
+
 def cmd_wer(args) -> None:
     from .utils.metrics import word_error_rate
 
@@ -173,6 +218,18 @@ def main(argv: list[str] | None = None) -> None:
     cd.add_argument("embedding", help="ResNet34 embedding checkpoint (.pt)")
     cd.add_argument("out")
     cd.set_defaults(fn=cmd_convert_diarizer)
+
+    ts = sub.add_parser(
+        "train-segmentation",
+        help="train the TPU-native segmentation net (powerset loss)",
+    )
+    ts.add_argument("--steps", type=int, default=100)
+    ts.add_argument("--batch", type=int, default=8)
+    ts.add_argument("--lr", type=float, default=1e-3)
+    ts.add_argument("--window-s", type=float, default=10.0, dest="window_s")
+    ts.add_argument("--seed", type=int, default=0)
+    ts.add_argument("--out", help="save trained params to this .npz")
+    ts.set_defaults(fn=cmd_train_segmentation)
 
     w = sub.add_parser("wer", help="word error rate between two text files")
     w.add_argument("reference")
