@@ -9,7 +9,9 @@ WORKDIR /app
 # ffmpeg: only used as a container-format decoder fallback for m4a/ogg;
 # WAV decoding is first-party (audio_processor_tpu/pipeline/ingest.py)
 RUN apt-get update \
-    && apt-get install -y --no-install-recommends ffmpeg g++ make \
+    && apt-get install -y --no-install-recommends \
+        g++ make libavformat-dev libavcodec-dev libavutil-dev \
+        libswresample-dev \
     && rm -rf /var/lib/apt/lists/*
 
 COPY requirements.txt ./

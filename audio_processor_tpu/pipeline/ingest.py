@@ -1,11 +1,16 @@
 """Audio ingest: any container -> 16 kHz mono float32 numpy.
 
-The reference unconditionally shells out to ffmpeg for `-ar 16000 -ac 1`
-conversion (reference: app/services/audio_processor.py:901-930).  Here WAV
-is decoded first-party (utils/wavio + native C++ decoder when built) and
-resampled on-device (ops/frontend.resample); non-WAV containers
-(m4a/ogg/mp3) fall back to an ffmpeg binary if one exists on the host —
-this image ships none, so tests exercise the WAV path.
+The reference unconditionally shells out to an ffmpeg BINARY for
+`-ar 16000 -ac 1` conversion (reference: app/services/audio_processor.py:
+901-930).  Here everything is in-process:
+
+  * WAV       -> native C++ parser+resampler (native/audio_io.cc), pure-
+                 Python wavio fallback;
+  * m4a/aac/mp3/ogg/flac/... -> native C++ module linking the system codec
+                 libraries (native/media_decode.cc) — the product's actual
+                 input is .m4a Drive recordings, decoded with no subprocess
+                 and no ffmpeg binary;
+  * last resort: a host `ffmpeg` binary, if one exists.
 """
 from __future__ import annotations
 
@@ -45,7 +50,18 @@ def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
         try:
             return _load_wav(path, target_sr)
         except ValueError as exc:
-            logger.warning("WAV decode failed (%s); trying ffmpeg", exc)
+            logger.warning("WAV decode failed (%s); trying media decoders", exc)
+    # compressed containers: in-process codec-library decode first
+    try:
+        from ..native import media
+
+        if media.available():
+            samples, _ = media.decode(path, target_sr)
+            return samples
+    except ValueError:
+        raise ValueError(f"cannot decode {path!r}: no decodable audio stream")
+    except Exception as exc:  # noqa: BLE001 — library missing: keep falling back
+        logger.debug("native media decode unavailable (%s)", exc)
     if ffmpeg_available():
         return _load_via_ffmpeg(path, target_sr)
     raise ValueError(
