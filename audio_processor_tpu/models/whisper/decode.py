@@ -201,17 +201,19 @@ def precompute_cross_attn(
     return ks, vs
 
 
-def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(layer, batch, head, channel) symmetric int8 over the time axis.
+def _quantize_kv(x: jnp.ndarray, bits: int = 8) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(layer, batch, head, channel) symmetric int8/int4 over time.
 
     The scale folds back losslessly: into q for K (scores = (q*scale)·k8)
     and after the probs matmul for V (out = (p·v8)*scale), so dequant costs
-    nothing extra — the win is halved HBM traffic on the decode loop's
-    dominant stream (the cross-attention cache: L*B*1500*d bytes per step).
+    nothing extra — the win is halved (int8) or quartered (int4) HBM
+    traffic on the decode loop's dominant stream (the cross-attention
+    cache: L*B*1500*d bytes per step).
     """
+    qmax = 127.0 if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(x), axis=2, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(x / scale), -qmax, qmax).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
 
 
@@ -223,17 +225,23 @@ def init_cache(
     dtype=jnp.float32,
     quantize_cross_kv: bool = False,
     kernel_layout: bool = False,
+    kv_bits: int = 8,
 ) -> Cache:
     """kernel_layout=True stores the int8 cross cache transposed+padded for
     the fused Pallas decode-attention kernel: K as (L,B,H,Dh,Tpad) so the
-    long axis sits on the 128-lane dim, V as (L,B,H,Tpad,Dh)."""
+    long axis sits on the 128-lane dim, V as (L,B,H,Tpad,Dh).
+
+    kv_bits=4 (kernel_layout only) nibble-packs two int4 values per byte in
+    the de-interleaved time order the int4 kernel expects — half the int8
+    stream's bytes on the decode loop's dominant HBM term."""
     b = audio_states.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
     shape = (cfg.n_text_layer, b, max_len, h, dh)
     ck, cv = precompute_cross_attn(params, cfg, audio_states.astype(dtype))
     if quantize_cross_kv:
-        ck8, ks = _quantize_kv(ck.astype(jnp.float32))
-        cv8, vs = _quantize_kv(cv.astype(jnp.float32))
+        bits = kv_bits if kernel_layout else 8
+        ck8, ks = _quantize_kv(ck.astype(jnp.float32), bits=bits)
+        cv8, vs = _quantize_kv(cv.astype(jnp.float32), bits=bits)
         if kernel_layout:
             ta = ck8.shape[2]
             pad = (-ta) % 128
@@ -241,6 +249,10 @@ def init_cache(
             ck8 = jnp.pad(ck8, ((0, 0),) * 4 + ((0, pad),))
             cv8 = jnp.transpose(cv8, (0, 1, 3, 2, 4))  # (L,B,H,Ta,Dh)
             cv8 = jnp.pad(cv8, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+            if bits == 4:
+                from ...ops.pallas import decode_attention as da
+
+                ck8, cv8 = da.pack_int4_time(ck8, cv8)
         return Cache(
             self_k=jnp.zeros(shape, dtype),
             self_v=jnp.zeros(shape, dtype),
@@ -300,6 +312,7 @@ def decoder_forward_cached(
     pos: jnp.ndarray,  # scalar int: write offset into the cache
     pos_offset: jnp.ndarray | None = None,  # (B,) per-row logical offset
     min_valid: jnp.ndarray | None = None,  # (B,) first visible cache slot
+    kv_bits: int = 8,  # cross-cache precision when kernel-layout quantized
 ) -> tuple[jnp.ndarray, Cache]:
     """Run the decoder over T new tokens, appending K/V to the cache at pos.
 
@@ -373,14 +386,20 @@ def decoder_forward_cached(
             if kernel_layout:
                 from ...ops.pallas import decode_attention as da
 
-                if jax.default_backend() == "tpu":
-                    ox = da.cross_attention_int8(
-                        qx, ck, cv, valid_len=cfg.n_audio_ctx
+                on_tpu = jax.default_backend() == "tpu"
+                if kv_bits == 4:
+                    fn = (
+                        da.cross_attention_int4
+                        if on_tpu
+                        else da.cross_attention_int4_reference
                     )
                 else:
-                    ox = da.cross_attention_int8_reference(
-                        qx, ck, cv, valid_len=cfg.n_audio_ctx
+                    fn = (
+                        da.cross_attention_int8
+                        if on_tpu
+                        else da.cross_attention_int8_reference
                     )
+                ox = fn(qx, ck, cv, valid_len=cfg.n_audio_ctx)
                 ox = ox.astype(x.dtype)
             else:
                 full = jnp.full((t,), ck.shape[1])
@@ -511,6 +530,7 @@ def _sample_loop(
     penult_init: jnp.ndarray,  # (B,)
     pos_offset: jnp.ndarray | None = None,
     min_valid: jnp.ndarray | None = None,
+    kv_bits: int = 8,
 ):
     """The greedy/sampling while_loop shared by plain and prompted decode.
 
@@ -592,7 +612,7 @@ def _sample_loop(
         step_cache = Cache(s.self_k, s.self_v, *cross)
         logits, new_cache = decoder_forward_cached(
             params, cfg, next_tok[:, None], step_cache, start_pos + s.step,
-            pos_offset=pos_offset, min_valid=min_valid,
+            pos_offset=pos_offset, min_valid=min_valid, kv_bits=kv_bits,
         )
         return LoopState(
             step=s.step + 1,
@@ -616,6 +636,7 @@ def _sample_loop(
 _GREEDY_STATIC_ARGNAMES = (
     "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
     "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
+    "kv_bits",
 )
 
 
@@ -632,6 +653,7 @@ def _greedy_decode_impl(
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
     use_pallas_kernel: bool = False,
+    kv_bits: int = 8,
     temperature: float = 0.0,
     rng_seed: int = 0,
 ) -> DecodeResult:
@@ -651,15 +673,20 @@ def _greedy_decode_impl(
     prompt_len = len(sot_sequence)
     max_len = prompt_len + max_new_tokens
 
+    kernel_layout = quantize_cross_kv and (use_pallas_kernel or kv_bits == 4)
     cache = init_cache(
         params, cfg, audio_states, max_len, dtype=dtype,
         quantize_cross_kv=quantize_cross_kv,
-        kernel_layout=use_pallas_kernel and quantize_cross_kv,
+        kernel_layout=kernel_layout,
+        kv_bits=kv_bits,
     )
+    kv_bits_eff = kv_bits if kernel_layout else 8
 
     # --- prefill the SOT sequence
     prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b, 1))
-    logits, cache = decoder_forward_cached(params, cfg, prompt, cache, jnp.int32(0))
+    logits, cache = decoder_forward_cached(
+        params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff
+    )
     sot_probs = jax.nn.softmax(logits[:, 0], axis=-1)
     no_speech_prob = sot_probs[:, st.no_speech] if st.no_speech < cfg.n_vocab else jnp.zeros((b,))
     last_logits = logits[:, -1]
@@ -675,6 +702,7 @@ def _greedy_decode_impl(
         rng_seed=rng_seed,
         last_init=jnp.full((b,), sot_sequence[-1], jnp.int32),
         penult_init=jnp.full((b,), sot_sequence[0], jnp.int32),
+        kv_bits=kv_bits_eff,
     )
     return DecodeResult(
         tokens=tokens,

@@ -17,13 +17,12 @@ K's dequant scale is folded into q by the caller; V's is applied after.
 Padding positions (Ta -> multiple of 128) are masked to -inf before the
 softmax.
 
-Status: numerically verified against the jnp twin (interpret mode exact;
-compiled-on-TPU agrees to bf16-MXU tolerance, same as the standard bf16
-attention path).  After the fori-over-layers cache restructure, XLA's own
-lowering of the int8 path reaches the same step time (~12 ms at batch 64,
-whisper-small), so this kernel is OPT-IN (use_pallas_kernel=True) — kept
-as the vehicle for future decode-attention work (head-pair lane packing,
-f32-scores variant).
+Status (v2): the int8 kernel matches XLA's own int8 lowering (~12.4-12.6
+ms/step at batch 64 whisper-small) and stays OPT-IN; the int4 NIBBLE-
+PACKED variant below is the one that pays — 8.68 ms/step on the same
+config (30% faster than the XLA int8 path) by halving the dominant HBM
+stream, and is the production DEFAULT via Transcriber(cross_kv_bits=4).
+Measured on the v5e, median of 3 x 64-step runs, 2026-08-16.
 
 Layouts:
 
@@ -111,3 +110,123 @@ def cross_attention_int8_reference(
     scores = jnp.where(mask[None, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqt,bhtd->bqhd", probs, v8.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# int4 variant: nibble-packed KV, HALF the HBM bytes of the int8 stream
+# ---------------------------------------------------------------------------
+#
+# The decode loop is bandwidth-bound on the cross-KV stream, so int4 cuts
+# the dominant term ~2x.  jnp.int4 hits a jax bug on this platform
+# (RecursionError in astype), so two int4 values ride one int8 byte and the
+# kernel unpacks with shifts.
+#
+# Packing layout trick: attention is permutation-invariant over the time
+# axis (softmax + weighted sum), so instead of re-INTERLEAVING nibbles
+# after unpack (an expensive lane shuffle), time is stored DE-INTERLEAVED:
+# the unpacked low nibbles are times [0,2,4,...] and the high nibbles times
+# [1,3,5,...], and a simple concat yields K/V in the permuted time order
+# pi = [evens..., odds...].  Only the validity mask needs to know pi.
+
+
+def pack_int4_time(
+    k8: jnp.ndarray,  # (..., Dh, Tpad) int4-valued int8 (K, time = lanes)
+    v8: jnp.ndarray,  # (..., Tpad, Dh) int4-valued int8 (V, time = sublanes)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nibble-pack K along lanes and V along sublanes (time pairs)."""
+    lo_k = k8[..., 0::2].astype(jnp.int32)
+    hi_k = k8[..., 1::2].astype(jnp.int32)
+    k4 = ((lo_k & 0xF) | ((hi_k & 0xF) << 4)).astype(jnp.int8)
+    lo_v = v8[..., 0::2, :].astype(jnp.int32)
+    hi_v = v8[..., 1::2, :].astype(jnp.int32)
+    v4 = ((lo_v & 0xF) | ((hi_v & 0xF) << 4)).astype(jnp.int8)
+    return k4, v4
+
+
+def _unpack_nibbles(p8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 -> (low nibble, high nibble), both sign-extended int32."""
+    x = p8.astype(jnp.int32)
+    lo = (x << 28) >> 28
+    hi = (x << 24) >> 28
+    return lo, hi
+
+
+def _deinterleaved_valid_mask(tq: int, tpad: int, valid_len: int):
+    """(Tq, Tpad) bool mask for the pi=[evens, odds] time order."""
+    half = tpad // 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (tq, tpad), 1)
+    orig = jnp.where(j < half, 2 * j, 2 * (j - half) + 1)
+    return orig < valid_len
+
+
+def _kernel_int4(q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int, n_head: int):
+    tq = q_ref.shape[1]
+    tpad = k4_ref.shape[3] * 2
+    dh = q_ref.shape[3]
+    scale = 1.0 / math.sqrt(dh)
+    valid = _deinterleaved_valid_mask(tq, tpad, valid_len)
+    neg = jnp.float32(-1e30)
+
+    for h in range(n_head):
+        lo_k, hi_k = _unpack_nibbles(k4_ref[0, h])  # (Dh, Tpad/2) each
+        k_h = jnp.concatenate([lo_k, hi_k], axis=1).astype(jnp.float32)
+        lo_v, hi_v = _unpack_nibbles(v4_ref[0, h])  # (Tpad/2, Dh) each
+        v_h = jnp.concatenate([lo_v, hi_v], axis=0).astype(jnp.float32)
+        q_h = q_ref[0, :, h, :].astype(jnp.float32)  # (Tq, Dh)
+        scores = jnp.dot(q_h, k_h, preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(valid, scores, neg)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32) / denom
+        out_ref[0, :, h, :] = o
+
+
+@functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))
+def cross_attention_int4(
+    q: jnp.ndarray,  # (B, Tq, H, Dh) — int4 K-scale already folded in
+    k4: jnp.ndarray,  # (B, H, Dh, Tpad//2) nibble-packed int8
+    v4: jnp.ndarray,  # (B, H, Tpad//2, Dh) nibble-packed int8
+    *,
+    valid_len: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, tq, h, dh = q.shape
+    thalf = k4.shape[3]
+    kernel = functools.partial(_kernel_int4, valid_len=valid_len, n_head=h)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tq, h, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, dh, thalf), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, thalf, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, h, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, dh), jnp.float32),
+        interpret=interpret,
+    )(q, k4, v4)
+
+
+def cross_attention_int4_reference(
+    q: jnp.ndarray, k4: jnp.ndarray, v4: jnp.ndarray, *, valid_len: int
+) -> jnp.ndarray:
+    """jnp twin operating on the packed arrays (CPU / non-TPU fallback)."""
+    dh = q.shape[-1]
+    tq = q.shape[1]
+    x_k = k4.astype(jnp.int32)
+    k_full = jnp.concatenate(
+        [(x_k << 28) >> 28, (x_k << 24) >> 28], axis=3
+    ).astype(jnp.float32)  # (B, H, Dh, Tpad) in pi order
+    x_v = v4.astype(jnp.int32)
+    v_full = jnp.concatenate(
+        [(x_v << 28) >> 28, (x_v << 24) >> 28], axis=2
+    ).astype(jnp.float32)  # (B, H, Tpad, Dh) in pi order
+    scores = jnp.einsum("bqhd,bhdt->bhqt", q.astype(jnp.float32), k_full) / math.sqrt(dh)
+    tpad = k_full.shape[3]
+    valid = _deinterleaved_valid_mask(tq, tpad, valid_len)  # (Tq, Tpad)
+    scores = jnp.where(valid[None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqt,bhtd->bqhd", probs, v_full)

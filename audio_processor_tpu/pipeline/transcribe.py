@@ -62,7 +62,14 @@ class Transcriber:
     compute_dtype: str = "bfloat16"
     max_new_tokens: int = 224
     mesh: Any = None  # jax.sharding.Mesh or None for single-device
-    quantize_cross_kv: bool = True  # int8 cross-attention cache (+21% RTFx)
+    quantize_cross_kv: bool = True  # quantized cross-attention cache
+    # nibble-packed int4 cross-KV via the Pallas kernel: halves the decode
+    # loop's dominant HBM stream vs int8 — measured 8.68 ms/step vs
+    # 12.37 ms (XLA int8) at batch 64 whisper-small on v5e, a 30% step-time
+    # win (ops/pallas/decode_attention.py).  Per-(head,channel) scales keep
+    # the quantisation error bounded (logit gate in test_whisper_model);
+    # set 8 to fall back to the int8 path
+    cross_kv_bits: int = 4
     beam_size: int = 0  # 0 = greedy; >0 = beam search (no temperature ladder)
     # quality-gated temperature fallback (openai-whisper's retry heuristic,
     # which the reference depends on implicitly via model.transcribe):
@@ -203,6 +210,7 @@ class Transcriber:
             space_blank_id=self._space_blank_id,
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
+            kv_bits=self.cross_kv_bits,
             temperature=temperature,
             rng_seed=seed,
         )

@@ -28,7 +28,11 @@ def main() -> None:
     ap.add_argument("--tokens-per-chunk", type=int, default=96)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-int8-kv", action="store_true",
-                    help="disable int8 cross-attention cache")
+                    help="disable the quantized cross-attention cache")
+    ap.add_argument("--kv-bits", type=int, default=4, choices=(4, 8),
+                    help="cross-KV precision: 4 = nibble-packed Pallas "
+                    "kernel (production default, ~30%% faster step), 8 = "
+                    "plain int8")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
@@ -102,6 +106,7 @@ def main() -> None:
             suppress_mask=suppress_mask,
             dtype_name=args.dtype,
             quantize_cross_kv=not args.no_int8_kv,
+            kv_bits=args.kv_bits,
         )
         return res.tokens
 
@@ -129,7 +134,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, int8 cross-KV {'off' if args.no_int8_kv else 'on'})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),

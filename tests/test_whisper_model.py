@@ -341,3 +341,79 @@ def test_bpe_tokenizer_roundtrip(tmp_path):
     assert vocab["hello"] in ids
     # non-ascii text roundtrips through the byte table
     assert tok.decode(tok.encode("héllo ✓")) == "héllo ✓"
+
+
+# ---------------------------------------------------------------------------
+# int4 nibble-packed cross-KV (decode-attention kernel v2)
+# ---------------------------------------------------------------------------
+
+def test_int4_pack_reference_matches_dequantized_float():
+    """The packed int4 attention (jnp twin) must EXACTLY equal float
+    attention over the dequantised int4 values with the same mask —
+    packing/unpacking and the de-interleaved time order lose nothing."""
+    from audio_processor_tpu.ops.pallas import decode_attention as da
+
+    rng = np.random.default_rng(0)
+    b, tq, h, dh, tpad, valid = 2, 2, 3, 64, 256, 200
+    q = jnp.asarray(rng.normal(0, 1, (b, tq, h, dh)).astype(np.float32))
+    k_vals = rng.integers(-7, 8, (b, h, dh, tpad)).astype(np.int8)
+    v_vals = rng.integers(-7, 8, (b, h, tpad, dh)).astype(np.int8)
+    k4, v4 = da.pack_int4_time(jnp.asarray(k_vals), jnp.asarray(v_vals))
+    assert k4.shape == (b, h, dh, tpad // 2)
+    assert v4.shape == (b, h, tpad // 2, dh)
+
+    got = np.asarray(da.cross_attention_int4_reference(q, k4, v4, valid_len=valid))
+    # float oracle over the SAME integer values, original time order
+    import math as _math
+
+    scores = np.einsum("bqhd,bhdt->bhqt", np.asarray(q), k_vals.astype(np.float32))
+    scores /= _math.sqrt(dh)
+    scores[..., valid:] = -1e30
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqt,bhtd->bqhd", p, v_vals.astype(np.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_kernel_interpret_matches_reference():
+    from audio_processor_tpu.ops.pallas import decode_attention as da
+
+    rng = np.random.default_rng(1)
+    b, tq, h, dh, tpad, valid = 2, 3, 2, 64, 256, 190
+    q = jnp.asarray(rng.normal(0, 1, (b, tq, h, dh)).astype(np.float32))
+    k_vals = jnp.asarray(rng.integers(-7, 8, (b, h, dh, tpad)), jnp.int8)
+    v_vals = jnp.asarray(rng.integers(-7, 8, (b, h, tpad, dh)), jnp.int8)
+    k4, v4 = da.pack_int4_time(k_vals, v_vals)
+    ref = np.asarray(da.cross_attention_int4_reference(q, k4, v4, valid_len=valid))
+    out = np.asarray(da.cross_attention_int4(q, k4, v4, valid_len=valid, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_int4_cross_kv_decode_tracks_int8(hf_pair, mel):
+    """kv_bits=4 end-to-end greedy decode stays close to the int8 path."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8,
+              quantize_cross_kv=True)
+    a = decode.greedy_decode(params, CFG, audio, **kw)
+    b = decode.greedy_decode(params, CFG, audio, kv_bits=4, **kw)
+    assert b.tokens.shape == a.tokens.shape
+    # logit-level check on the prefill step: int4 attention error stays
+    # bounded (random weights = worst case; real activations are smoother)
+    cache8 = decode.init_cache(params, CFG, audio, max_len=4, quantize_cross_kv=True)
+    cache4 = decode.init_cache(
+        params, CFG, audio, max_len=4, quantize_cross_kv=True,
+        kernel_layout=True, kv_bits=4,
+    )
+    toks = jnp.full((audio.shape[0], 1), st.sot, jnp.int32)
+    l8, _ = decode.decoder_forward_cached(params, CFG, toks, cache8, jnp.int32(0))
+    l4, _ = decode.decoder_forward_cached(
+        params, CFG, toks, cache4, jnp.int32(0), kv_bits=4
+    )
+    rel = np.abs(np.asarray(l8) - np.asarray(l4)).max() / np.abs(np.asarray(l8)).max()
+    assert rel < 0.15, rel
+    # packed: two times per byte over the 128-padded time axis
+    tpad = -(-CFG.n_audio_ctx // 128) * 128
+    assert cache4.cross_k.shape[-1] * 2 == tpad
+    assert cache4.cross_k.dtype == jnp.int8
