@@ -136,19 +136,38 @@ class MeetingProcessor:
                     ),
                 )
 
-            try:
-                asr = _run_transcribe(self.transcriber)
-            except Exception as exc:  # noqa: BLE001 — model-fallback boundary
-                if self.fallback_transcriber is None:
-                    raise
-                logger.warning(
-                    "primary transcriber failed (%s); retrying with fallback model",
-                    exc,
-                )
-                asr = _run_transcribe(self.fallback_transcriber)
-            segments_raw = asr["segments"]
+            # device-trace hook (SURVEY §5.1): APTPU_PROFILE_DIR=<dir> wraps
+            # the device-heavy stages in a jax.profiler trace, one
+            # subdirectory per job, viewable in TensorBoard/XProf — on top
+            # of the per-stage wall timings every job records
+            import contextlib
 
-            turns = self.diarizer.diarize(audio) if self.diarizer is not None else []
+            profile_dir = os.environ.get("APTPU_PROFILE_DIR")
+            if profile_dir:
+                import jax as _jax
+
+                trace_cm = _jax.profiler.trace(
+                    os.path.join(profile_dir, f"job_{ctx.job_id}")
+                )
+            else:
+                trace_cm = contextlib.nullcontext()
+
+            with trace_cm:
+                try:
+                    asr = _run_transcribe(self.transcriber)
+                except Exception as exc:  # noqa: BLE001 — model-fallback boundary
+                    if self.fallback_transcriber is None:
+                        raise
+                    logger.warning(
+                        "primary transcriber failed (%s); retrying with fallback model",
+                        exc,
+                    )
+                    asr = _run_transcribe(self.fallback_transcriber)
+                segments_raw = asr["segments"]
+
+                turns = (
+                    self.diarizer.diarize(audio) if self.diarizer is not None else []
+                )
             segments = fuse.fuse_segments(segments_raw, turns)
             ctx.partial["segments"] = segments
 

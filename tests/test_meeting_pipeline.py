@@ -185,3 +185,43 @@ def test_meeting_job_missing_file():
         assert st["status"] == "failed"
     finally:
         engine.shutdown(wait=False)
+
+
+def test_profile_dir_writes_device_trace(tmp_path, monkeypatch):
+    """APTPU_PROFILE_DIR wraps the device stages in a jax.profiler trace
+    (SURVEY §5.1 tracing subsystem)."""
+    import os
+
+    from audio_processor_tpu.pipeline.meeting import MeetingProcessor
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+    from audio_processor_tpu.runtime.job_engine import JobEngine
+    from audio_processor_tpu.utils import wavio
+
+    monkeypatch.setenv("APTPU_PROFILE_DIR", str(tmp_path / "traces"))
+    rng = np.random.default_rng(0)
+    wav = str(tmp_path / "a.wav")
+    wavio.write_wav(wav, rng.normal(0, 0.1, 32000).astype(np.float32), 16000)
+
+    engine = JobEngine(max_workers=1)
+    try:
+        proc = MeetingProcessor(
+            transcriber=Transcriber.random_init(
+                "test", compute_dtype="float32", max_new_tokens=4
+            ),
+            diarizer=None,
+        )
+        engine.create_job("prof1")
+        engine.submit("prof1", lambda ctx: proc.process(ctx, wav))
+        for _ in range(400):
+            st = engine.get_job_status("prof1")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "completed", st
+        trace_root = tmp_path / "traces" / "job_prof1"
+        assert trace_root.exists()
+        # a trace produces at least one .xplane.pb / trace event file
+        found = [p for p in trace_root.rglob("*") if p.is_file()]
+        assert found, "no trace artifacts written"
+    finally:
+        engine.shutdown(wait=False)
