@@ -178,12 +178,17 @@ def space_blank_token_id(tokenizer, st: SpecialTokens) -> int | None:
 # ---------------------------------------------------------------------------
 
 class Cache(NamedTuple):
-    self_k: jnp.ndarray  # (L, B, T_max, H, Dh)
+    self_k: jnp.ndarray  # (L, B, T_max, H, Dh) — int8 when self-quantised
     self_v: jnp.ndarray
     cross_k: jnp.ndarray  # (L, B, T_audio, H, Dh) — int8 when quantised
     cross_v: jnp.ndarray
     cross_k_scale: jnp.ndarray | None = None  # (L, B, 1, H, Dh)
     cross_v_scale: jnp.ndarray | None = None
+    # per-TOKEN self-cache scales (L, B, T_max, H, 1): quantisation is over
+    # the channel axis at write time, so the scale folds after the QK^T
+    # matmul (K) and into the probs (V) — zero extra matmuls
+    self_k_scale: jnp.ndarray | None = None
+    self_v_scale: jnp.ndarray | None = None
 
 
 def precompute_cross_attn(
@@ -226,6 +231,7 @@ def init_cache(
     quantize_cross_kv: bool = False,
     kernel_layout: bool = False,
     kv_bits: int = 8,
+    quantize_self_kv: bool = False,
 ) -> Cache:
     """kernel_layout=True stores the int8 cross cache transposed+padded for
     the fused Pallas decode-attention kernel: K as (L,B,H,Dh,Tpad) so the
@@ -237,6 +243,17 @@ def init_cache(
     b = audio_states.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
     shape = (cfg.n_text_layer, b, max_len, h, dh)
+    if quantize_self_kv:
+        self_k = jnp.zeros(shape, jnp.int8)
+        self_v = jnp.zeros(shape, jnp.int8)
+        self_scales = dict(
+            self_k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            self_v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+        )
+    else:
+        self_k = jnp.zeros(shape, dtype)
+        self_v = jnp.zeros(shape, dtype)
+        self_scales = {}
     ck, cv = precompute_cross_attn(params, cfg, audio_states.astype(dtype))
     if quantize_cross_kv:
         bits = kv_bits if kernel_layout else 8
@@ -254,18 +271,20 @@ def init_cache(
 
                 ck8, cv8 = da.pack_int4_time(ck8, cv8)
         return Cache(
-            self_k=jnp.zeros(shape, dtype),
-            self_v=jnp.zeros(shape, dtype),
+            self_k=self_k,
+            self_v=self_v,
             cross_k=ck8,
             cross_v=cv8,
             cross_k_scale=ks,
             cross_v_scale=vs,
+            **self_scales,
         )
     return Cache(
-        self_k=jnp.zeros(shape, dtype),
-        self_v=jnp.zeros(shape, dtype),
+        self_k=self_k,
+        self_v=self_v,
         cross_k=ck.astype(dtype),
         cross_v=cv.astype(dtype),
+        **self_scales,
     )
 
 
@@ -273,7 +292,9 @@ def init_cache(
 # Cached decoder forward (prefill with T>1, or single-step with T=1)
 # ---------------------------------------------------------------------------
 
-def _cached_attention(q, k_cache, v_cache, t_valid, min_valid=None):
+def _cached_attention(
+    q, k_cache, v_cache, t_valid, min_valid=None, k_scale=None, v_scale=None
+):
     """q (B,T,H,Dh) against a (B,T_max,H,Dh) cache; positions >= t_valid masked.
 
     t_valid: (T,) absolute position of each query token + 1 (how much of the
@@ -281,11 +302,18 @@ def _cached_attention(q, k_cache, v_cache, t_valid, min_valid=None):
     min_valid: optional (B,) first visible cache position per row — masks
     out left-padding in prompted decode (rows with different prompt
     lengths share one padded cache).
+    k_scale/v_scale: optional (B, T_max, H, 1) per-token int8 dequant
+    scales; K's folds into the scores after QK^T, V's into the probs —
+    the int8 cache streams at half the bytes with no extra matmuls.
     """
     dh = q.shape[-1]
+    kc = k_cache if k_scale is None else k_cache.astype(q.dtype)
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, kc, preferred_element_type=jnp.float32
     ) * (1.0 / math.sqrt(dh))
+    if k_scale is not None:
+        # (B, T_max, H, 1) -> (B, H, 1, T_max) broadcast over queries
+        scores = scores * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
     pos = jnp.arange(k_cache.shape[1])
     mask = pos[None, :] < t_valid[:, None]  # (T, T_max)
     if min_valid is None:
@@ -299,8 +327,16 @@ def _cached_attention(q, k_cache, v_cache, t_valid, min_valid=None):
         self_vis = (pos[None, :] == (t_valid - 1)[:, None])[None]  # (1,T,Tmax)
         vis = (pos[None, None, :] >= min_valid[:, None, None]) | self_vis
         scores = jnp.where((mask[None] & vis)[:, None], scores, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
+        vc = v_cache.astype(q.dtype)
+    else:
+        vc = v_cache
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(q.dtype), vc,
+        preferred_element_type=jnp.float32,
+    )
     return out.astype(q.dtype)
 
 
@@ -313,6 +349,7 @@ def decoder_forward_cached(
     pos_offset: jnp.ndarray | None = None,  # (B,) per-row logical offset
     min_valid: jnp.ndarray | None = None,  # (B,) first visible cache slot
     kv_bits: int = 8,  # cross-cache precision when kernel-layout quantized
+    compute_dtype=None,  # activation dtype; required when self-KV is int8
 ) -> tuple[jnp.ndarray, Cache]:
     """Run the decoder over T new tokens, appending K/V to the cache at pos.
 
@@ -327,7 +364,19 @@ def decoder_forward_cached(
     """
     p = params["decoder"]
     b, t = tokens.shape
-    dtype = cache.self_k.dtype
+    quantized_self = cache.self_k_scale is not None
+    if compute_dtype is not None:
+        dtype = jnp.dtype(compute_dtype)
+    elif quantized_self:
+        # int8 self cache carries no activation dtype; fall back to the
+        # (unquantized) cross cache's dtype
+        dtype = (
+            cache.cross_k.dtype
+            if cache.cross_k.dtype != jnp.int8
+            else jnp.float32
+        )
+    else:
+        dtype = cache.self_k.dtype
     x = p["token_emb"][tokens].astype(dtype)
     if pos_offset is None:
         x = x + jax.lax.dynamic_slice_in_dim(p["pos_emb"], pos, t, axis=0).astype(dtype)
@@ -351,8 +400,16 @@ def decoder_forward_cached(
             lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False), tree
         )
 
+    def _quantize_token(xnew):
+        """Per-token symmetric int8 over the channel axis: (B,t,H,Dh) ->
+        (int8 values, (B,t,H,1) scales)."""
+        amax = jnp.max(jnp.abs(xnew.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(xnew.astype(jnp.float32) / scale), -127, 127)
+        return q8.astype(jnp.int8), scale
+
     def body(l, carry):
-        x, sk_all, sv_all = carry
+        x, sk_all, sv_all, sks_all, svs_all = carry
         bp = take(blocks, l)
         # --- causal self-attention against the running cache
         xn = layer_norm(bp["attn_ln"], x)
@@ -360,15 +417,34 @@ def decoder_forward_cached(
         k_new = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
         v_new = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
         zero = jnp.int32(0)
+        if quantized_self:
+            k_store, k_sc = _quantize_token(k_new)
+            v_store, v_sc = _quantize_token(v_new)
+            sks_all = jax.lax.dynamic_update_slice(
+                sks_all, k_sc[None], (l, zero, pos, zero, zero)
+            )
+            svs_all = jax.lax.dynamic_update_slice(
+                svs_all, v_sc[None], (l, zero, pos, zero, zero)
+            )
+        else:
+            k_store = k_new.astype(dtype)
+            v_store = v_new.astype(dtype)
         sk_all = jax.lax.dynamic_update_slice(
-            sk_all, k_new.astype(dtype)[None], (l, zero, pos, zero, zero)
+            sk_all, k_store[None], (l, zero, pos, zero, zero)
         )
         sv_all = jax.lax.dynamic_update_slice(
-            sv_all, v_new.astype(dtype)[None], (l, zero, pos, zero, zero)
+            sv_all, v_store[None], (l, zero, pos, zero, zero)
         )
         sk = jax.lax.dynamic_index_in_dim(sk_all, l, 0, keepdims=False)
         sv = jax.lax.dynamic_index_in_dim(sv_all, l, 0, keepdims=False)
-        o = _cached_attention(q, sk, sv, t_valid, min_valid)
+        if quantized_self:
+            sks = jax.lax.dynamic_index_in_dim(sks_all, l, 0, keepdims=False)
+            svs = jax.lax.dynamic_index_in_dim(svs_all, l, 0, keepdims=False)
+            o = _cached_attention(
+                q, sk, sv, t_valid, min_valid, k_scale=sks, v_scale=svs
+            )
+        else:
+            o = _cached_attention(q, sk, sv, t_valid, min_valid)
         x = x + linear(bp["attn"]["out"], _merge_heads(o))
         # --- cross-attention against precomputed encoder K/V
         xa = layer_norm(bp["cross_attn_ln"], x)
@@ -411,10 +487,11 @@ def decoder_forward_cached(
         x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
         # --- MLP
         x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
-        return (x, sk_all, sv_all)
+        return (x, sk_all, sv_all, sks_all, svs_all)
 
-    x, new_sk, new_sv = jax.lax.fori_loop(
-        0, cfg.n_text_layer, body, (x, cache.self_k, cache.self_v)
+    x, new_sk, new_sv, new_sks, new_svs = jax.lax.fori_loop(
+        0, cfg.n_text_layer, body,
+        (x, cache.self_k, cache.self_v, cache.self_k_scale, cache.self_v_scale),
     )
     x = layer_norm(p["ln"], x)
     logits = jnp.dot(
@@ -423,6 +500,7 @@ def decoder_forward_cached(
     return logits.astype(jnp.float32), Cache(
         new_sk, new_sv, cache.cross_k, cache.cross_v,
         cache.cross_k_scale, cache.cross_v_scale,
+        new_sks, new_svs,
     )
 
 
@@ -531,6 +609,7 @@ def _sample_loop(
     pos_offset: jnp.ndarray | None = None,
     min_valid: jnp.ndarray | None = None,
     kv_bits: int = 8,
+    compute_dtype=None,
 ):
     """The greedy/sampling while_loop shared by plain and prompted decode.
 
@@ -549,6 +628,8 @@ def _sample_loop(
         step: jnp.ndarray
         self_k: jnp.ndarray
         self_v: jnp.ndarray
+        self_ks: jnp.ndarray | None  # per-token int8 scales (or None)
+        self_vs: jnp.ndarray | None
         logits: jnp.ndarray  # (B, V) logits for the next sample
         tokens: jnp.ndarray  # (B, max_new_tokens)
         last: jnp.ndarray  # (B,)
@@ -562,6 +643,8 @@ def _sample_loop(
         step=jnp.int32(0),
         self_k=cache.self_k,
         self_v=cache.self_v,
+        self_ks=cache.self_k_scale,
+        self_vs=cache.self_v_scale,
         logits=last_logits,
         tokens=jnp.full((b, max_new_tokens), st.eot, jnp.int32),
         last=last_init.astype(jnp.int32),
@@ -609,15 +692,21 @@ def _sample_loop(
             (next_tok >= tb) & ~s.finished, jnp.maximum(s.max_ts, next_tok), s.max_ts
         )
 
-        step_cache = Cache(s.self_k, s.self_v, *cross)
+        step_cache = Cache(
+            s.self_k, s.self_v, *cross,
+            self_k_scale=s.self_ks, self_v_scale=s.self_vs,
+        )
         logits, new_cache = decoder_forward_cached(
             params, cfg, next_tok[:, None], step_cache, start_pos + s.step,
             pos_offset=pos_offset, min_valid=min_valid, kv_bits=kv_bits,
+            compute_dtype=compute_dtype,
         )
         return LoopState(
             step=s.step + 1,
             self_k=new_cache.self_k,
             self_v=new_cache.self_v,
+            self_ks=new_cache.self_k_scale,
+            self_vs=new_cache.self_v_scale,
             logits=logits[:, -1],
             tokens=tokens,
             last=next_tok,
@@ -636,7 +725,7 @@ def _sample_loop(
 _GREEDY_STATIC_ARGNAMES = (
     "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
     "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
-    "kv_bits",
+    "kv_bits", "quantize_self_kv",
 )
 
 
@@ -654,6 +743,7 @@ def _greedy_decode_impl(
     quantize_cross_kv: bool = False,
     use_pallas_kernel: bool = False,
     kv_bits: int = 8,
+    quantize_self_kv: bool = False,
     temperature: float = 0.0,
     rng_seed: int = 0,
 ) -> DecodeResult:
@@ -679,13 +769,15 @@ def _greedy_decode_impl(
         quantize_cross_kv=quantize_cross_kv,
         kernel_layout=kernel_layout,
         kv_bits=kv_bits,
+        quantize_self_kv=quantize_self_kv,
     )
     kv_bits_eff = kv_bits if kernel_layout else 8
 
     # --- prefill the SOT sequence
     prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b, 1))
     logits, cache = decoder_forward_cached(
-        params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff
+        params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
+        compute_dtype=dtype,
     )
     sot_probs = jax.nn.softmax(logits[:, 0], axis=-1)
     no_speech_prob = sot_probs[:, st.no_speech] if st.no_speech < cfg.n_vocab else jnp.zeros((b,))
@@ -703,6 +795,7 @@ def _greedy_decode_impl(
         last_init=jnp.full((b,), sot_sequence[-1], jnp.int32),
         penult_init=jnp.full((b,), sot_sequence[0], jnp.int32),
         kv_bits=kv_bits_eff,
+        compute_dtype=dtype,
     )
     return DecodeResult(
         tokens=tokens,

@@ -70,6 +70,13 @@ class Transcriber:
     # the quantisation error bounded (logit gate in test_whisper_model);
     # set 8 to fall back to the int8 path
     cross_kv_bits: int = 4
+    # per-token int8 SELF-attention cache.  Measured a net LOSS on the v5e
+    # (1762 -> 1721 RTFx at 96 tokens, 911 -> 831 at 224: write-time
+    # quantisation + scale folds cost more than the halved stream saves,
+    # since XLA already fuses the bf16 convert into the matmul) — kept
+    # OFF; opt-in for memory-constrained configs where the bf16 self cache
+    # itself is the HBM problem
+    quantize_self_kv: bool = False
     beam_size: int = 0  # 0 = greedy; >0 = beam search (no temperature ladder)
     # quality-gated temperature fallback (openai-whisper's retry heuristic,
     # which the reference depends on implicitly via model.transcribe):
@@ -211,6 +218,7 @@ class Transcriber:
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
             kv_bits=self.cross_kv_bits,
+            quantize_self_kv=self.quantize_self_kv,
             temperature=temperature,
             rng_seed=seed,
         )

@@ -33,6 +33,8 @@ def main() -> None:
                     help="cross-KV precision: 4 = nibble-packed Pallas "
                     "kernel (production default, ~30%% faster step), 8 = "
                     "plain int8")
+    ap.add_argument("--self-kv-int8", action="store_true",
+                    help="per-token int8 self-attention cache")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
@@ -107,6 +109,7 @@ def main() -> None:
             dtype_name=args.dtype,
             quantize_cross_kv=not args.no_int8_kv,
             kv_bits=args.kv_bits,
+            quantize_self_kv=args.self_kv_int8,
         )
         return res.tokens
 
@@ -134,7 +137,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', self-KV int8' if args.self_kv_int8 else ''})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),

@@ -417,3 +417,31 @@ def test_int4_cross_kv_decode_tracks_int8(hf_pair, mel):
     tpad = -(-CFG.n_audio_ctx // 128) * 128
     assert cache4.cross_k.shape[-1] * 2 == tpad
     assert cache4.cross_k.dtype == jnp.int8
+
+
+def test_int8_self_kv_tracks_float(hf_pair, mel):
+    """Per-token int8 self-KV cache: logits track the float-cache path."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8)
+    a = decode.greedy_decode(params, CFG, audio, **kw)
+    b = decode.greedy_decode(params, CFG, audio, quantize_self_kv=True, **kw)
+    assert b.tokens.shape == a.tokens.shape
+    agreement = (np.asarray(a.tokens) == np.asarray(b.tokens)).mean()
+    assert agreement >= 0.7, agreement
+
+    # cached-step logit parity: prefill 4 tokens through both cache kinds
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(0, CFG.n_vocab, (2, 4)), jnp.int32
+    )
+    cf = decode.init_cache(params, CFG, audio, max_len=8)
+    cq = decode.init_cache(params, CFG, audio, max_len=8, quantize_self_kv=True)
+    lf, _ = decode.decoder_forward_cached(params, CFG, toks, cf, jnp.int32(0))
+    lq, _ = decode.decoder_forward_cached(
+        params, CFG, toks, cq, jnp.int32(0), compute_dtype=jnp.float32
+    )
+    rel = np.abs(np.asarray(lf) - np.asarray(lq)).max() / np.abs(np.asarray(lf)).max()
+    assert rel < 0.05, rel
+    assert cq.self_k.dtype == jnp.int8
+    assert cq.self_k_scale.shape == (CFG.n_text_layer, 2, 8, CFG.n_text_head, 1)
