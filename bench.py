@@ -35,6 +35,8 @@ def main() -> None:
                     "plain int8")
     ap.add_argument("--self-kv-int8", action="store_true",
                     help="per-token int8 self-attention cache")
+    ap.add_argument("--int8-weights", action="store_true",
+                    help="int8 decoder weights (models/whisper/quantize)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
@@ -68,6 +70,10 @@ def main() -> None:
     cfg = get_config(args.model)
     st = decode_lib.SpecialTokens.for_config(cfg)
     params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    if args.int8_weights:
+        from audio_processor_tpu.models.whisper import quantize
+
+        params = quantize.quantize_decoder(params)
 
     total_chunks = int(args.audio_minutes * 2)  # 30 s chunks
     bs = args.batch
@@ -137,7 +143,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', self-KV int8' if args.self_kv_int8 else ''})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),
