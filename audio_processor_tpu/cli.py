@@ -49,7 +49,10 @@ def cmd_diarize(args) -> None:
     from .pipeline import ingest
     from .pipeline.diarize import Diarizer
 
-    d = Diarizer.random_init()
+    if args.segmentation_path:
+        d = Diarizer.from_tpu_segmentation(args.segmentation_path)
+    else:
+        d = Diarizer.random_init()
     audio = ingest.load_audio(args.audio)
     turns = d.diarize(audio)
     if args.json:
@@ -151,19 +154,10 @@ def cmd_train_segmentation(args) -> None:
             print(f"step {step:4d}  powerset loss {float(loss):.4f}")
 
     if args.out:
-        flat = {}
-
-        def flatten(tree, prefix=""):
-            for k, v in tree.items():
-                key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
-                if isinstance(v, dict):
-                    flatten(v, key)
-                else:
-                    flat[key] = np.asarray(v)
-
-        flatten(state.params)
-        np.savez(args.out, **flat)
-        print(f"saved {len(flat)} arrays -> {args.out}")
+        dt.save_params(args.out, state.params, cfg)
+        print(f"saved trained segmentation -> {args.out} "
+              f"(serve with `diarize --segmentation-path {args.out}` or "
+              f"Diarizer.from_tpu_segmentation)")
 
 
 def cmd_wer(args) -> None:
@@ -197,6 +191,10 @@ def main(argv: list[str] | None = None) -> None:
     t.set_defaults(fn=cmd_transcribe)
 
     d = sub.add_parser("diarize", help="diarize an audio file")
+    d.add_argument(
+        "--segmentation-path", dest="segmentation_path",
+        help="trained TPU-native segmentation .npz (from train-segmentation)",
+    )
     d.add_argument("audio")
     d.add_argument("--json", action="store_true")
     d.set_defaults(fn=cmd_diarize)

@@ -87,6 +87,30 @@ class Diarizer:
         )
 
     @classmethod
+    def from_tpu_segmentation(
+        cls, seg_path: str, emb_seed: int = 0, **kw
+    ) -> "Diarizer":
+        """Serve a TRAINED TPU-native segmentation checkpoint (saved by
+        `cli train-segmentation` / training.diarization_trainer.save_params);
+        embeddings stay random unless replaced via kw."""
+        from ..models.diarization import segmentation_tpu as seg_tpu
+        from ..training import diarization_trainer as dt
+
+        seg_params, seg_cfg = dt.load_params(seg_path)
+        emb_cfg = emb_lib.EmbeddingConfig()
+        kw.setdefault(
+            "emb_params",
+            emb_lib.init_params(emb_cfg, jax.random.PRNGKey(emb_seed)),
+        )
+        kw.setdefault("emb_cfg", emb_cfg)
+        return cls(
+            seg_params=seg_params,
+            seg_cfg=seg_cfg,
+            seg_fn=seg_tpu.segment_windows,
+            **kw,
+        )
+
+    @classmethod
     def from_npz(cls, path: str, **kw) -> "Diarizer":
         """Load converted pyannote/ResNet weights saved by
         models.diarization.convert.save_diarizer_params."""

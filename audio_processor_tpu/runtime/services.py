@@ -140,7 +140,17 @@ def build_services(
                     f"APTPU_DIARIZER_PATH is set to {diar_path!r} but no such "
                     "file exists — refusing to fall back to random weights"
                 )
-            diarizer = Diarizer.from_npz(diar_path)
+            import numpy as np
+
+            with np.load(diar_path) as d:
+                is_tpu_seg = "cfg.window_s" in d.files
+            # converted pyannote+ResNet pack vs a trained TPU-native
+            # segmentation checkpoint (cli train-segmentation output)
+            diarizer = (
+                Diarizer.from_tpu_segmentation(diar_path)
+                if is_tpu_seg
+                else Diarizer.from_npz(diar_path)
+            )
         else:
             logger.warning(
                 "no diarization checkpoint configured (APTPU_DIARIZER_PATH "

@@ -135,3 +135,57 @@ def test_calibrate_onset_finds_better_threshold():
     onset, err = dt.calibrate_onset(probs, labels)
     assert err <= float(np.mean((probs > 0.5) != (labels > 0.5)))
     assert 0.2 <= onset <= 0.8
+
+
+def test_trained_checkpoint_roundtrip_serves(tmp_path, rng):
+    """train -> save -> load -> Diarizer.from_tpu_segmentation -> diarize:
+    the full train-to-serve loop."""
+    import jax
+
+    from audio_processor_tpu.pipeline.diarize import Diarizer
+
+    member, lut = jnp.asarray(MEMBER), jnp.asarray(LUT)
+    state = dt.init_train_state(CFG, jax.random.PRNGKey(1), lr=1e-3)
+    nprng = np.random.default_rng(5)
+    for _ in range(3):  # a few steps; quality is gated elsewhere
+        xs, ys = zip(*(dt.synth_mixture(nprng, CFG) for _ in range(4)))
+        state, _ = dt.train_step(
+            state, CFG, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
+            member, lut,
+        )
+    path = str(tmp_path / "seg_tpu.npz")
+    dt.save_params(path, state.params, CFG)
+
+    params2, cfg2 = dt.load_params(path)
+    assert cfg2 == CFG
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        state.params, params2,
+    )
+    assert all(jax.tree.leaves(chex_equal))
+
+    d = Diarizer.from_tpu_segmentation(path, window_step_s=1.0)
+    audio = nprng.normal(0, 0.2, 6 * 16_000).astype(np.float32)
+    turns = d.diarize(audio)
+    assert isinstance(turns, list)
+    for t in turns:
+        assert set(t) == {"start", "end", "speaker"}
+
+
+def test_build_services_detects_tpu_segmentation(tmp_path, monkeypatch):
+    import jax
+
+    from audio_processor_tpu.runtime.services import build_services
+
+    state = dt.init_train_state(CFG, jax.random.PRNGKey(0))
+    path = str(tmp_path / "seg.npz")
+    dt.save_params(path, state.params, CFG)
+    monkeypatch.setenv("APTPU_DIARIZER_PATH", path)
+    services = build_services(
+        model="test", diarization=True, with_drive=False, with_llm=False
+    )
+    try:
+        assert services.processor.diarizer is not None
+        assert services.processor.diarizer.seg_cfg == CFG
+    finally:
+        services.engine.shutdown(wait=False)
