@@ -2,11 +2,14 @@
 
 openai-whisper's word_timestamps=True recipe, rebuilt for this stack: run
 the decoder teacher-forced over the decoded tokens while accumulating a
-MEAN cross-attention map over the last half of the layers (we have no
-per-checkpoint alignment-head masks offline; the layer-mean is the
-standard fallback and stays (B, T_text, T_audio) — small — instead of
-materialising all L*H maps), then find the monotonic token->frame path by
-dynamic time warping on the host and split token spans into words.
+weighted cross-attention map — over the checkpoint's ALIGNMENT HEADS when
+cfg.alignment_heads is set (openai ships a per-checkpoint (layer, head)
+mask; convert.load_params restores it from the .npz sidecar and
+calibrate_alignment_heads below measures one for any checkpoint), else
+the MEAN over the last half of the layers (the standard fallback).  The
+accumulator stays (B, T_text, T_audio) — small — instead of
+materialising all L*H maps; the monotonic token->frame path comes from
+dynamic time warping on the host, and token spans split into words.
 """
 from __future__ import annotations
 
@@ -39,19 +42,30 @@ def cross_attention_map(
     tokens: jnp.ndarray,  # (B, T)
     audio_states: jnp.ndarray,  # (B, Ta, d)
 ) -> jnp.ndarray:
-    """Teacher-forced pass -> mean cross-attention (B, T, Ta) over the last
-    half of the decoder layers (all heads averaged)."""
+    """Teacher-forced pass -> weighted cross-attention (B, T, Ta).
+
+    cfg.alignment_heads set -> mean over exactly those (layer, head) pairs
+    (openai's per-checkpoint alignment mask); None -> mean over ALL heads
+    of the last half of the decoder layers (standard fallback)."""
     p = params["decoder"]
     b, t = tokens.shape
     x = p["token_emb"][tokens].astype(jnp.float32)
     x = x + p["pos_emb"][:t].astype(jnp.float32)
     causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
     audio_states = audio_states.astype(jnp.float32)
-    half_start = cfg.n_text_layer // 2
+
+    # static (L, H) per-head weights, normalised to sum to 1
+    w = np.zeros((cfg.n_text_layer, cfg.n_text_head), np.float32)
+    if cfg.alignment_heads:
+        for layer, head in cfg.alignment_heads:
+            w[layer, head] = 1.0
+    else:
+        w[cfg.n_text_layer // 2 :, :] = 1.0
+    head_w = jnp.asarray(w / max(w.sum(), 1.0))
 
     def block_fn(carry, scanned):
-        x, acc, layer_idx = carry
-        bp = scanned
+        x, acc = carry
+        bp, w_l = scanned  # w_l: (H,) this layer's head weights
         xn = layer_norm(bp["attn_ln"], x)
         q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
         k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
@@ -65,18 +79,102 @@ def cross_attention_map(
         dh = qx.shape[-1]
         scores = jnp.einsum("bqhd,bkhd->bhqk", qx, kx) / math.sqrt(dh)
         probs = jax.nn.softmax(scores, axis=-1)  # (B, H, T, Ta)
-        acc = acc + jnp.where(
-            layer_idx >= half_start, jnp.mean(probs, axis=1), 0.0
-        )
+        acc = acc + jnp.einsum("h,bhqk->bqk", w_l, probs)
         ox = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
         x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
         x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
-        return (x, acc, layer_idx + 1), None
+        return (x, acc), None
 
     acc0 = jnp.zeros((b, t, audio_states.shape[1]), jnp.float32)
-    (x, acc, _), _ = jax.lax.scan(block_fn, (x, acc0, jnp.int32(0)), p["blocks"])
-    n_used = cfg.n_text_layer - half_start
-    return acc / n_used
+    (x, acc), _ = jax.lax.scan(block_fn, (x, acc0), (p["blocks"], head_w))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def all_head_attention_maps(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, T)
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+) -> jnp.ndarray:
+    """Teacher-forced pass -> EVERY head's cross-attention (L, B, H, T, Ta).
+
+    Calibration-only (materialises all maps — use small B/T); the serving
+    path uses cross_attention_map's running accumulator instead."""
+    p = params["decoder"]
+    b, t = tokens.shape
+    x = p["token_emb"][tokens].astype(jnp.float32)
+    x = x + p["pos_emb"][:t].astype(jnp.float32)
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+    audio_states = audio_states.astype(jnp.float32)
+
+    def block_fn(x, bp):
+        xn = layer_norm(bp["attn_ln"], x)
+        q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
+        k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
+        v = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
+        x = x + linear(bp["attn"]["out"], _merge_heads(attention(q, k, v, causal)))
+        xa = layer_norm(bp["cross_attn_ln"], x)
+        qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
+        kx = _split_heads(linear(bp["cross_attn"]["k"], audio_states), cfg.n_text_head)
+        vx = _split_heads(linear(bp["cross_attn"]["v"], audio_states), cfg.n_text_head)
+        dh = qx.shape[-1]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qx, kx) / math.sqrt(dh)
+        probs = jax.nn.softmax(scores, axis=-1)  # (B, H, T, Ta)
+        ox = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
+        x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
+        x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
+        return x, probs
+
+    _, maps = jax.lax.scan(block_fn, x, p["blocks"])
+    return maps  # (L, B, H, T, Ta)
+
+
+def calibrate_alignment_heads(
+    params: Params,
+    cfg: WhisperConfig,
+    audio_states: jnp.ndarray,  # (B, Ta, d) calibration utterance(s)
+    token_rows: np.ndarray,  # (B, T) decoded text tokens, EOT-padded
+    st: SpecialTokens,
+    top_k: int = 6,
+) -> tuple[tuple[int, int], ...]:
+    """Measure which (layer, head) pairs track the audio timeline.
+
+    openai-whisper ships hand-derived per-checkpoint alignment-head masks;
+    this derives an equivalent mask for ANY checkpoint from one decoded
+    calibration utterance: each head's map is scored by the mean
+    probability mass it places along its own monotonic DTW path (diffuse
+    or non-monotonic heads score low), averaged over batch rows, and the
+    top_k heads win.  Feed the result to dataclasses.replace(cfg,
+    alignment_heads=...) or convert.save_params for persistence.
+    """
+    maps = np.asarray(
+        all_head_attention_maps(
+            params, cfg, jnp.asarray(token_rows, jnp.int32), audio_states
+        )
+    )  # (L, B, H, T, Ta)
+    n_layers, b, n_heads = maps.shape[:3]
+    scores = np.zeros((n_layers, n_heads), np.float64)
+    counts = np.zeros((n_layers, n_heads), np.int64)
+    for row_i in range(b):
+        text_pos = [
+            i for i, tok in enumerate(token_rows[row_i]) if tok < st.eot
+        ]
+        if len(text_pos) < 2:
+            continue
+        for l in range(n_layers):
+            for h in range(n_heads):
+                m = maps[l, row_i, h][text_pos]  # (n_text, Ta)
+                m = m / np.maximum(m.sum(-1, keepdims=True), 1e-9)
+                path = dtw_path(m)
+                scores[l, h] += float(
+                    np.mean(m[np.arange(len(text_pos)), path])
+                )
+                counts[l, h] += 1
+    scores = scores / np.maximum(counts, 1)
+    flat = np.argsort(scores, axis=None)[::-1][:top_k]
+    pairs = sorted((int(i // n_heads), int(i % n_heads)) for i in flat)
+    return tuple(pairs)
 
 
 def dtw_path(matrix: np.ndarray) -> np.ndarray:

@@ -23,6 +23,14 @@ class WhisperConfig:
     n_text_state: int = 384
     n_text_head: int = 6
     n_text_layer: int = 4
+    # cross-attention heads that track the audio timeline, as (layer, head)
+    # pairs — openai-whisper ships a per-checkpoint mask for its
+    # word_timestamps=True alignment (the reference inherits it via
+    # whisper.load_model, app/services/audio_processor.py:863).  None ->
+    # align.py falls back to the layer-mean of the last half of the
+    # decoder.  Set from a checkpoint sidecar (convert.load_params) or
+    # measured with align.calibrate_alignment_heads.
+    alignment_heads: tuple[tuple[int, int], ...] | None = None
 
     @property
     def head_dim(self) -> int:

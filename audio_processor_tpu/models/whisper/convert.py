@@ -165,8 +165,17 @@ def from_openai_state_dict(sd: Mapping[str, Any], cfg: WhisperConfig) -> Params:
     }
 
 
-def load_openai_checkpoint(path: str) -> tuple[Params, WhisperConfig]:
-    """Load an openai-whisper .pt checkpoint (requires torch, offline)."""
+def load_openai_checkpoint(
+    path: str,
+    alignment_heads: tuple[tuple[int, int], ...] | None = None,
+) -> tuple[Params, WhisperConfig]:
+    """Load an openai-whisper .pt checkpoint (requires torch, offline).
+
+    alignment_heads: the checkpoint's word-timestamp head mask.  The .pt
+    file itself does not carry one (openai-whisper keys its table by model
+    NAME at runtime) — pass it explicitly, or measure one afterwards with
+    align.calibrate_alignment_heads.
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -183,8 +192,18 @@ def load_openai_checkpoint(path: str) -> tuple[Params, WhisperConfig]:
         n_text_state=dims["n_text_state"],
         n_text_head=dims["n_text_head"],
         n_text_layer=dims["n_text_layer"],
+        alignment_heads=alignment_heads,
     )
     return from_openai_state_dict(ckpt["model_state_dict"], cfg), cfg
+
+
+def alignment_heads_from_generation_config(gen_config: Mapping[str, Any]):
+    """(layer, head) tuple from a HF generation_config.json dict (the
+    `alignment_heads` field transformers publishes per Whisper checkpoint)."""
+    heads = gen_config.get("alignment_heads")
+    if not heads:
+        return None
+    return tuple((int(l), int(h)) for l, h in heads)
 
 
 # ---------------------------------------------------------------------------
@@ -221,18 +240,33 @@ def save_params(path: str, params: Params, cfg: WhisperConfig) -> None:
          cfg.n_text_head, cfg.n_text_layer],
         dtype=np.int64,
     )
-    np.savez(path, __config__=meta, **flat)
+    extra = {}
+    if cfg.alignment_heads:
+        # word-timestamp alignment-head mask rides the checkpoint (openai
+        # ships these per checkpoint; align.calibrate_alignment_heads
+        # measures one for converted/finetuned weights)
+        extra["__alignment_heads__"] = np.asarray(cfg.alignment_heads, np.int64)
+    np.savez(path, __config__=meta, **extra, **flat)
+
+
+_SIDECAR_KEYS = ("__config__", "__alignment_heads__")
 
 
 def load_params(path: str) -> tuple[Params, WhisperConfig]:
     with np.load(path) as z:
         meta = z["__config__"]
-        flat = {k: z[k] for k in z.files if k != "__config__"}
+        heads = None
+        if "__alignment_heads__" in z.files:
+            heads = tuple(
+                (int(l), int(h)) for l, h in z["__alignment_heads__"]
+            )
+        flat = {k: z[k] for k in z.files if k not in _SIDECAR_KEYS}
     cfg = WhisperConfig(
         name="loaded",
         n_mels=int(meta[0]), n_audio_ctx=int(meta[1]), n_audio_state=int(meta[2]),
         n_audio_head=int(meta[3]), n_audio_layer=int(meta[4]), n_vocab=int(meta[5]),
         n_text_ctx=int(meta[6]), n_text_state=int(meta[7]), n_text_head=int(meta[8]),
         n_text_layer=int(meta[9]),
+        alignment_heads=heads,
     )
     return _unflatten(flat), cfg

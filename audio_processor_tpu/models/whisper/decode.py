@@ -449,10 +449,8 @@ def decoder_forward_cached(
         # --- cross-attention against precomputed encoder K/V
         xa = layer_norm(bp["cross_attn_ln"], x)
         qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
-        ck = jax.lax.dynamic_index_in_dim(cache.cross_k, l, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cache.cross_v, l, 0, keepdims=False)
-        # kernel layout iff axis 1 is heads (see init_cache); Ta != H always
-        kernel_layout = quantized and ck.shape[1] == cfg.n_text_head
+        # kernel layout iff axis 2 is heads (see init_cache); Ta != H always
+        kernel_layout = quantized and cache.cross_k.shape[2] == cfg.n_text_head
         if quantized:
             # fold K's dequant scale into q, V's after the probs matmul —
             # the int8 cache streams at half the bytes, zero extra FLOPs
@@ -463,25 +461,39 @@ def decoder_forward_cached(
                 from ...ops.pallas import decode_attention as da
 
                 on_tpu = jax.default_backend() == "tpu"
-                if kv_bits == 4:
-                    fn = (
-                        da.cross_attention_int4
-                        if on_tpu
-                        else da.cross_attention_int4_reference
+                if kv_bits == 4 and on_tpu:
+                    # stacked-cache kernel: the layer id rides scalar
+                    # prefetch, so NO per-layer copy of K/V materialises
+                    ox = da.cross_attention_int4_stacked(
+                        qx, cache.cross_k, cache.cross_v, l,
+                        valid_len=cfg.n_audio_ctx,
                     )
                 else:
-                    fn = (
-                        da.cross_attention_int8
-                        if on_tpu
-                        else da.cross_attention_int8_reference
+                    ck = jax.lax.dynamic_index_in_dim(
+                        cache.cross_k, l, 0, keepdims=False
                     )
-                ox = fn(qx, ck, cv, valid_len=cfg.n_audio_ctx)
+                    cv = jax.lax.dynamic_index_in_dim(
+                        cache.cross_v, l, 0, keepdims=False
+                    )
+                    if kv_bits == 4:
+                        fn = da.cross_attention_int4_reference
+                    else:
+                        fn = (
+                            da.cross_attention_int8
+                            if on_tpu
+                            else da.cross_attention_int8_reference
+                        )
+                    ox = fn(qx, ck, cv, valid_len=cfg.n_audio_ctx)
                 ox = ox.astype(x.dtype)
             else:
+                ck = jax.lax.dynamic_index_in_dim(cache.cross_k, l, 0, keepdims=False)
+                cv = jax.lax.dynamic_index_in_dim(cache.cross_v, l, 0, keepdims=False)
                 full = jnp.full((t,), ck.shape[1])
                 ox = _cached_attention(qx, ck.astype(x.dtype), cv.astype(x.dtype), full)
             ox = ox * vs.astype(ox.dtype)
         else:
+            ck = jax.lax.dynamic_index_in_dim(cache.cross_k, l, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cache.cross_v, l, 0, keepdims=False)
             full = jnp.full((t,), ck.shape[1])
             ox = _cached_attention(qx, ck, cv, full)
         x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
@@ -835,6 +847,9 @@ def _prompted_greedy_impl(
     space_blank_id: int | None = None,
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
+    use_pallas_kernel: bool = False,
+    kv_bits: int = 8,
+    quantize_self_kv: bool = False,
     temperature: float = 0.0,
     rng_seed: int = 0,
 ) -> DecodeResult:
@@ -855,15 +870,21 @@ def _prompted_greedy_impl(
     b, p_len = prompt_tokens.shape
     max_len = p_len + max_new_tokens
 
+    kernel_layout = quantize_cross_kv and (use_pallas_kernel or kv_bits == 4)
     cache = init_cache(
         params, cfg, audio_states, max_len, dtype=dtype,
         quantize_cross_kv=quantize_cross_kv,
+        kernel_layout=kernel_layout,
+        kv_bits=kv_bits,
+        quantize_self_kv=quantize_self_kv,
     )
+    kv_bits_eff = kv_bits if kernel_layout else 8
     pad_len = (p_len - prompt_lens).astype(jnp.int32)  # (B,)
 
     logits, cache = decoder_forward_cached(
         params, cfg, prompt_tokens.astype(jnp.int32), cache, jnp.int32(0),
-        pos_offset=pad_len, min_valid=pad_len,
+        pos_offset=pad_len, min_valid=pad_len, kv_bits=kv_bits_eff,
+        compute_dtype=dtype,
     )
     # every row's suffix is the same sot sequence -> <|sot|> sits at a
     # fixed physical slot; no-speech prob reads the logits AT that slot
@@ -887,6 +908,8 @@ def _prompted_greedy_impl(
         penult_init=prompt_tokens[:, -2] if p_len >= 2 else prompt_tokens[:, -1],
         pos_offset=pad_len,
         min_valid=pad_len,
+        kv_bits=kv_bits_eff,
+        compute_dtype=dtype,
     )
     return DecodeResult(
         tokens=tokens,
@@ -900,7 +923,8 @@ prompted_greedy_decode = jax.jit(
     _prompted_greedy_impl,
     static_argnames=(
         "cfg", "sot_len", "max_new_tokens", "use_timestamps", "dtype_name",
-        "space_blank_id", "quantize_cross_kv", "temperature",
+        "space_blank_id", "quantize_cross_kv", "use_pallas_kernel",
+        "kv_bits", "quantize_self_kv", "temperature",
     ),
 )
 
@@ -939,7 +963,7 @@ def build_prompt_rows(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
-        "use_timestamps", "quantize_cross_kv",
+        "use_timestamps", "quantize_cross_kv", "use_pallas_kernel", "kv_bits",
     ),
 )
 def beam_decode(
@@ -955,6 +979,8 @@ def beam_decode(
     length_penalty: float = 1.0,
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
+    use_pallas_kernel: bool = False,
+    kv_bits: int = 8,
 ) -> DecodeResult:
     """Batched beam search, fully on-device (one jit region).
 
@@ -972,13 +998,20 @@ def beam_decode(
 
     # expand audio to (B*K, Ta, d): beams of one element share encoder rows
     audio_rep = jnp.repeat(audio_states, k, axis=0)
+    kernel_layout = quantize_cross_kv and (use_pallas_kernel or kv_bits == 4)
     cache = init_cache(
         params, cfg, audio_rep, max_len, dtype=dtype,
         quantize_cross_kv=quantize_cross_kv,
+        kernel_layout=kernel_layout,
+        kv_bits=kv_bits,
     )
+    kv_bits_eff = kv_bits if kernel_layout else 8
 
     prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b * k, 1))
-    logits, cache = decoder_forward_cached(params, cfg, prompt, cache, jnp.int32(0))
+    logits, cache = decoder_forward_cached(
+        params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
+        compute_dtype=dtype,
+    )
     first_logits = logits[:, -1]  # (B*K, V)
 
     tb = st.timestamp_begin
@@ -1064,7 +1097,8 @@ def beam_decode(
 
         step_tok = next_tok.reshape(b * k, 1)
         logits, cache = decoder_forward_cached(
-            params, cfg, step_tok, cache, prompt_len + s.step
+            params, cfg, step_tok, cache, prompt_len + s.step,
+            kv_bits=kv_bits_eff, compute_dtype=dtype,
         )
         return BeamState(
             step=s.step + 1,

@@ -106,8 +106,10 @@ class Transcriber:
     # groups decode in parallel across the batch — trading the reference
     # engine's fully-sequential chaining for batch parallelism (group
     # boundaries lose conditioning; everything inside a group matches
-    # openai's behaviour).  Greedy only; the temperature ladder is skipped
-    # in this mode (openai itself stops conditioning above T=0.5).
+    # openai's behaviour).  Greedy only (beam_size must be 0).  The
+    # temperature ladder applies here too: failed rows retry compacted,
+    # keeping their prompt up to T=0.5 and dropping it above (openai's
+    # prompt_reset_on_temperature rule).
     condition_on_previous_text: bool = False
     condition_group_size: int = 8
     condition_ctx_tokens: int = 48
@@ -205,6 +207,7 @@ class Transcriber:
                 suppress_mask=self._suppress_mask,
                 dtype_name=self.compute_dtype,
                 quantize_cross_kv=self.quantize_cross_kv,
+                kv_bits=self.cross_kv_bits,
             )
         return decode_lib.greedy_decode(
             self.params,
@@ -372,32 +375,73 @@ class Transcriber:
                 )
                 sot_seq = tuple(self.special.sot_sequence(language=lang))
                 hists = [histories[ci // g_size] for ci in ids]
-                hists += [[]] * (bucket - len(ids))  # padding rows
-                rows, lens = decode_lib.build_prompt_rows(
-                    hists, sot_seq, self.special, self.condition_ctx_tokens
-                )
-                result = decode_lib.prompted_greedy_decode(
-                    self.params,
-                    self.cfg,
-                    states,
-                    jnp.asarray(rows),
-                    jnp.asarray(lens),
-                    sot_len=len(sot_seq),
-                    max_new_tokens=self.max_new_tokens,
-                    use_timestamps=True,
-                    suppress_mask=self._suppress_mask,
-                    space_blank_id=self._space_blank_id,
-                    dtype_name=self.compute_dtype,
-                    quantize_cross_kv=self.quantize_cross_kv,
-                )
-                tokens = np.array(result.tokens)[: len(ids)]
-                if self.no_speech_threshold is not None:
-                    lengths = np.maximum(np.asarray(result.lengths)[: len(ids)], 1)
-                    avg_lp = (
-                        np.asarray(result.sum_logprob)[: len(ids)] / (lengths + 1)
+
+                def run_prompted(sub_states, sub_hists, temp, seed):
+                    n_pad = sub_states.shape[0] - len(sub_hists)
+                    rows, lens = decode_lib.build_prompt_rows(
+                        sub_hists + [[]] * n_pad, sot_seq, self.special,
+                        self.condition_ctx_tokens,
                     )
+                    return decode_lib.prompted_greedy_decode(
+                        self.params,
+                        self.cfg,
+                        sub_states,
+                        jnp.asarray(rows),
+                        jnp.asarray(lens),
+                        sot_len=len(sot_seq),
+                        max_new_tokens=self.max_new_tokens,
+                        use_timestamps=True,
+                        suppress_mask=self._suppress_mask,
+                        space_blank_id=self._space_blank_id,
+                        dtype_name=self.compute_dtype,
+                        quantize_cross_kv=self.quantize_cross_kv,
+                        kv_bits=self.cross_kv_bits,
+                        temperature=temp,
+                        rng_seed=seed,
+                    )
+
+                result = run_prompted(states, hists, 0.0, 0)
+                n_real = len(ids)
+                tokens = np.array(result.tokens)[:n_real]
+                lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+                avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
+
+                if self.enable_fallback:
+                    # same quality gate + compacted retry as the parallel
+                    # path; conditioning stops above T=0.5, matching
+                    # openai-whisper's prompt_reset_on_temperature
+                    failed = self._failed_rows(result, tokens, n_real)
+                    for temp in self.temperature_ladder:
+                        if not failed.any():
+                            break
+                        idx = np.flatnonzero(failed)
+                        rb = min(_bucket(len(idx)), self.max_chunk_batch)
+                        pad_idx = np.zeros(rb, np.int64)
+                        pad_idx[: len(idx)] = idx
+                        logger.info(
+                            "conditioned fallback: %d/%d chunks re-decoding "
+                            "at T=%.1f", len(idx), n_real, temp,
+                        )
+                        sub_states = jnp.take(states, jnp.asarray(pad_idx), axis=0)
+                        sub_hists = [
+                            hists[i] if temp <= 0.5 else [] for i in idx
+                        ]
+                        retry = run_prompted(
+                            sub_states, sub_hists, temp, int(temp * 10)
+                        )
+                        retry_tokens = np.array(retry.tokens)[: len(idx)]
+                        tokens[idx] = retry_tokens
+                        r_len = np.maximum(np.asarray(retry.lengths)[: len(idx)], 1)
+                        avg_lp[idx] = (
+                            np.asarray(retry.sum_logprob)[: len(idx)] / (r_len + 1)
+                        )
+                        refailed = self._failed_rows(retry, retry_tokens, len(idx))
+                        failed[:] = False
+                        failed[idx[refailed]] = True
+
+                if self.no_speech_threshold is not None:
                     silent = (
-                        np.asarray(result.no_speech_prob)[: len(ids)]
+                        np.asarray(result.no_speech_prob)[:n_real]
                         > self.no_speech_threshold
                     ) & (avg_lp < self.logprob_threshold)
                     tokens[silent] = self.special.eot

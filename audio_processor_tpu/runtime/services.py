@@ -110,6 +110,26 @@ def build_services(
     """
     from ..pipeline.transcribe import Transcriber
 
+    # multi-host serving profile: join the jax.distributed runtime and
+    # decode over a DCN-aware global mesh (data across hosts, tensor
+    # parallelism pinned to each host's ICI domain).  Requires a shared
+    # job store (store_url=redis://...) so every host sees one queue.
+    mesh = None
+    if os.environ.get("APTPU_DISTRIBUTED") == "1":
+        from ..parallel import multihost
+
+        multihost.initialize()
+        mesh = multihost.make_multihost_mesh(
+            model_parallel=int(os.environ.get("APTPU_MODEL_PARALLEL", "1"))
+        )
+        logger.info("multi-host mesh: %s", dict(mesh.shape))
+        if store_url is None or store_url.startswith("memory"):
+            logger.warning(
+                "APTPU_DISTRIBUTED=1 without a shared job store — set "
+                "JOB_STORE_URL=redis://... or hosts will not see each "
+                "other's jobs (the reference's gunicorn split-brain bug)"
+            )
+
     # A configured-but-missing checkpoint is a deployment error (e.g. the
     # model volume was not mounted): refuse to start rather than silently
     # serve random-weight garbage transcripts as "completed" jobs.
@@ -120,14 +140,14 @@ def build_services(
                 "no such file exists — refusing to fall back to random "
                 "weights (is the model volume mounted?)"
             )
-        transcriber = Transcriber.from_npz(model_path)
+        transcriber = Transcriber.from_npz(model_path, mesh=mesh)
     else:
         logger.warning(
             "no Whisper checkpoint configured (APTPU_MODEL_PATH unset) — "
             "serving RANDOM weights; transcripts will be garbage. "
             "Test/bench mode only."
         )
-        transcriber = Transcriber.random_init(model)
+        transcriber = Transcriber.random_init(model, mesh=mesh)
 
     diarizer = None
     if diarization:

@@ -40,6 +40,83 @@ def test_cross_attention_map_shape_and_norm():
     np.testing.assert_allclose(m.sum(-1), 1.0, atol=1e-4)
 
 
+def test_alignment_heads_mask_changes_map():
+    """cfg.alignment_heads selects exactly those heads: the masked map must
+    equal the mean of the selected heads' maps from the all-heads pass."""
+    import dataclasses
+
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(0, 1, (1, CFG.n_audio_ctx, 64)), jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 200, (1, 5)), jnp.int32)
+
+    pairs = ((0, 1), (1, 0))
+    cfg_h = dataclasses.replace(CFG, alignment_heads=pairs)
+    masked = np.asarray(align.cross_attention_map(params, cfg_h, tokens, audio))
+    all_maps = np.asarray(
+        align.all_head_attention_maps(params, CFG, tokens, audio)
+    )  # (L, B, H, T, Ta)
+    expect = (all_maps[0, :, 1] + all_maps[1, :, 0]) / 2.0
+    np.testing.assert_allclose(masked, expect, atol=1e-5)
+    # and it differs from the layer-mean fallback
+    fallback = np.asarray(align.cross_attention_map(params, CFG, tokens, audio))
+    assert not np.allclose(masked, fallback, atol=1e-6)
+
+
+def test_calibrate_alignment_heads():
+    """The calibrator returns top-k (layer, head) pairs ranked by DTW-path
+    mass, valid for the config, and is deterministic."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(rng.normal(0, 1, (1, CFG.n_audio_ctx, 64)), jnp.float32)
+    tok = ByteTokenizer()
+    ids = tok.encode("calibrate these heads")
+    rows = np.full((1, len(ids) + 2), st.eot, np.int64)
+    rows[0, : len(ids)] = ids
+    pairs = align.calibrate_alignment_heads(params, CFG, audio, rows, st, top_k=2)
+    assert len(pairs) == 2
+    for layer, head in pairs:
+        assert 0 <= layer < CFG.n_text_layer
+        assert 0 <= head < CFG.n_text_head
+    assert pairs == align.calibrate_alignment_heads(
+        params, CFG, audio, rows, st, top_k=2
+    )
+    # measured heads plug into the serving path
+    import dataclasses
+
+    cfg_h = dataclasses.replace(CFG, alignment_heads=pairs)
+    words = align.word_timestamps(
+        params, cfg_h, audio, rows, st, tok.decode, np.array([0.0])
+    )
+    assert [w["word"] for w in words[0]] == ["calibrate", "these", "heads"]
+
+
+def test_alignment_heads_roundtrip_npz(tmp_path):
+    from audio_processor_tpu.models.whisper import convert
+    import dataclasses
+
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    cfg_h = dataclasses.replace(CFG, alignment_heads=((0, 0), (1, 1)))
+    path = str(tmp_path / "ck.npz")
+    convert.save_params(path, params, cfg_h)
+    _, cfg2 = convert.load_params(path)
+    assert cfg2.alignment_heads == ((0, 0), (1, 1))
+    # and without heads the field stays None
+    convert.save_params(path, params, CFG)
+    _, cfg3 = convert.load_params(path)
+    assert cfg3.alignment_heads is None
+
+
+def test_alignment_heads_from_generation_config():
+    from audio_processor_tpu.models.whisper import convert
+
+    assert convert.alignment_heads_from_generation_config(
+        {"alignment_heads": [[2, 2], [3, 0]]}
+    ) == ((2, 2), (3, 0))
+    assert convert.alignment_heads_from_generation_config({}) is None
+
+
 def test_word_timestamps_end_to_end():
     params = model.init_params(CFG, jax.random.PRNGKey(0))
     st = decode.SpecialTokens.for_config(CFG)

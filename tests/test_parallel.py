@@ -106,3 +106,36 @@ def test_sharded_train_step_runs_and_reduces():
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     assert float(loss2) < float(loss1)  # one step on same batch reduces loss
     assert int(state3.step) == 2
+
+
+# ---------------------------------------------------------------------------
+# Multi-host bring-up (single-process degenerate forms on the CPU mesh)
+# ---------------------------------------------------------------------------
+
+def test_multihost_mesh_single_process():
+    from audio_processor_tpu.parallel import multihost
+
+    mesh = multihost.make_multihost_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="model_parallel"):
+        multihost.make_multihost_mesh(model_parallel=3)
+
+
+def test_multihost_initialize_noop_without_config(monkeypatch):
+    from audio_processor_tpu.parallel import multihost
+
+    for var in ("APTPU_COORDINATOR", "APTPU_NUM_PROCESSES", "APTPU_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.initialize() is False  # single-process: no-op
+
+
+def test_multihost_check_psum_sees_all_devices():
+    """The smoke test's collective must count every device of the mesh —
+    on the forced 8-device CPU platform that is 8."""
+    from audio_processor_tpu.parallel import multihost
+
+    summary = multihost.check()
+    assert summary["ok"] is True
+    assert summary["psum_got"] == 8.0
+    assert summary["global_devices"] == 8
+    assert summary["distributed"] is False

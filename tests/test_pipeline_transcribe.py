@@ -176,6 +176,51 @@ def test_condition_on_previous_text_mode(rng):
     assert out_base["segments"] != out_cond["segments"]
 
 
+def test_condition_fallback_ladder(rng, caplog):
+    """Conditioned mode runs the temperature ladder too: random weights
+    fail the quality gate, so the retry path must fire (prompt kept at
+    T<=0.5, dropped above) and still produce schema-valid output."""
+    import logging
+
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        condition_on_previous_text=True, condition_group_size=4,
+        condition_ctx_tokens=8,
+    )
+    # random_init disables the ladder by default; force a short one that
+    # exercises both the prompt-keeping and prompt-dropping rungs
+    t.enable_fallback = True
+    t.temperature_ladder = (0.3, 0.8)
+    with caplog.at_level(logging.INFO, logger="audio_processor_tpu.pipeline.transcribe"):
+        out = t.transcribe(audio, remove_silence=False)
+    assert set(out) >= {"text", "segments", "duration", "rtf_x"}
+    for seg in out["segments"]:
+        assert 0.0 <= seg["start"] <= seg["end"] <= 65.1
+    assert any("conditioned fallback" in r.message for r in caplog.records)
+
+
+def test_condition_int4_kernel_path(rng):
+    """Conditioned decode rides the int4 kernel-layout cache (the
+    production default) — CPU uses the packed reference twin."""
+    audio = rng.normal(0, 0.2, 35 * 16_000).astype(np.float32)
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        condition_on_previous_text=True, condition_group_size=2,
+        condition_ctx_tokens=8, cross_kv_bits=4,
+    )
+    t8 = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        condition_on_previous_text=True, condition_group_size=2,
+        condition_ctx_tokens=8, cross_kv_bits=8,
+    )
+    out4 = t.transcribe(audio, remove_silence=False)
+    out8 = t8.transcribe(audio, remove_silence=False)
+    assert set(out4) >= {"text", "segments", "duration", "rtf_x"}
+    # int4 vs int8 caches quantise differently but both must stay sane
+    assert out8["duration"] == out4["duration"]
+
+
 def test_condition_rejects_word_timestamps():
     with pytest.raises(ValueError, match="word_timestamps"):
         Transcriber.random_init(

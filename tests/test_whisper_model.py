@@ -389,6 +389,32 @@ def test_int4_kernel_interpret_matches_reference():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_int4_stacked_kernel_interpret_matches_reference():
+    """The stacked-cache kernel (layer id via scalar prefetch) must read
+    exactly the selected layer: parity vs the per-layer reference twin for
+    EVERY layer of a stacked cache."""
+    from audio_processor_tpu.ops.pallas import decode_attention as da
+
+    rng = np.random.default_rng(2)
+    n_layers, b, tq, h, dh, tpad, valid = 3, 2, 1, 2, 64, 256, 190
+    q = jnp.asarray(rng.normal(0, 1, (b, tq, h, dh)).astype(np.float32))
+    k_vals = jnp.asarray(rng.integers(-7, 8, (n_layers, b, h, dh, tpad)), jnp.int8)
+    v_vals = jnp.asarray(rng.integers(-7, 8, (n_layers, b, h, tpad, dh)), jnp.int8)
+    k4, v4 = da.pack_int4_time(k_vals, v_vals)
+    for layer in range(n_layers):
+        ref = np.asarray(
+            da.cross_attention_int4_reference(
+                q, k4[layer], v4[layer], valid_len=valid
+            )
+        )
+        out = np.asarray(
+            da.cross_attention_int4_stacked(
+                q, k4, v4, jnp.int32(layer), valid_len=valid, interpret=True
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_int4_cross_kv_decode_tracks_int8(hf_pair, mel):
     """kv_bits=4 end-to-end greedy decode stays close to the int8 path."""
     _, params = hf_pair
