@@ -160,6 +160,47 @@ def cmd_train_segmentation(args) -> None:
               f"Diarizer.from_tpu_segmentation)")
 
 
+def cmd_calibrate_alignment_heads(args) -> None:
+    """Measure a word-timestamp alignment-head mask for a checkpoint.
+
+    openai-whisper ships a hand-derived (layer, head) mask per official
+    checkpoint; converted or fine-tuned weights have none.  This decodes
+    one calibration recording, scores every cross-attention head by the
+    probability mass it puts on its own monotonic DTW path
+    (align.calibrate_alignment_heads), prints the winning pairs, and (with
+    --write) stores them into the .npz sidecar so word_timestamps=True
+    uses them automatically.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from .models.whisper import align, convert
+    from .pipeline import ingest
+    from .pipeline.transcribe import CHUNK_SAMPLES, Transcriber
+
+    t = Transcriber.from_npz(args.checkpoint)
+    audio = ingest.load_audio(args.audio)
+    chunk = np.zeros((1, CHUNK_SAMPLES), np.int16)
+    piece = audio[:CHUNK_SAMPLES]
+    chunk[0, : len(piece)] = np.clip(piece * 32768.0, -32768, 32767).astype(
+        np.int16
+    )
+    import jax.numpy as jnp
+
+    states = t._frontend_encode(t.params, jnp.asarray(chunk))
+    result = t._run_decode(states)
+    tokens = np.array(result.tokens)[:1]
+    pairs = align.calibrate_alignment_heads(
+        t.params, t.cfg, states[:1], tokens, t.special, top_k=args.top_k
+    )
+    print(json.dumps({"alignment_heads": [list(p) for p in pairs]}))
+    if args.write:
+        cfg2 = dataclasses.replace(t.cfg, alignment_heads=pairs)
+        convert.save_params(args.checkpoint, t.params, cfg2)
+        print(f"wrote alignment heads into {args.checkpoint}", file=sys.stderr)
+
+
 def cmd_wer(args) -> None:
     from .utils.metrics import word_error_rate
 
@@ -228,6 +269,19 @@ def main(argv: list[str] | None = None) -> None:
     ts.add_argument("--seed", type=int, default=0)
     ts.add_argument("--out", help="save trained params to this .npz")
     ts.set_defaults(fn=cmd_train_segmentation)
+
+    ch = sub.add_parser(
+        "calibrate-alignment-heads",
+        help="measure + store a word-timestamp head mask for a checkpoint",
+    )
+    ch.add_argument("checkpoint", help="converted .npz checkpoint")
+    ch.add_argument("audio", help="calibration recording (speech)")
+    ch.add_argument("--top-k", type=int, default=6)
+    ch.add_argument(
+        "--write", action="store_true",
+        help="store the mask into the checkpoint's sidecar",
+    )
+    ch.set_defaults(fn=cmd_calibrate_alignment_heads)
 
     w = sub.add_parser("wer", help="word error rate between two text files")
     w.add_argument("reference")

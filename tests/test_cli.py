@@ -40,3 +40,25 @@ def test_cli_transcribe_json(wav, capsys):
 def test_cli_unknown_command_fails():
     with pytest.raises(SystemExit):
         cli.main(["nope"])
+
+
+def test_cli_calibrate_alignment_heads(wav, tmp_path, capsys):
+    """Measures a head mask from a recording and writes it into the .npz
+    sidecar; a reload must carry the mask."""
+    import jax
+
+    from audio_processor_tpu.models.whisper import convert, model
+    from audio_processor_tpu.models.whisper.config import get_config
+
+    cfg = get_config("test")
+    params = model.init_params(cfg, jax.random.PRNGKey(0))
+    ck = str(tmp_path / "ck.npz")
+    convert.save_params(ck, params, cfg)
+
+    cli.main(["calibrate-alignment-heads", ck, wav, "--top-k", "2", "--write"])
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["alignment_heads"]) == 2
+    _, cfg2 = convert.load_params(ck)
+    assert cfg2.alignment_heads == tuple(
+        tuple(p) for p in out["alignment_heads"]
+    )
