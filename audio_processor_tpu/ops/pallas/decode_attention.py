@@ -125,29 +125,44 @@ def cross_attention_int8_reference(
 # axis (softmax + weighted sum), so instead of re-INTERLEAVING nibbles
 # after unpack (an expensive lane shuffle), time is stored DE-INTERLEAVED:
 # the unpacked low nibbles are times [0,2,4,...] and the high nibbles times
-# [1,3,5,...], and a simple concat yields K/V in the permuted time order
-# pi = [evens..., odds...].  Only the validity mask needs to know pi.
+# [1,3,5,...].  Only the validity mask needs to know the split.
+#
+# v3.1 (offset-binary + split matmuls): values are stored as UNSIGNED
+# nibbles u = x + 8 (x in [-7,7] -> u in [1,15]), which shrinks the VPU
+# unpack from four sign-extension shifts per byte to AND/shift/AND, and
+# the two halves feed SEPARATE matmuls (joint softmax over both) instead
+# of being concatenated back into one (Dh, Tpad) array — the concat was a
+# full extra VMEM copy of K and V every step.  The +8 offset folds out in
+# closed form: q.(u-8) = q.u - 8*sum(q) per score row, and because softmax
+# probabilities sum to 1, out = p.(u_v-8) = p.u_v - 8 (a constant shift,
+# applied before the caller's V-scale multiply).  The kernel was measured
+# VPU-bound on the unpack (~340 GB/s effective vs the ~900 GB/s HBM
+# stream), so fewer unpack ops is step time.
 
 
 def pack_int4_time(
     k8: jnp.ndarray,  # (..., Dh, Tpad) int4-valued int8 (K, time = lanes)
     v8: jnp.ndarray,  # (..., Tpad, Dh) int4-valued int8 (V, time = sublanes)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Nibble-pack K along lanes and V along sublanes (time pairs)."""
-    lo_k = k8[..., 0::2].astype(jnp.int32)
-    hi_k = k8[..., 1::2].astype(jnp.int32)
-    k4 = ((lo_k & 0xF) | ((hi_k & 0xF) << 4)).astype(jnp.int8)
-    lo_v = v8[..., 0::2, :].astype(jnp.int32)
-    hi_v = v8[..., 1::2, :].astype(jnp.int32)
-    v4 = ((lo_v & 0xF) | ((hi_v & 0xF) << 4)).astype(jnp.int8)
+    """Nibble-pack K along lanes and V along sublanes (time pairs).
+
+    Values in [-7, 7] are stored offset-binary (u = x + 8 in [1, 15]).
+    """
+    lo_k = k8[..., 0::2].astype(jnp.int32) + 8
+    hi_k = k8[..., 1::2].astype(jnp.int32) + 8
+    k4 = (lo_k | (hi_k << 4)).astype(jnp.int8)
+    lo_v = v8[..., 0::2, :].astype(jnp.int32) + 8
+    hi_v = v8[..., 1::2, :].astype(jnp.int32) + 8
+    v4 = (lo_v | (hi_v << 4)).astype(jnp.int8)
     return k4, v4
 
 
-def _unpack_nibbles(p8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """int8 -> (low nibble, high nibble), both sign-extended int32."""
+def _unpack_nibbles_u(p8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 -> (low nibble, high nibble), both unsigned-offset int32 in
+    [1, 15] (subtract 8 for the signed value)."""
     x = p8.astype(jnp.int32)
-    lo = (x << 28) >> 28
-    hi = (x << 24) >> 28
+    lo = x & 0xF
+    hi = (x >> 4) & 0xF
     return lo, hi
 
 
@@ -159,27 +174,57 @@ def _deinterleaved_valid_mask(tq: int, tpad: int, valid_len: int):
     return orig < valid_len
 
 
-def _kernel_int4(q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int, n_head: int):
-    tq = q_ref.shape[1]
-    tpad = k4_ref.shape[3] * 2
-    dh = q_ref.shape[3]
-    scale = 1.0 / math.sqrt(dh)
-    valid = _deinterleaved_valid_mask(tq, tpad, valid_len)
+def _int4_head_attention(q_h, k4_h, v4_h, *, valid_len: int, scale: float):
+    """One head's offset-binary split-matmul attention.
+
+    q_h (Tq, Dh) f32; k4_h (Dh, Tpad/2) packed; v4_h (Tpad/2, Dh) packed.
+    Returns (Tq, Dh) f32 in integer units (caller applies the V scale).
+    """
+    tq = q_h.shape[0]
+    half = k4_h.shape[1]
+    n_even = (valid_len + 1) // 2  # low nibbles hold times 0,2,4,...
+    n_odd = valid_len // 2  # high nibbles hold times 1,3,5,...
     neg = jnp.float32(-1e30)
 
+    lo_k, hi_k = _unpack_nibbles_u(k4_h)
+    # q.(u-8) = q.u - 8*sum(q): the offset folds into one scalar per row
+    corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)  # (Tq, 1)
+    s_lo = (
+        jnp.dot(q_h, lo_k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        - corr
+    ) * scale
+    s_hi = (
+        jnp.dot(q_h, hi_k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        - corr
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, half), 1)
+    s_lo = jnp.where(col < n_even, s_lo, neg)
+    s_hi = jnp.where(col < n_odd, s_hi, neg)
+    m = jnp.maximum(
+        jnp.max(s_lo, axis=-1, keepdims=True),
+        jnp.max(s_hi, axis=-1, keepdims=True),
+    )
+    p_lo = jnp.exp(s_lo - m)
+    p_hi = jnp.exp(s_hi - m)
+    denom = jnp.sum(p_lo, axis=-1, keepdims=True) + jnp.sum(
+        p_hi, axis=-1, keepdims=True
+    )
+    lo_v, hi_v = _unpack_nibbles_u(v4_h)
+    acc = jnp.dot(
+        p_lo, lo_v.astype(jnp.float32), preferred_element_type=jnp.float32
+    ) + jnp.dot(p_hi, hi_v.astype(jnp.float32), preferred_element_type=jnp.float32)
+    # p.(u-8) = p.u - 8*denom, and probs sum to denom -> a constant -8 shift
+    return acc / denom - 8.0
+
+
+def _kernel_int4(q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int, n_head: int):
+    dh = q_ref.shape[3]
+    scale = 1.0 / math.sqrt(dh)
     for h in range(n_head):
-        lo_k, hi_k = _unpack_nibbles(k4_ref[0, h])  # (Dh, Tpad/2) each
-        k_h = jnp.concatenate([lo_k, hi_k], axis=1).astype(jnp.float32)
-        lo_v, hi_v = _unpack_nibbles(v4_ref[0, h])  # (Tpad/2, Dh) each
-        v_h = jnp.concatenate([lo_v, hi_v], axis=0).astype(jnp.float32)
         q_h = q_ref[0, :, h, :].astype(jnp.float32)  # (Tq, Dh)
-        scores = jnp.dot(q_h, k_h, preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(valid, scores, neg)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32) / denom
-        out_ref[0, :, h, :] = o
+        out_ref[0, :, h, :] = _int4_head_attention(
+            q_h, k4_ref[0, h], v4_ref[0, h], valid_len=valid_len, scale=scale
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))
@@ -216,26 +261,13 @@ def _kernel_int4_stacked(
     """Same math as _kernel_int4; k4/v4 blocks carry (1, 1, H, ...) leading
     dims because the LAYER is selected by the BlockSpec index_map from the
     scalar-prefetched layer id (layer_ref is otherwise unused here)."""
-    tq = q_ref.shape[1]
-    tpad = k4_ref.shape[4] * 2
     dh = q_ref.shape[3]
     scale = 1.0 / math.sqrt(dh)
-    valid = _deinterleaved_valid_mask(tq, tpad, valid_len)
-    neg = jnp.float32(-1e30)
-
     for h in range(n_head):
-        lo_k, hi_k = _unpack_nibbles(k4_ref[0, 0, h])  # (Dh, Tpad/2) each
-        k_h = jnp.concatenate([lo_k, hi_k], axis=1).astype(jnp.float32)
-        lo_v, hi_v = _unpack_nibbles(v4_ref[0, 0, h])  # (Tpad/2, Dh) each
-        v_h = jnp.concatenate([lo_v, hi_v], axis=0).astype(jnp.float32)
         q_h = q_ref[0, :, h, :].astype(jnp.float32)  # (Tq, Dh)
-        scores = jnp.dot(q_h, k_h, preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(valid, scores, neg)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32) / denom
-        out_ref[0, :, h, :] = o
+        out_ref[0, :, h, :] = _int4_head_attention(
+            q_h, k4_ref[0, 0, h], v4_ref[0, 0, h], valid_len=valid_len, scale=scale
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))
@@ -283,17 +315,17 @@ def cross_attention_int4_stacked(
 def cross_attention_int4_reference(
     q: jnp.ndarray, k4: jnp.ndarray, v4: jnp.ndarray, *, valid_len: int
 ) -> jnp.ndarray:
-    """jnp twin operating on the packed arrays (CPU / non-TPU fallback)."""
+    """jnp twin operating on the packed (offset-binary) arrays."""
     dh = q.shape[-1]
     tq = q.shape[1]
     x_k = k4.astype(jnp.int32)
-    k_full = jnp.concatenate(
-        [(x_k << 28) >> 28, (x_k << 24) >> 28], axis=3
-    ).astype(jnp.float32)  # (B, H, Dh, Tpad) in pi order
+    k_full = (
+        jnp.concatenate([x_k & 0xF, (x_k >> 4) & 0xF], axis=3) - 8
+    ).astype(jnp.float32)  # (B, H, Dh, Tpad) in [evens, odds] order
     x_v = v4.astype(jnp.int32)
-    v_full = jnp.concatenate(
-        [(x_v << 28) >> 28, (x_v << 24) >> 28], axis=2
-    ).astype(jnp.float32)  # (B, H, Tpad, Dh) in pi order
+    v_full = (
+        jnp.concatenate([x_v & 0xF, (x_v >> 4) & 0xF], axis=2) - 8
+    ).astype(jnp.float32)  # (B, H, Tpad, Dh) in [evens, odds] order
     scores = jnp.einsum("bqhd,bhdt->bhqt", q.astype(jnp.float32), k_full) / math.sqrt(dh)
     tpad = k_full.shape[3]
     valid = _deinterleaved_valid_mask(tq, tpad, valid_len)  # (Tq, Tpad)

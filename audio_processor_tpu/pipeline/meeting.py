@@ -143,14 +143,42 @@ class MeetingProcessor:
             import contextlib
 
             profile_dir = os.environ.get("APTPU_PROFILE_DIR")
-            if profile_dir:
+
+            @contextlib.contextmanager
+            def _best_effort_trace():
+                # the profiler session is process-global: a concurrent job
+                # (or an embedding test harness) may already hold it.
+                # Profiling is observability only and must never fail the
+                # job, so enter/exit failures degrade to no-trace.
+                if not profile_dir:
+                    yield
+                    return
                 import jax as _jax
 
-                trace_cm = _jax.profiler.trace(
+                cm = _jax.profiler.trace(
                     os.path.join(profile_dir, f"job_{ctx.job_id}")
                 )
-            else:
-                trace_cm = contextlib.nullcontext()
+                try:
+                    cm.__enter__()
+                except Exception as exc:  # noqa: BLE001 — observability only
+                    logger.warning(
+                        "device trace unavailable for %s: %s", ctx.job_id, exc
+                    )
+                    yield
+                    return
+                try:
+                    yield
+                finally:
+                    try:
+                        cm.__exit__(None, None, None)
+                    except Exception as exc:  # noqa: BLE001
+                        logger.warning(
+                            "device trace finalisation failed for %s: %s",
+                            ctx.job_id,
+                            exc,
+                        )
+
+            trace_cm = _best_effort_trace()
 
             with trace_cm:
                 try:
