@@ -30,14 +30,25 @@ def cmd_transcribe(args) -> None:
         kw["word_timestamps"] = True
     if args.condition:
         kw["condition_on_previous_text"] = True
+    if args.task != "transcribe":
+        kw["task"] = args.task
+    if args.initial_prompt:
+        kw["initial_prompt"] = args.initial_prompt
     if args.model_path:
         t = Transcriber.from_npz(args.model_path, **kw)
     else:
         t = Transcriber.random_init(args.model, **kw)
     audio = ingest.load_audio(args.audio)
     out = t.transcribe(audio, remove_silence=not args.keep_silence)
-    if args.json:
+    fmt = "json" if args.json else args.output_format
+    if fmt == "json":
         print(json.dumps(out, indent=2))
+    elif fmt in ("srt", "vtt", "tsv", "txt"):
+        from .utils import writers
+
+        print(writers.format_segments(out["segments"], fmt), end="")
+        print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
+              file=sys.stderr)
     else:
         for seg in out["segments"]:
             print(f"[{seg['start']:8.2f} – {seg['end']:8.2f}] {seg['text']}")
@@ -224,6 +235,15 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     t.add_argument("--word-timestamps", action="store_true")
+    t.add_argument("--task", choices=("transcribe", "translate"),
+                   default="transcribe",
+                   help="translate = X->English (whisper's task token)")
+    t.add_argument("--initial-prompt", dest="initial_prompt",
+                   help="text context for the first window "
+                   "(openai-whisper's initial_prompt)")
+    t.add_argument("--output-format", dest="output_format",
+                   choices=("text", "txt", "json", "srt", "vtt", "tsv"),
+                   default="text", help="stdout format (default: readable text)")
     t.add_argument(
         "--condition", action="store_true",
         help="condition each window on the previous window's text "

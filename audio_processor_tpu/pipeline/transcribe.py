@@ -97,6 +97,14 @@ class Transcriber:
     # stays bounded and every slab reuses ONE compiled program (batch 64 is
     # the measured sweet spot for whisper-small on v5e)
     max_chunk_batch: int = 64
+    # "transcribe" or "translate" (X->English): whisper's task token, the
+    # same switch openai-whisper exposes as transcribe(task=...)
+    task: str = "transcribe"
+    # openai-whisper's initial_prompt: text fed as <|startofprev|> context
+    # for the FIRST window (with condition_on_previous_text it also seeds
+    # the first group's rolling context and persists naturally).  Greedy
+    # only.  Temperature-ladder retries decode without it.
+    initial_prompt: str | None = None
     # auto language detection on the first chunk (multilingual models with
     # no pinned language — whisper's detect_language behaviour)
     auto_language: bool = True
@@ -120,7 +128,21 @@ class Transcriber:
                 "condition_on_previous_text does not support word_timestamps "
                 "yet (encoder states are not retained across rounds)"
             )
+        if self.task not in ("transcribe", "translate"):
+            raise ValueError(f"task must be transcribe|translate, got {self.task!r}")
+        if self.initial_prompt and self.beam_size > 0:
+            raise ValueError(
+                "initial_prompt requires greedy decoding (beam_size=0)"
+            )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        # openai prepends a space and keeps the last n_text_ctx//2 - 1 tokens
+        self._initial_prompt_tokens: list[int] = []
+        if self.initial_prompt:
+            toks = self.tokenizer.encode(" " + self.initial_prompt.strip())
+            cap = self.cfg.n_text_ctx // 2 - 1
+            self._initial_prompt_tokens = [
+                int(t) for t in toks if int(t) < self.special.eot
+            ][-cap:]
         self._active_language: int | None = None  # per-call detected language
         # openai-whisper's default SuppressTokens (non-speech symbols +
         # sot/task/prev/nospeech specials) and SuppressBlank — the rules the
@@ -191,10 +213,47 @@ class Transcriber:
                 failed[i] |= ratio > self.compression_ratio_threshold
         return failed
 
-    def _run_decode(self, audio_states, temperature: float = 0.0, seed: int = 0):
-        """Dispatch one slab's decode (ASYNC — result holds device arrays)."""
+    def _run_decode(
+        self,
+        audio_states,
+        temperature: float = 0.0,
+        seed: int = 0,
+        first_row_prompt: bool = False,
+    ):
+        """Dispatch one slab's decode (ASYNC — result holds device arrays).
+
+        first_row_prompt=True routes through the prompted program with the
+        initial_prompt tokens as row 0's <|startofprev|> context (the slab
+        holding the meeting's first window); rows with no prompt decode
+        identically to plain greedy (pinned by test_parity_prompted).
+        """
         lang = self._active_language if self._active_language is not None else self.language
-        sot_seq = tuple(self.special.sot_sequence(language=lang))
+        sot_seq = tuple(self.special.sot_sequence(language=lang, task=self.task))
+        if first_row_prompt and self._initial_prompt_tokens and self.beam_size == 0:
+            b = audio_states.shape[0]
+            rows, lens = decode_lib.build_prompt_rows(
+                [self._initial_prompt_tokens] + [[]] * (b - 1),
+                sot_seq,
+                self.special,
+                len(self._initial_prompt_tokens),
+            )
+            return decode_lib.prompted_greedy_decode(
+                self.params,
+                self.cfg,
+                audio_states,
+                jnp.asarray(rows),
+                jnp.asarray(lens),
+                sot_len=len(sot_seq),
+                max_new_tokens=self.max_new_tokens,
+                use_timestamps=True,
+                suppress_mask=self._suppress_mask,
+                space_blank_id=self._space_blank_id,
+                dtype_name=self.compute_dtype,
+                quantize_cross_kv=self.quantize_cross_kv,
+                kv_bits=self.cross_kv_bits,
+                temperature=temperature,
+                rng_seed=seed,
+            )
         if self.beam_size > 0:
             return decode_lib.beam_decode(
                 self.params,
@@ -342,6 +401,9 @@ class Transcriber:
             (n_chunks, self.max_new_tokens), self.special.eot, np.int32
         )
         histories: list[list[int]] = [[] for _ in range(n_groups)]
+        # initial_prompt seeds the first group's rolling context (openai
+        # keeps it in all_tokens, so it persists under conditioning)
+        histories[0] = list(self._initial_prompt_tokens)
 
         for r in range(g_size):
             chunk_ids = [
@@ -373,7 +435,9 @@ class Transcriber:
                     if self._active_language is not None
                     else self.language
                 )
-                sot_seq = tuple(self.special.sot_sequence(language=lang))
+                sot_seq = tuple(
+                    self.special.sot_sequence(language=lang, task=self.task)
+                )
                 hists = [histories[ci // g_size] for ci in ids]
 
                 def run_prompted(sub_states, sub_hists, temp, seed):
@@ -551,7 +615,7 @@ class Transcriber:
             # VM's jittery host time behind stable device time)
             in_flight.append(
                 (
-                    self._run_decode(audio_states),
+                    self._run_decode(audio_states, first_row_prompt=(si == 0)),
                     audio_states if keep_states else None,
                     real,
                 )

@@ -102,9 +102,9 @@ def test_temperature_fallback_compacts_failed_rows(rng, monkeypatch):
     calls = []
     orig = tr._run_decode
 
-    def spy(audio_states, temperature=0.0, seed=0):
+    def spy(audio_states, temperature=0.0, seed=0, **kw):
         calls.append((audio_states.shape[0], temperature))
-        return orig(audio_states, temperature, seed)
+        return orig(audio_states, temperature, seed, **kw)
 
     monkeypatch.setattr(tr, "_run_decode", spy)
 
@@ -266,3 +266,85 @@ def test_language_detection_votes_over_speech_chunks(rng, monkeypatch):
     assert rms0 < 2e-3  # premise: chunk 0 is below the vote floor
     lang = t._detect_language_voting(audio, states, [0, 1])
     assert isinstance(lang, int)
+
+
+# ---------------------------------------------------------------------------
+# task=translate + initial_prompt (openai-whisper API parity)
+# ---------------------------------------------------------------------------
+
+def test_task_translate_uses_translate_token(speech_like_audio, monkeypatch):
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "tiny", compute_dtype="float32", max_new_tokens=4, task="translate",
+        auto_language=False, language=0, no_speech_threshold=None,
+    )
+    captured = {}
+    orig = decode_lib.greedy_decode
+
+    def spy(params, cfg, states, **kw):
+        captured["sot"] = kw["sot_sequence"]
+        return orig(params, cfg, states, **kw)
+
+    monkeypatch.setattr(decode_lib, "greedy_decode", spy)
+    t.transcribe(speech_like_audio[: 16000 * 2], remove_silence=False)
+    assert t.special.translate in captured["sot"]
+    assert t.special.transcribe not in captured["sot"]
+
+
+def test_task_validation():
+    with pytest.raises(ValueError, match="task"):
+        Transcriber.random_init("test", task="summarise")
+
+
+def test_initial_prompt_requires_greedy():
+    with pytest.raises(ValueError, match="initial_prompt"):
+        Transcriber.random_init("test", initial_prompt="hi", beam_size=2)
+
+
+def test_initial_prompt_routes_first_slab_through_prompted(
+    speech_like_audio, monkeypatch
+):
+    """First slab decodes via the prompted program with <|startofprev|> +
+    the encoded prompt in row 0; remaining rows get the bare sot sequence."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        initial_prompt="Glossary: JAX, Pallas", no_speech_threshold=None,
+        enable_fallback=False,
+    )
+    assert t._initial_prompt_tokens  # prompt text survived tokenisation
+    captured = {}
+    orig = decode_lib.prompted_greedy_decode
+
+    def spy(params, cfg, states, rows, lens, **kw):
+        captured["rows"] = np.asarray(rows)
+        captured["lens"] = np.asarray(lens)
+        return orig(params, cfg, states, rows, lens, **kw)
+
+    monkeypatch.setattr(decode_lib, "prompted_greedy_decode", spy)
+    out = t.transcribe(speech_like_audio, remove_silence=False)
+    assert "segments" in out
+    rows, lens = captured["rows"], captured["lens"]
+    sot_len = len(t.special.sot_sequence())
+    # row 0 carries startofprev + prompt tokens + sot sequence
+    assert lens[0] == 1 + len(t._initial_prompt_tokens) + sot_len
+    row0 = rows[0][-lens[0]:]
+    assert row0[0] == t.special.startofprev
+    assert list(row0[1:1 + len(t._initial_prompt_tokens)]) == t._initial_prompt_tokens
+    # other rows: bare sot sequence (decode identical to plain greedy)
+    assert (lens[1:] == sot_len).all()
+
+
+def test_initial_prompt_seeds_conditioned_history():
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        initial_prompt="context words", condition_on_previous_text=True,
+        enable_fallback=False, no_speech_threshold=None,
+    )
+    # the conditioned path seeds group 0's rolling history with the prompt
+    rng_ = np.random.default_rng(0)
+    audio = rng_.normal(0, 0.1, 16000 * 2).astype(np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    assert "segments" in out
