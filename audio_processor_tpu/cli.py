@@ -135,6 +135,103 @@ def cmd_convert_diarizer(args) -> None:
     print(f"converted -> {args.out}")
 
 
+def cmd_finetune_whisper(args) -> None:
+    """Fine-tune Whisper on a manifest of (audio, transcript) pairs.
+
+    Manifest: one JSON object per line, {"audio": "path.wav", "text": "..."}.
+    The reference cannot do this at all — it consumes the frozen upstream
+    model (app/services/audio_processor.py:863); rebuilding the engine
+    first-party makes domain adaptation a CLI command (the STT twin of
+    train-segmentation's train-to-serve loop).  Single-device here; the
+    sharded dp x tp variant is training/train_step.shard_train_state.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.whisper import convert, decode as decode_lib, model as model_lib
+    from .models.whisper.config import get_config
+    from .models.whisper.tokenizer import ByteTokenizer, language_index
+    from .ops import frontend
+    from .pipeline import ingest
+    from .training import train_step as ts
+
+    items = []
+    with open(args.manifest) as fh:
+        for line in fh:
+            if line.strip():
+                items.append(json.loads(line))
+    if not items:
+        raise SystemExit("empty manifest")
+
+    if args.model_path:
+        params, cfg = convert.load_params(args.model_path)
+    else:
+        cfg = get_config(args.model)
+        params = model_lib.init_params(cfg, jax.random.PRNGKey(args.seed))
+    st = decode_lib.SpecialTokens.for_config(cfg)
+    tokenizer = ByteTokenizer()
+    lang = language_index(args.language) if args.language else None
+    sot_seq = st.sot_sequence(language=lang, timestamps=False)
+
+    # host-side dataset build: 30 s mel windows + teacher-forced token rows
+    n_samples = 2 * cfg.n_audio_ctx * frontend.HOP_LENGTH
+    max_t = args.max_tokens
+    mels, tins, touts, masks = [], [], [], []
+    for it in items:
+        audio = ingest.load_audio(it["audio"])[:n_samples]
+        audio = np.pad(audio, (0, n_samples - len(audio)))
+        mels.append(
+            np.asarray(
+                frontend.log_mel_spectrogram(
+                    jnp.asarray(audio), n_mels=cfg.n_mels
+                )
+            )
+        )
+        toks = [
+            int(t) for t in tokenizer.encode(" " + it["text"].strip())
+            if int(t) < st.eot
+        ]
+        seq = sot_seq + toks[: max_t - len(sot_seq) - 1] + [st.eot]
+        ti = np.full(max_t, st.eot, np.int32)
+        to = np.full(max_t, st.eot, np.int32)
+        mk = np.zeros(max_t, np.float32)
+        ti[: len(seq) - 1] = seq[:-1]
+        to[: len(seq) - 1] = seq[1:]
+        # loss on text + eot only, not on predicting the sot prefix
+        mk[len(sot_seq) - 1 : len(seq) - 1] = 1.0
+        tins.append(ti)
+        touts.append(to)
+        masks.append(mk)
+    mels = np.stack(mels)
+    tins, touts, masks = np.stack(tins), np.stack(touts), np.stack(masks)
+
+    opt = ts.make_optimizer(args.lr)
+    state = ts.TrainState(
+        params=params, opt_state=opt.init(params), step=jnp.int32(0)
+    )
+    rng = np.random.default_rng(args.seed)
+    first_loss = last_loss = None
+    for step in range(args.steps):
+        idx = rng.integers(0, len(items), args.batch)
+        batch = ts.Batch(
+            mel=jnp.asarray(mels[idx]),
+            tokens_in=jnp.asarray(tins[idx]),
+            tokens_out=jnp.asarray(touts[idx]),
+            loss_mask=jnp.asarray(masks[idx]),
+        )
+        state, loss = ts.train_step(state, cfg, batch, lr=args.lr)
+        last_loss = float(loss)
+        if first_loss is None:
+            first_loss = last_loss
+        if step % max(1, args.steps // 10) == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  loss {last_loss:.4f}", file=sys.stderr)
+    print(f"loss {first_loss:.4f} -> {last_loss:.4f} over {args.steps} steps")
+    if args.out:
+        convert.save_params(args.out, jax.device_get(state.params), cfg)
+        print(f"saved {args.out} (serve with `transcribe --model-path {args.out}`)")
+
+
 def cmd_train_segmentation(args) -> None:
     """Train the TPU-native segmentation net with the powerset loss.
 
@@ -277,6 +374,22 @@ def main(argv: list[str] | None = None) -> None:
     cd.add_argument("embedding", help="ResNet34 embedding checkpoint (.pt)")
     cd.add_argument("out")
     cd.set_defaults(fn=cmd_convert_diarizer)
+
+    ft = sub.add_parser(
+        "finetune-whisper",
+        help="fine-tune Whisper on a jsonl manifest of {audio, text} pairs",
+    )
+    ft.add_argument("manifest", help="jsonl: {\"audio\": path, \"text\": str}")
+    ft.add_argument("--model", default="tiny")
+    ft.add_argument("--model-path", help="start from a converted .npz")
+    ft.add_argument("--language", help="ISO code pinned into the sot sequence")
+    ft.add_argument("--steps", type=int, default=200)
+    ft.add_argument("--batch", type=int, default=8)
+    ft.add_argument("--lr", type=float, default=1e-4)
+    ft.add_argument("--max-tokens", type=int, default=128, dest="max_tokens")
+    ft.add_argument("--seed", type=int, default=0)
+    ft.add_argument("--out", help="save fine-tuned params to this .npz")
+    ft.set_defaults(fn=cmd_finetune_whisper)
 
     ts = sub.add_parser(
         "train-segmentation",

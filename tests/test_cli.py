@@ -80,3 +80,35 @@ def test_cli_transcribe_initial_prompt_and_task_flags(wav, capsys):
               "--language", "en", "--json"])
     out = json.loads(capsys.readouterr().out)
     assert set(out) >= {"text", "segments", "duration"}
+
+
+def test_cli_finetune_whisper(tmp_path, rng, capsys):
+    """Train-to-serve loop for STT: manifest -> fine-tune -> reload."""
+    sr = 16000
+    manifest = tmp_path / "m.jsonl"
+    lines = []
+    for i, (f, text) in enumerate([(300, "alpha beta"), (700, "gamma delta")]):
+        t = np.arange(2 * sr) / sr
+        x = (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        p = str(tmp_path / f"ft{i}.wav")
+        wavio.write_wav(p, x, sr)
+        lines.append(json.dumps({"audio": p, "text": text}))
+    manifest.write_text("\n".join(lines))
+    out = str(tmp_path / "ft.npz")
+    cli.main(["finetune-whisper", str(manifest), "--model", "test",
+              "--steps", "40", "--batch", "4", "--lr", "3e-3",
+              "--max-tokens", "24", "--out", out])
+    stdout = capsys.readouterr().out
+    assert "loss" in stdout and "saved" in stdout
+    first, last = stdout.split("loss ")[1].split(" over")[0].split(" -> ")
+    assert float(last) < float(first)  # it actually learned something
+
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    t2 = Transcriber.from_npz(out, max_new_tokens=4)
+    from audio_processor_tpu.models.whisper.config import get_config
+
+    ref = get_config("test")
+    assert (t2.cfg.n_audio_state, t2.cfg.n_text_layer) == (
+        ref.n_audio_state, ref.n_text_layer,
+    )
