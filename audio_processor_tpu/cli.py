@@ -60,10 +60,16 @@ def cmd_diarize(args) -> None:
     from .pipeline import ingest
     from .pipeline.diarize import Diarizer
 
+    kw = {}
+    if args.embedding_path:
+        from .training import embedding_trainer as et
+
+        emb_params, emb_cfg = et.load_params(args.embedding_path)
+        kw.update(emb_params=emb_params, emb_cfg=emb_cfg)
     if args.segmentation_path:
-        d = Diarizer.from_tpu_segmentation(args.segmentation_path)
+        d = Diarizer.from_tpu_segmentation(args.segmentation_path, **kw)
     else:
-        d = Diarizer.random_init()
+        d = Diarizer.random_init(**kw)
     audio = ingest.load_audio(args.audio)
     turns = d.diarize(audio)
     if args.json:
@@ -268,6 +274,43 @@ def cmd_train_segmentation(args) -> None:
               f"Diarizer.from_tpu_segmentation)")
 
 
+def cmd_train_embedding(args) -> None:
+    """Train the speaker-embedding net with AAM-softmax.
+
+    Synthetic speakers by default (hermetic smoke-training); real corpora
+    plug in by replacing the crop source.  The trained cosine space is
+    what AHC clusters on (pipeline/diarize.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.diarization import embedding as emb
+    from .training import embedding_trainer as et
+
+    cfg = emb.EmbeddingConfig(crop_s=args.crop_s)
+    rng = np.random.default_rng(args.seed)
+    f0s = tuple(90.0 * (1.45 ** i) for i in range(args.speakers))
+    state = et.init_train_state(
+        cfg, args.speakers, jax.random.PRNGKey(args.seed), lr=args.lr
+    )
+    for step in range(args.steps):
+        labels = rng.integers(0, args.speakers, args.batch)
+        crops = np.stack(
+            [et.synth_speaker_crop(rng, f0s[s], cfg) for s in labels]
+        )
+        state, loss = et.train_step(
+            state, cfg, jnp.asarray(crops), jnp.asarray(labels, jnp.int32),
+            lr=args.lr,
+        )
+        if step % max(1, args.steps // 10) == 0 or step == args.steps - 1:
+            print(f"step {step:4d}  aam loss {float(loss):.4f}")
+
+    if args.out:
+        et.save_params(args.out, state.params, cfg)
+        print(f"saved trained embedding -> {args.out} "
+              f"(serve with `diarize --embedding-path {args.out}`)")
+
+
 def cmd_calibrate_alignment_heads(args) -> None:
     """Measure a word-timestamp alignment-head mask for a checkpoint.
 
@@ -355,6 +398,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     d.add_argument("audio")
     d.add_argument("--json", action="store_true")
+    d.add_argument(
+        "--embedding-path", dest="embedding_path",
+        help="trained speaker-embedding .npz (cli train-embedding)",
+    )
     d.set_defaults(fn=cmd_diarize)
 
     p = sub.add_parser("process", help="full meeting pipeline on a local file")
@@ -402,6 +449,19 @@ def main(argv: list[str] | None = None) -> None:
     ts.add_argument("--seed", type=int, default=0)
     ts.add_argument("--out", help="save trained params to this .npz")
     ts.set_defaults(fn=cmd_train_segmentation)
+
+    te = sub.add_parser(
+        "train-embedding",
+        help="train the speaker-embedding net (AAM-softmax, synthetic speakers)",
+    )
+    te.add_argument("--steps", type=int, default=100)
+    te.add_argument("--batch", type=int, default=16)
+    te.add_argument("--lr", type=float, default=1e-3)
+    te.add_argument("--speakers", type=int, default=8)
+    te.add_argument("--crop-s", type=float, default=3.0, dest="crop_s")
+    te.add_argument("--seed", type=int, default=0)
+    te.add_argument("--out", help="save trained params to this .npz")
+    te.set_defaults(fn=cmd_train_embedding)
 
     ch = sub.add_parser(
         "calibrate-alignment-heads",

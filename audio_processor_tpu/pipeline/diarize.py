@@ -62,9 +62,14 @@ class Diarizer:
     @classmethod
     def random_init(cls, seed: int = 0, segmentation: str = "pyannet", **kw) -> "Diarizer":
         """segmentation='pyannet' (checkpoint-compatible SincNet+BiLSTM) or
-        'tpu' (recurrence-free conv+attention variant, fully parallel)."""
+        'tpu' (recurrence-free conv+attention variant, fully parallel).
+
+        kw may carry trained emb_params/emb_cfg (cli train-embedding) —
+        only the unsupplied nets fall back to random weights."""
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        emb_cfg = emb_lib.EmbeddingConfig()
+        if "emb_params" not in kw:
+            emb_cfg = kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
+            kw["emb_params"] = emb_lib.init_params(emb_cfg, k2)
         if segmentation == "tpu":
             from ..models.diarization import segmentation_tpu as seg_tpu
 
@@ -72,8 +77,6 @@ class Diarizer:
             return cls(
                 seg_params=seg_tpu.init_params(seg_cfg, k1),
                 seg_cfg=seg_cfg,
-                emb_params=emb_lib.init_params(emb_cfg, k2),
-                emb_cfg=emb_cfg,
                 seg_fn=seg_tpu.segment_windows,
                 **kw,
             )
@@ -81,8 +84,6 @@ class Diarizer:
         return cls(
             seg_params=seg_lib.init_params(seg_cfg, k1),
             seg_cfg=seg_cfg,
-            emb_params=emb_lib.init_params(emb_cfg, k2),
-            emb_cfg=emb_cfg,
             **kw,
         )
 

@@ -107,9 +107,14 @@ def config_2():
         return np.asarray(log_mel_pallas(jnp.asarray(chunks)))
 
     preprocess()  # warm/compile
-    t0 = time.perf_counter()
-    mel = preprocess()
-    dt = time.perf_counter() - t0
+    # median of 3: the first post-warm trial on this 1-vCPU VM routinely
+    # runs 2-3x slower than steady state (page faults / allocator warm-up)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        preprocess()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     _emit("config2 preprocessing 10min (resample+trim+fused log-mel)", 600.0 / dt, "x_realtime")
 
 
@@ -124,9 +129,14 @@ def config_4():
     d = Diarizer.random_init(window_step_s=5.0)
     audio = _speech(600)
     d.diarize(audio)  # warm/compile at the measured batch shape
-    t0 = time.perf_counter()
-    turns = d.diarize(audio)
-    dt = time.perf_counter() - t0
+    # median of 3 (first post-warm trial is 2-3x slower on this VM —
+    # measured 162x then 418-525x steady-state in one process)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d.diarize(audio)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     _emit("config4 diarization 10min meeting", 600.0 / dt, "x_realtime")
 
 

@@ -112,3 +112,16 @@ def test_cli_finetune_whisper(tmp_path, rng, capsys):
     assert (t2.cfg.n_audio_state, t2.cfg.n_text_layer) == (
         ref.n_audio_state, ref.n_text_layer,
     )
+
+
+def test_cli_train_embedding_then_serve(tmp_path, wav, capsys):
+    """train-embedding -> .npz -> diarize --embedding-path serves it."""
+    out = str(tmp_path / "emb.npz")
+    cli.main(["train-embedding", "--steps", "3", "--batch", "4",
+              "--speakers", "3", "--crop-s", "1.0", "--out", out])
+    stdout = capsys.readouterr().out
+    assert "aam loss" in stdout and "saved trained embedding" in stdout
+
+    cli.main(["diarize", wav, "--json", "--embedding-path", out])
+    turns = json.loads(capsys.readouterr().out)
+    assert isinstance(turns, list)
