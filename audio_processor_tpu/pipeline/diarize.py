@@ -118,11 +118,11 @@ class Diarizer:
         from ..models.diarization import convert as dconvert
 
         seg_params, emb_params = dconvert.load_diarizer_params(path)
+        kw.setdefault("emb_params", emb_params)  # trained override wins
+        kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
         return cls(
             seg_params=seg_params,
             seg_cfg=seg_lib.SegmentationConfig(),
-            emb_params=emb_params,
-            emb_cfg=emb_lib.EmbeddingConfig(),
             **kw,
         )
 

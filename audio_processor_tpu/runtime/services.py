@@ -154,6 +154,20 @@ def build_services(
         from ..pipeline.diarize import Diarizer
 
         diar_path = os.environ.get("APTPU_DIARIZER_PATH")
+        # trained speaker-embedding checkpoint (cli train-embedding) —
+        # composes with either segmentation source below
+        emb_kw = {}
+        emb_path = os.environ.get("APTPU_EMBEDDING_PATH")
+        if emb_path:
+            if not os.path.exists(emb_path):
+                raise FileNotFoundError(
+                    f"APTPU_EMBEDDING_PATH is set to {emb_path!r} but no such "
+                    "file exists — refusing to fall back to random weights"
+                )
+            from ..training import embedding_trainer as _et
+
+            emb_params, emb_cfg = _et.load_params(emb_path)
+            emb_kw = dict(emb_params=emb_params, emb_cfg=emb_cfg)
         if diar_path:
             if not os.path.exists(diar_path):
                 raise FileNotFoundError(
@@ -167,16 +181,17 @@ def build_services(
             # converted pyannote+ResNet pack vs a trained TPU-native
             # segmentation checkpoint (cli train-segmentation output)
             diarizer = (
-                Diarizer.from_tpu_segmentation(diar_path)
+                Diarizer.from_tpu_segmentation(diar_path, **emb_kw)
                 if is_tpu_seg
-                else Diarizer.from_npz(diar_path)
+                else Diarizer.from_npz(diar_path, **emb_kw)
             )
         else:
-            logger.warning(
-                "no diarization checkpoint configured (APTPU_DIARIZER_PATH "
-                "unset) — serving RANDOM segmentation/embedding weights"
-            )
-            diarizer = Diarizer.random_init()
+            if not emb_kw:
+                logger.warning(
+                    "no diarization checkpoint configured (APTPU_DIARIZER_PATH "
+                    "unset) — serving RANDOM segmentation/embedding weights"
+                )
+            diarizer = Diarizer.random_init(**emb_kw)
 
     drive = None
     if with_drive:

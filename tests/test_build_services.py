@@ -66,3 +66,44 @@ def test_build_services_fails_fast_on_missing_diarizer(tmp_path, monkeypatch):
         build_services(
             model="test", diarization=True, with_drive=False, with_llm=False
         )
+
+
+def test_build_services_fails_fast_on_missing_embedding(tmp_path, monkeypatch):
+    from audio_processor_tpu.runtime.services import build_services
+
+    monkeypatch.delenv("APTPU_DIARIZER_PATH", raising=False)
+    monkeypatch.setenv("APTPU_EMBEDDING_PATH", str(tmp_path / "missing.npz"))
+    with pytest.raises(FileNotFoundError, match="APTPU_EMBEDDING_PATH"):
+        build_services(
+            model="test", diarization=True, with_drive=False, with_llm=False
+        )
+
+
+def test_build_services_serves_trained_embedding(tmp_path, monkeypatch):
+    """APTPU_EMBEDDING_PATH loads a cli-train-embedding checkpoint into the
+    served Diarizer (composes with random segmentation)."""
+    import jax
+
+    from audio_processor_tpu.models.diarization import embedding as emb
+    from audio_processor_tpu.training import embedding_trainer as et
+
+    cfg = emb.EmbeddingConfig(
+        n_mels=24, base_channels=8, blocks=(1, 1, 1, 1), embed_dim=32,
+        crop_s=1.0,
+    )
+    path = str(tmp_path / "emb.npz")
+    et.save_params(path, emb.init_params(cfg, jax.random.PRNGKey(0)), cfg)
+    monkeypatch.delenv("APTPU_DIARIZER_PATH", raising=False)
+    monkeypatch.setenv("APTPU_EMBEDDING_PATH", path)
+
+    from audio_processor_tpu.runtime.services import build_services
+
+    services = build_services(
+        model="test", diarization=True, with_drive=False, with_llm=False,
+        max_workers=1,
+    )
+    try:
+        d = services.processor.diarizer
+        assert d.emb_cfg == cfg  # the trained config was actually wired in
+    finally:
+        services.engine.shutdown(wait=False)
