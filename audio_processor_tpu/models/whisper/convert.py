@@ -217,7 +217,10 @@ def _flatten(tree, prefix=""):
         if isinstance(v, dict):
             out.update(_flatten(v, key))
         else:
-            out[key] = np.asarray(v)
+            a = np.asarray(v)
+            if a.dtype.kind == "V":  # bfloat16 -> np.savez void16: upcast
+                a = np.asarray(jnp.asarray(v).astype(jnp.float32))
+            out[key] = a
     return out
 
 

@@ -60,6 +60,13 @@ class Transcriber:
     tokenizer: Any = field(default_factory=ByteTokenizer)
     language: int | None = None  # language token index, None = first language
     compute_dtype: str = "bfloat16"
+    # parameter STORAGE dtype.  "auto" stores params in compute_dtype when
+    # that isn't float32: the compute casts weights to compute_dtype at
+    # every use anyway, so f32 storage only doubles the per-step weight
+    # stream and the resident param HBM (measured +2.4% RTFx and half the
+    # param footprint at whisper-small).  Set None to keep params exactly
+    # as loaded (e.g. for f32 parity runs).
+    weights_dtype: str | None = "auto"
     max_new_tokens: int = 224
     mesh: Any = None  # jax.sharding.Mesh or None for single-device
     quantize_cross_kv: bool = True  # quantized cross-attention cache
@@ -135,6 +142,16 @@ class Transcriber:
                 "initial_prompt requires greedy decoding (beam_size=0)"
             )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        wd = self.weights_dtype
+        if wd == "auto":
+            wd = None if self.compute_dtype == "float32" else self.compute_dtype
+        if wd is not None and jnp.dtype(wd) != jnp.float32:
+            target = jnp.dtype(wd)
+            self.params = jax.tree.map(
+                lambda x: x.astype(target)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.params,
+            )
         # openai prepends a space and keeps the last n_text_ctx//2 - 1 tokens
         self._initial_prompt_tokens: list[int] = []
         if self.initial_prompt:

@@ -22,7 +22,10 @@ def flatten_tree(tree, prefix: str = "") -> dict[str, np.ndarray]:
         if isinstance(v, (dict, list, tuple)):
             flat.update(flatten_tree(v, key))
         else:
-            flat[key] = np.asarray(v)
+            a = np.asarray(v)
+            if a.dtype.kind == "V":  # bfloat16 -> np.savez void16: upcast
+                a = np.asarray(jnp.asarray(v).astype(jnp.float32))
+            flat[key] = a
     return flat
 
 

@@ -37,6 +37,12 @@ def main() -> None:
                     help="per-token int8 self-attention cache")
     ap.add_argument("--int8-weights", action="store_true",
                     help="int8 decoder weights (models/whisper/quantize)")
+    ap.add_argument("--f32-weights", action="store_true",
+                    help="keep params in f32 storage (default stores them in "
+                    "the compute dtype — the compute casts per use anyway, "
+                    "so f32 storage only doubles the weight stream; "
+                    "+2.4%% RTFx measured, mirrors Transcriber weights_dtype"
+                    "='auto')")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
@@ -74,6 +80,13 @@ def main() -> None:
         from audio_processor_tpu.models.whisper import quantize
 
         params = quantize.quantize_decoder(params)
+    if not args.f32_weights and jnp.dtype(args.dtype) != jnp.float32:
+        target = jnp.dtype(args.dtype)
+        params = jax.tree.map(
+            lambda x: x.astype(target)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
 
     total_chunks = int(args.audio_minutes * 2)  # 30 s chunks
     bs = args.batch
@@ -143,7 +156,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''}{', f32 weights' if args.f32_weights else ''})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),
