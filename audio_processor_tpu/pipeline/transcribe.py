@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import math
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -160,7 +161,13 @@ class Transcriber:
             self._initial_prompt_tokens = [
                 int(t) for t in toks if int(t) < self.special.eot
             ][-cap:]
-        self._active_language: int | None = None  # per-call detected language
+        # per-call detected language.  THREAD-LOCAL: the server shares one
+        # Transcriber across max_workers job threads (runtime/services.py),
+        # and a plain attribute would let job B's reset clobber job A's
+        # detected language mid-transcription (wrong language token AND a
+        # recompile from the changed sot sequence).  Each job runs wholly
+        # on one worker thread, so TLS gives per-call isolation for free.
+        self._lang_tls = threading.local()
         # openai-whisper's default SuppressTokens (non-speech symbols +
         # sot/task/prev/nospeech specials) and SuppressBlank — the rules the
         # reference gets implicitly from whisper.transcribe
@@ -187,6 +194,14 @@ class Transcriber:
             )
 
         self._frontend_encode = jax.jit(_fe)
+
+    @property
+    def _active_language(self) -> int | None:
+        return getattr(self._lang_tls, "value", None)
+
+    @_active_language.setter
+    def _active_language(self, v: int | None) -> None:
+        self._lang_tls.value = v
 
     # -- factory ------------------------------------------------------------
 

@@ -348,3 +348,59 @@ def test_initial_prompt_seeds_conditioned_history():
     audio = rng_.normal(0, 0.1, 16000 * 2).astype(np.float32)
     out = t.transcribe(audio, remove_silence=False)
     assert "segments" in out
+
+
+def test_detected_language_is_thread_local():
+    """The server shares ONE Transcriber across worker threads; job B's
+    per-call language reset must not clobber job A's detected language
+    mid-transcription (wrong token + sot-sequence recompile)."""
+    import threading
+
+    t = Transcriber.random_init("tiny", compute_dtype="float32", max_new_tokens=4)
+    t._active_language = 7
+    seen = {}
+
+    def other():
+        seen["before"] = t._active_language
+        t._active_language = 3
+        seen["after"] = t._active_language
+
+    th = threading.Thread(target=other)
+    th.start()
+    th.join()
+    assert seen["before"] is None   # isolation: B never sees A's value
+    assert seen["after"] == 3
+    assert t._active_language == 7  # and B's write never reaches A
+
+
+def test_concurrent_transcribe_same_instance(speech_like_audio):
+    """Two simultaneous transcriptions on one shared Transcriber complete
+    with valid schemas (the production server topology)."""
+    import threading
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        enable_fallback=False,
+    )
+    results, errors = {}, []
+
+    def run(name, audio):
+        try:
+            results[name] = t.transcribe(audio, remove_silence=False)
+        except Exception as exc:  # noqa: BLE001
+            errors.append((name, exc))
+
+    a = speech_like_audio
+    b = speech_like_audio[: 16000 * 4]
+    ths = [
+        threading.Thread(target=run, args=("a", a)),
+        threading.Thread(target=run, args=("b", b)),
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errors, errors
+    assert set(results) == {"a", "b"}
+    for out in results.values():
+        assert set(out) >= {"text", "segments", "duration"}
