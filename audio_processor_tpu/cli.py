@@ -183,6 +183,11 @@ def cmd_finetune_whisper(args) -> None:
     # host-side dataset build: 30 s mel windows + teacher-forced token rows
     n_samples = 2 * cfg.n_audio_ctx * frontend.HOP_LENGTH
     max_t = args.max_tokens
+    if max_t < len(sot_seq) + 2:
+        raise SystemExit(
+            f"--max-tokens {max_t} cannot hold the {len(sot_seq)}-token sot "
+            "sequence plus at least one text token and <|eot|>"
+        )
     mels, tins, touts, masks = [], [], [], []
     for it in items:
         audio = ingest.load_audio(it["audio"])[:n_samples]

@@ -109,9 +109,10 @@ class Transcriber:
     # same switch openai-whisper exposes as transcribe(task=...)
     task: str = "transcribe"
     # openai-whisper's initial_prompt: text fed as <|startofprev|> context
-    # for the FIRST window (with condition_on_previous_text it also seeds
-    # the first group's rolling context and persists naturally).  Greedy
-    # only.  Temperature-ladder retries decode without it.
+    # for the FIRST window, kept through that window's temperature-ladder
+    # retries (as openai does); with condition_on_previous_text it also
+    # seeds the first group's rolling context and persists naturally.
+    # Greedy only.
     initial_prompt: str | None = None
     # auto language detection on the first chunk (multilingual models with
     # no pinned language — whisper's detect_language behaviour)
@@ -153,11 +154,24 @@ class Transcriber:
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 self.params,
             )
-        # openai prepends a space and keeps the last n_text_ctx//2 - 1 tokens
+        # openai prepends a space and keeps the last n_text_ctx//2 - 1
+        # tokens; additionally cap so prompt + sot + max_new_tokens fits
+        # n_text_ctx (positions past it would silently clamp to the last
+        # positional embedding — jnp.take clips, it doesn't error)
         self._initial_prompt_tokens: list[int] = []
         if self.initial_prompt:
             toks = self.tokenizer.encode(" " + self.initial_prompt.strip())
-            cap = self.cfg.n_text_ctx // 2 - 1
+            sot_len = len(self.special.sot_sequence(language=0))
+            cap = min(
+                self.cfg.n_text_ctx // 2 - 1,
+                self.cfg.n_text_ctx - self.max_new_tokens - sot_len - 1,
+            )
+            if cap <= 0:
+                raise ValueError(
+                    f"max_new_tokens={self.max_new_tokens} leaves no room "
+                    f"for an initial_prompt within n_text_ctx="
+                    f"{self.cfg.n_text_ctx}"
+                )
             self._initial_prompt_tokens = [
                 int(t) for t in toks if int(t) < self.special.eot
             ][-cap:]
@@ -283,6 +297,7 @@ class Transcriber:
                 dtype_name=self.compute_dtype,
                 quantize_cross_kv=self.quantize_cross_kv,
                 kv_bits=self.cross_kv_bits,
+                quantize_self_kv=self.quantize_self_kv,
                 temperature=temperature,
                 rng_seed=seed,
             )
@@ -317,7 +332,9 @@ class Transcriber:
             rng_seed=seed,
         )
 
-    def _collect_slab(self, result, audio_states, n_real: int) -> np.ndarray:
+    def _collect_slab(
+        self, result, audio_states, n_real: int, first_slab: bool = False
+    ) -> np.ndarray:
         """Sync one slab's decode to host and apply the quality gates."""
         tokens = np.array(result.tokens)[:n_real]  # writable copy
         if self.beam_size > 0:
@@ -341,7 +358,14 @@ class Transcriber:
                     "(batch %d)", len(idx), n_real, temp, bucket,
                 )
                 sub_states = jnp.take(audio_states, jnp.asarray(pad_idx), axis=0)
-                retry = self._run_decode(sub_states, temp, seed=int(temp * 10))
+                # openai keeps initial_prompt through its per-window
+                # temperature retries; idx is ascending so the meeting's
+                # first window (original row 0) compacts to retry row 0 —
+                # exactly where the prompted program applies the prompt
+                retry = self._run_decode(
+                    sub_states, temp, seed=int(temp * 10),
+                    first_row_prompt=bool(first_slab and idx[0] == 0),
+                )
                 retry_tokens = np.array(retry.tokens)[: len(idx)]
                 tokens[idx] = retry_tokens
                 refailed = self._failed_rows(retry, retry_tokens, len(idx))
@@ -492,6 +516,7 @@ class Transcriber:
                         dtype_name=self.compute_dtype,
                         quantize_cross_kv=self.quantize_cross_kv,
                         kv_bits=self.cross_kv_bits,
+                        quantize_self_kv=self.quantize_self_kv,
                         temperature=temp,
                         rng_seed=seed,
                     )
@@ -602,7 +627,7 @@ class Transcriber:
         token_rows: list[np.ndarray] = []
         states_per_slab: list[Any] = []  # kept only for word alignment
         n_slabs = math.ceil(n_chunks / slab)
-        in_flight: list[tuple[Any, Any, int]] = []  # (result, states, real)
+        in_flight: list[tuple[Any, Any, int, bool]] = []  # (result, states, real, first)
         # drop the encoder-state reference right after decode dispatch when
         # nothing downstream re-reads it (no temperature retries, no word
         # alignment): frees ~300 MB/slab of HBM at whisper-small batch 64
@@ -613,8 +638,10 @@ class Transcriber:
         )
 
         def drain_one():
-            result, states, real = in_flight.pop(0)
-            token_rows.append(self._collect_slab(result, states, real))
+            result, states, real, first = in_flight.pop(0)
+            token_rows.append(
+                self._collect_slab(result, states, real, first_slab=first)
+            )
             if self.word_timestamps:
                 states_per_slab.append(states)
 
@@ -650,6 +677,7 @@ class Transcriber:
                     self._run_decode(audio_states, first_row_prompt=(si == 0)),
                     audio_states if keep_states else None,
                     real,
+                    si == 0,
                 )
             )
             del audio_states

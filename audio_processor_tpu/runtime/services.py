@@ -186,11 +186,12 @@ def build_services(
                 else Diarizer.from_npz(diar_path, **emb_kw)
             )
         else:
-            if not emb_kw:
-                logger.warning(
-                    "no diarization checkpoint configured (APTPU_DIARIZER_PATH "
-                    "unset) — serving RANDOM segmentation/embedding weights"
-                )
+            logger.warning(
+                "no diarization checkpoint configured (APTPU_DIARIZER_PATH "
+                "unset) — serving a RANDOM segmentation net%s",
+                " (embedding net is the trained APTPU_EMBEDDING_PATH "
+                "checkpoint)" if emb_kw else " and RANDOM embedding weights",
+            )
             diarizer = Diarizer.random_init(**emb_kw)
 
     drive = None

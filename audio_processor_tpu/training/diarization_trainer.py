@@ -204,21 +204,9 @@ def labels_to_turns(
 
 def save_params(path: str, params: Params, cfg: seg.TpuSegmentationConfig) -> None:
     """Trained segmentation params + config -> one .npz."""
-    flat: dict[str, np.ndarray] = {}
+    from .pytree_io import flatten_tree
 
-    def flatten(tree, prefix=""):
-        items = (
-            tree.items() if isinstance(tree, dict)
-            else ((str(i), v) for i, v in enumerate(tree))
-        )
-        for k, v in items:
-            key = f"{prefix}.{k}" if prefix else str(k)
-            if isinstance(v, (dict, list, tuple)):
-                flatten(v, key)
-            else:
-                flat[f"p.{key}"] = np.asarray(v)
-
-    flatten(params)
+    flat = {f"p.{k}": v for k, v in flatten_tree(params).items()}
     for field in (
         "sample_rate", "n_mels", "d_model", "n_head", "n_layer",
         "num_speakers", "max_simultaneous",
@@ -229,6 +217,8 @@ def save_params(path: str, params: Params, cfg: seg.TpuSegmentationConfig) -> No
 
 
 def load_params(path: str) -> tuple[Params, seg.TpuSegmentationConfig]:
+    from .pytree_io import unflatten_tree
+
     data = np.load(path)
     cfg = seg.TpuSegmentationConfig(
         sample_rate=int(data["cfg.sample_rate"]),
@@ -240,25 +230,8 @@ def load_params(path: str) -> tuple[Params, seg.TpuSegmentationConfig]:
         num_speakers=int(data["cfg.num_speakers"]),
         max_simultaneous=int(data["cfg.max_simultaneous"]),
     )
-    params: Params = {}
-    for key in data.files:
-        if not key.startswith("p."):
-            continue
-        node = params
-        parts = key[2:].split(".")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = jnp.asarray(data[key])
-
-    def restore_lists(tree):
-        """Dicts whose keys are all integers were lists before saving."""
-        if not isinstance(tree, dict):
-            return tree
-        if tree and all(k.isdigit() for k in tree):
-            return [restore_lists(tree[str(i)]) for i in range(len(tree))]
-        return {k: restore_lists(v) for k, v in tree.items()}
-
-    return restore_lists(params), cfg
+    flat = {k[2:]: data[k] for k in data.files if k.startswith("p.")}
+    return unflatten_tree(flat), cfg
 
 
 # ---------------------------------------------------------------------------

@@ -76,10 +76,9 @@ def main() -> None:
     cfg = get_config(args.model)
     st = decode_lib.SpecialTokens.for_config(cfg)
     params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
-    if args.int8_weights:
-        from audio_processor_tpu.models.whisper import quantize
-
-        params = quantize.quantize_decoder(params)
+    # compute-dtype storage cast BEFORE int8 quantization so the int8
+    # dequant scales (deliberately f32, models/whisper/quantize.py) are
+    # never downcast
     if not args.f32_weights and jnp.dtype(args.dtype) != jnp.float32:
         target = jnp.dtype(args.dtype)
         params = jax.tree.map(
@@ -87,6 +86,10 @@ def main() -> None:
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params,
         )
+    if args.int8_weights:
+        from audio_processor_tpu.models.whisper import quantize
+
+        params = quantize.quantize_decoder(params)
 
     total_chunks = int(args.audio_minutes * 2)  # 30 s chunks
     bs = args.batch

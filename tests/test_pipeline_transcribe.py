@@ -404,3 +404,39 @@ def test_concurrent_transcribe_same_instance(speech_like_audio):
     assert set(results) == {"a", "b"}
     for out in results.values():
         assert set(out) >= {"text", "segments", "duration"}
+
+
+def test_initial_prompt_kept_through_temperature_retry(rng, monkeypatch):
+    """openai keeps initial_prompt across a window's temperature retries;
+    the compacted retry must re-apply it when the first window is among
+    the failed rows (it compacts to retry row 0)."""
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        initial_prompt="domain words", enable_fallback=True,
+        temperature_ladder=(0.5,),
+    )
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    calls = []
+    orig = t._run_decode
+
+    def spy(audio_states, temperature=0.0, seed=0, **kw):
+        calls.append((temperature, kw.get("first_row_prompt", False)))
+        return orig(audio_states, temperature, seed, **kw)
+
+    monkeypatch.setattr(t, "_run_decode", spy)
+
+    fail_once = {"n": 0}
+
+    def fake_failed(result, tokens, n_real):
+        out = np.zeros(n_real, bool)
+        if fail_once["n"] == 0:
+            out[0] = True  # the FIRST window fails the gate
+        fail_once["n"] += 1
+        return out
+
+    monkeypatch.setattr(t, "_failed_rows", fake_failed)
+    t.transcribe(audio, remove_silence=False)
+
+    assert calls[0] == (0.0, True)  # primary decode of slab 0: prompted
+    retries = [c for c in calls if c[0] > 0]
+    assert retries and retries[0][1]  # retry keeps the prompt
