@@ -39,7 +39,16 @@ def cmd_transcribe(args) -> None:
     else:
         t = Transcriber.random_init(args.model, **kw)
     audio = ingest.load_audio(args.audio)
-    out = t.transcribe(audio, remove_silence=not args.keep_silence)
+    clips = None
+    if args.clip_timestamps:
+        from .utils.timestamps import parse_clip_timestamps
+
+        clips = parse_clip_timestamps(
+            args.clip_timestamps, len(audio) / ingest.TARGET_SR
+        )
+    out = t.transcribe(
+        audio, remove_silence=not args.keep_silence, clip_timestamps=clips
+    )
     fmt = "json" if args.json else args.output_format
     if fmt == "json":
         print(json.dumps(out, indent=2))
@@ -389,6 +398,10 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--output-format", dest="output_format",
                    choices=("text", "txt", "json", "srt", "vtt", "tsv"),
                    default="text", help="stdout format (default: readable text)")
+    t.add_argument("--clip-timestamps", dest="clip_timestamps",
+                   help="comma-separated start,end second pairs to "
+                   "transcribe within (openai-whisper's clip_timestamps; "
+                   "a trailing lone start runs to the end)")
     t.add_argument(
         "--condition", action="store_true",
         help="condition each window on the previous window's text "

@@ -31,6 +31,7 @@ from ..models.whisper.config import WhisperConfig, get_config
 from ..models.whisper.tokenizer import ByteTokenizer
 from ..ops import frontend
 from ..parallel import mesh as mesh_lib
+from ..utils import timestamps as timestamps_lib
 from ..utils.timestamps import TimeMap
 
 logger = logging.getLogger(__name__)
@@ -584,6 +585,7 @@ class Transcriber:
         *,
         sample_rate: int = 16_000,
         remove_silence: bool = True,
+        clip_timestamps: list[tuple[float, float]] | None = None,
         time_map: TimeMap | None = None,
         progress: Callable[[float], None] | None = None,
     ) -> dict:
@@ -593,6 +595,11 @@ class Transcriber:
         "rtf_x"} with timestamps in the ORIGINAL timeline even when silence
         was removed (reference's advertised-but-missing feature,
         README.md:17 vs audio_processor.py:305-314).
+
+        clip_timestamps: openai-whisper's option — transcribe only within
+        the given (start, end) second ranges; timestamps still come out in
+        the original recording's timeline (clips stack with silence
+        trimming via interval composition).
         """
         import time as _time
 
@@ -604,9 +611,30 @@ class Transcriber:
             audio = np.asarray(frontend.resample(jnp.asarray(audio), sample_rate))
 
         if time_map is None:
-            if remove_silence and duration_s > 2.0:
+            clip_map = None
+            if clip_timestamps:
+                clips = [
+                    (max(0.0, s), min(float(e), duration_s))
+                    for s, e in clip_timestamps
+                    if e > s
+                ]
+                clip_map = TimeMap(clips)
+                audio = np.concatenate(
+                    [
+                        audio[int(s * 16_000): int(e * 16_000)]
+                        for s, e in clips
+                    ]
+                    or [np.zeros(0, np.float32)]
+                )
+            if remove_silence and len(audio) > 2 * 16_000:
                 audio, intervals = frontend.trim_silence_host(audio)
+                if clip_map is not None:
+                    intervals = timestamps_lib.compose_intervals(
+                        clip_map, intervals
+                    )
                 time_map = TimeMap(intervals)
+            elif clip_map is not None:
+                time_map = clip_map
             else:
                 time_map = TimeMap.identity(duration_s)
 

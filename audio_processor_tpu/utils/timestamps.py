@@ -72,3 +72,44 @@ class TimeMap:
     @classmethod
     def identity(cls, duration: float) -> "TimeMap":
         return cls([(0.0, duration)])
+
+
+def compose_intervals(
+    outer: "TimeMap", inner_intervals: list[tuple[float, float]]
+) -> list[tuple[float, float]]:
+    """Map kept-intervals expressed in OUTER's trimmed timeline back to the
+    original timeline, splitting any interval that spans an outer-interval
+    boundary (where to_original is discontinuous).
+
+    Used to stack clip_timestamps with silence trimming: clips cut the
+    original first, the trim then cuts the clipped signal, and segment
+    timestamps must still come out in original-recording seconds.
+    """
+    out: list[tuple[float, float]] = []
+    for s, e in inner_intervals:
+        for j, (os_, oe) in enumerate(outer.intervals):
+            ts = outer._trimmed_starts[j]
+            te = ts + (oe - os_)
+            a, b = max(s, ts), min(e, te)
+            if b > a:
+                out.append((os_ + (a - ts), os_ + (b - ts)))
+    return out
+
+
+def parse_clip_timestamps(spec: str, duration: float) -> list[tuple[float, float]]:
+    """openai-whisper's --clip_timestamps string: comma-separated
+    start,end pairs in seconds; a trailing lone start runs to the end."""
+    vals = [float(v) for v in spec.split(",") if v.strip() != ""]
+    if not vals:
+        return []
+    if len(vals) % 2 == 1:
+        vals.append(duration)
+    clips = []
+    for s, e in zip(vals[0::2], vals[1::2]):
+        s = max(0.0, min(s, duration))
+        e = max(0.0, min(e, duration))
+        if e > s:
+            clips.append((s, e))
+    if clips != sorted(clips):
+        raise ValueError(f"clip_timestamps must be sorted: {spec!r}")
+    return clips

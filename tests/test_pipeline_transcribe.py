@@ -440,3 +440,54 @@ def test_initial_prompt_kept_through_temperature_retry(rng, monkeypatch):
     assert calls[0] == (0.0, True)  # primary decode of slab 0: prompted
     retries = [c for c in calls if c[0] > 0]
     assert retries and retries[0][1]  # retry keeps the prompt
+
+
+# ---------------------------------------------------------------------------
+# clip_timestamps (openai-whisper option)
+# ---------------------------------------------------------------------------
+
+def test_clip_timestamps_restricts_and_maps_to_original(transcriber, rng):
+    """Only the clipped ranges decode, and timestamps come back in the
+    ORIGINAL recording's timeline."""
+    sr = 16000
+    audio = rng.normal(0, 0.2, 70 * sr).astype(np.float32)
+    out = transcriber.transcribe(
+        audio, remove_silence=False, clip_timestamps=[(50.0, 62.0)]
+    )
+    assert out["duration"] == pytest.approx(70.0, abs=0.01)
+    for seg in out["segments"]:
+        # 12 s of clipped audio -> one padded 30 s chunk starting at 50 s
+        assert 50.0 <= seg["start"] <= 80.1
+        assert seg["end"] >= seg["start"]
+
+
+def test_clip_timestamps_compose_with_silence_trim(transcriber, rng):
+    sr = 16000
+    audio = np.zeros(40 * sr, np.float32)
+    burst = rng.normal(0, 0.3, 3 * sr).astype(np.float32)
+    audio[12 * sr : 15 * sr] = burst   # inside the clip
+    audio[30 * sr : 33 * sr] = burst   # outside the clip
+    out = transcriber.transcribe(
+        audio, remove_silence=True, clip_timestamps=[(10.0, 20.0)]
+    )
+    for seg in out["segments"]:
+        assert 10.0 <= seg["start"] <= 20.5  # never leaks outside the clip
+
+
+def test_parse_clip_timestamps():
+    from audio_processor_tpu.utils.timestamps import parse_clip_timestamps
+
+    assert parse_clip_timestamps("10,20,30,40", 100.0) == [(10.0, 20.0), (30.0, 40.0)]
+    assert parse_clip_timestamps("90", 100.0) == [(90.0, 100.0)]  # lone start
+    assert parse_clip_timestamps("50,200", 100.0) == [(50.0, 100.0)]  # clamp
+    with pytest.raises(ValueError, match="sorted"):
+        parse_clip_timestamps("30,40,10,20", 100.0)
+
+
+def test_compose_intervals_splits_at_boundaries():
+    from audio_processor_tpu.utils.timestamps import TimeMap, compose_intervals
+
+    outer = TimeMap([(10.0, 20.0), (40.0, 50.0)])  # 20 s of kept audio
+    # an inner interval spanning the 10 s boundary between the two clips
+    got = compose_intervals(outer, [(5.0, 15.0)])
+    assert got == [(15.0, 20.0), (40.0, 45.0)]
