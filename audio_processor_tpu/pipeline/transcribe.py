@@ -133,11 +133,6 @@ class Transcriber:
     condition_ctx_tokens: int = 48
 
     def __post_init__(self):
-        if self.condition_on_previous_text and self.word_timestamps:
-            raise ValueError(
-                "condition_on_previous_text does not support word_timestamps "
-                "yet (encoder states are not retained across rounds)"
-            )
         if self.task not in ("transcribe", "translate"):
             raise ValueError(f"task must be transcribe|translate, got {self.task!r}")
         if self.initial_prompt and self.beam_size > 0:
@@ -443,7 +438,7 @@ class Transcriber:
 
     def _transcribe_conditioned(
         self, audio: np.ndarray, n_chunks: int, progress=None
-    ) -> np.ndarray:
+    ) -> tuple[np.ndarray, list]:
         """Window-group conditioned decode (see condition_on_previous_text).
 
         Round r decodes window r of EVERY group in one batch, prompted with
@@ -461,6 +456,10 @@ class Transcriber:
         # initial_prompt seeds the first group's rolling context (openai
         # keeps it in all_tokens, so it persists under conditioning)
         histories[0] = list(self._initial_prompt_tokens)
+        # word_timestamps: rounds visit chunks in scattered order, so the
+        # encoder states are RETAINED on device per sub-batch and
+        # re-ordered into chunk order at the end for the alignment pass
+        kept_states: list[tuple[list[int], Any]] = []
 
         for r in range(g_size):
             chunk_ids = [
@@ -573,9 +572,25 @@ class Transcriber:
                         int(t) for t in tokens[j] if int(t) < self.special.eot
                     ]
                     histories[ci // g_size].extend(text_toks)
+                if self.word_timestamps:
+                    kept_states.append((ids, states))
             if progress:
                 progress(0.1 + 0.8 * (r + 1) / g_size)
-        return token_rows
+
+        states_per_slab: list[Any] = []
+        if self.word_timestamps and kept_states:
+            order_ids = np.concatenate([np.asarray(ids) for ids, _ in kept_states])
+            all_states = jnp.concatenate(
+                [s[: len(ids)] for ids, s in kept_states], axis=0
+            )
+            all_states = jnp.take(
+                all_states, jnp.asarray(np.argsort(order_ids)), axis=0
+            )  # back into chunk order
+            slab = min(_bucket(n_chunks), self.max_chunk_batch)
+            states_per_slab = [
+                all_states[lo : lo + slab] for lo in range(0, n_chunks, slab)
+            ]
+        return token_rows, states_per_slab
 
     # -- main entry ---------------------------------------------------------
 
@@ -646,10 +661,12 @@ class Transcriber:
             slab = mesh_lib.round_up_batch(slab, self.mesh)
 
         if self.condition_on_previous_text and self.beam_size == 0:
-            tokens = self._transcribe_conditioned(audio, n_chunks, progress)
+            tokens, cond_states = self._transcribe_conditioned(
+                audio, n_chunks, progress
+            )
             return self._finalize(
                 tokens, n_chunks, duration_s, time_map, t0, progress,
-                states_per_slab=[], slab=slab, audio=audio,
+                states_per_slab=cond_states, slab=slab, audio=audio,
             )
 
         token_rows: list[np.ndarray] = []

@@ -221,13 +221,6 @@ def test_condition_int4_kernel_path(rng):
     assert out8["duration"] == out4["duration"]
 
 
-def test_condition_rejects_word_timestamps():
-    with pytest.raises(ValueError, match="word_timestamps"):
-        Transcriber.random_init(
-            "test", condition_on_previous_text=True, word_timestamps=True
-        )
-
-
 def test_language_detection_votes_over_speech_chunks(rng, monkeypatch):
     """A silent/musicless opening chunk must NOT pin the language: the vote
     averages over energetic chunks only (VERDICT r1 weak #4)."""
@@ -491,3 +484,20 @@ def test_compose_intervals_splits_at_boundaries():
     # an inner interval spanning the 10 s boundary between the two clips
     got = compose_intervals(outer, [(5.0, 15.0)])
     assert got == [(15.0, 20.0), (40.0, 45.0)]
+
+
+def test_condition_with_word_timestamps(rng):
+    """Conditioned mode + word alignment together (the round-1 limitation
+    is gone): per-word stamps land inside their chunks, in order."""
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        condition_on_previous_text=True, condition_group_size=2,
+        condition_ctx_tokens=8, word_timestamps=True,
+        no_speech_threshold=None,
+    )
+    out = t.transcribe(audio, remove_silence=False)
+    assert "words" in out
+    for w in out["words"]:
+        assert set(w) == {"word", "start", "end"}
+        assert 0.0 <= w["start"] <= w["end"] <= 95.0
