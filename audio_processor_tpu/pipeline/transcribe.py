@@ -103,9 +103,12 @@ class Transcriber:
     # fused Pallas log-mel kernel instead of the XLA-fused jnp frontend
     use_pallas_frontend: bool = False
     # chunks per device pass: long meetings process in equal slabs so HBM
-    # stays bounded and every slab reuses ONE compiled program (batch 64 is
-    # the measured sweet spot for whisper-small on v5e)
-    max_chunk_batch: int = 64
+    # stays bounded and every slab reuses ONE compiled program.  128 is the
+    # measured sweet spot for whisper-small on v5e with the v3.1 kernel +
+    # compute-dtype params (2284 -> 2629 RTFx vs 64; 192 exceeds the 16 GB
+    # HBM).  Models >= medium clamp to 48 in __post_init__ (their caches
+    # OOM at 64+) unless the caller sets this explicitly.
+    max_chunk_batch: int = 128
     # "transcribe" or "translate" (X->English): whisper's task token, the
     # same switch openai-whisper exposes as transcribe(task=...)
     task: str = "transcribe"
@@ -140,6 +143,10 @@ class Transcriber:
                 "initial_prompt requires greedy decoding (beam_size=0)"
             )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        if self.max_chunk_batch == 128 and self.cfg.n_audio_state >= 1024:
+            # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
+            # (measured: medium wants 18.8 GB at 64); 48 fits with room
+            self.max_chunk_batch = 48
         wd = self.weights_dtype
         if wd == "auto":
             wd = None if self.compute_dtype == "float32" else self.compute_dtype

@@ -24,7 +24,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="small")
     ap.add_argument("--audio-minutes", type=float, default=60.0)
-    ap.add_argument("--batch", type=int, default=64, help="chunks per device batch")
+    ap.add_argument("--batch", type=int, default=128, help="chunks per device batch (128 = measured v5e sweet spot for small; 192 exceeds HBM)")
     ap.add_argument("--tokens-per-chunk", type=int, default=96)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-int8-kv", action="store_true",
