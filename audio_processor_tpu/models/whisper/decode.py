@@ -981,6 +981,8 @@ def beam_decode(
     quantize_cross_kv: bool = False,
     use_pallas_kernel: bool = False,
     kv_bits: int = 8,
+    prompt_tokens: jnp.ndarray | None = None,  # (B, P) LEFT-padded rows
+    prompt_lens: jnp.ndarray | None = None,  # (B,) real tokens per row
 ) -> DecodeResult:
     """Batched beam search, fully on-device (one jit region).
 
@@ -988,12 +990,20 @@ def beam_decode(
     top-K of the K*V candidate scores per batch element and reorders the
     cache rows with a gather.  Finished beams propagate EOT at zero added
     score.  Returns the best beam per element (length-penalised).
+
+    prompt_tokens/prompt_lens (build_prompt_rows output) replace the
+    uniform sot prefill with per-row <|startofprev|> prompts — openai's
+    initial_prompt under beam search.  Padding stays invisible exactly as
+    in prompted_greedy_decode (per-row pos_offset + min_valid); pad
+    lengths are per batch ELEMENT so the beam cache-row reorder (which
+    only permutes beams within an element) leaves them invariant.
     """
     st = SpecialTokens.for_config(cfg)
     dtype = jnp.dtype(dtype_name)
     b, ta, d = audio_states.shape
     k = beam_size
-    prompt_len = len(sot_sequence)
+    prompted = prompt_tokens is not None
+    prompt_len = prompt_tokens.shape[1] if prompted else len(sot_sequence)
     max_len = prompt_len + max_new_tokens
 
     # expand audio to (B*K, Ta, d): beams of one element share encoder rows
@@ -1007,10 +1017,20 @@ def beam_decode(
     )
     kv_bits_eff = kv_bits if kernel_layout else 8
 
-    prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b * k, 1))
+    if prompted:
+        prompt = jnp.repeat(prompt_tokens.astype(jnp.int32), k, axis=0)
+        pad_len = jnp.repeat(
+            (prompt_len - prompt_lens).astype(jnp.int32), k, axis=0
+        )  # (B*K,)
+        row_kw = dict(pos_offset=pad_len, min_valid=pad_len)
+    else:
+        prompt = jnp.tile(
+            jnp.asarray(sot_sequence, jnp.int32)[None, :], (b * k, 1)
+        )
+        row_kw = {}
     logits, cache = decoder_forward_cached(
         params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
-        compute_dtype=dtype,
+        compute_dtype=dtype, **row_kw,
     )
     first_logits = logits[:, -1]  # (B*K, V)
 
@@ -1032,6 +1052,13 @@ def beam_decode(
         jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)[None, :], (b, 1)
     )  # only beam 0 is live initially (identical prompts)
 
+    if prompted:
+        last0 = jnp.repeat(prompt_tokens[:, -1], k).reshape(b, k)
+        pen_src = prompt_tokens[:, -2] if prompt_len >= 2 else prompt_tokens[:, -1]
+        penult0 = jnp.repeat(pen_src, k).reshape(b, k)
+    else:
+        last0 = jnp.full((b, k), sot_sequence[-1], jnp.int32)
+        penult0 = jnp.full((b, k), sot_sequence[0], jnp.int32)
     init = BeamState(
         step=jnp.int32(0),
         cache=cache,
@@ -1039,8 +1066,8 @@ def beam_decode(
         tokens=jnp.full((b, k, max_new_tokens), st.eot, jnp.int32),
         scores=init_scores.astype(jnp.float32),
         finished=jnp.zeros((b, k), bool),
-        last=jnp.full((b, k), sot_sequence[-1], jnp.int32),
-        penult=jnp.full((b, k), sot_sequence[0], jnp.int32),
+        last=last0.astype(jnp.int32),
+        penult=penult0.astype(jnp.int32),
         max_ts=jnp.full((b, k), tb - 1, jnp.int32),
     )
 
@@ -1098,7 +1125,7 @@ def beam_decode(
         step_tok = next_tok.reshape(b * k, 1)
         logits, cache = decoder_forward_cached(
             params, cfg, step_tok, cache, prompt_len + s.step,
-            kv_bits=kv_bits_eff, compute_dtype=dtype,
+            kv_bits=kv_bits_eff, compute_dtype=dtype, **row_kw,
         )
         return BeamState(
             step=s.step + 1,

@@ -116,7 +116,6 @@ class Transcriber:
     # for the FIRST window, kept through that window's temperature-ladder
     # retries (as openai does); with condition_on_previous_text it also
     # seeds the first group's rolling context and persists naturally.
-    # Greedy only.
     initial_prompt: str | None = None
     # auto language detection on the first chunk (multilingual models with
     # no pinned language — whisper's detect_language behaviour)
@@ -138,10 +137,6 @@ class Transcriber:
     def __post_init__(self):
         if self.task not in ("transcribe", "translate"):
             raise ValueError(f"task must be transcribe|translate, got {self.task!r}")
-        if self.initial_prompt and self.beam_size > 0:
-            raise ValueError(
-                "initial_prompt requires greedy decoding (beam_size=0)"
-            )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
         if self.max_chunk_batch == 128 and self.cfg.n_audio_state >= 1024:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
@@ -278,7 +273,7 @@ class Transcriber:
         """
         lang = self._active_language if self._active_language is not None else self.language
         sot_seq = tuple(self.special.sot_sequence(language=lang, task=self.task))
-        if first_row_prompt and self._initial_prompt_tokens and self.beam_size == 0:
+        if first_row_prompt and self._initial_prompt_tokens:
             b = audio_states.shape[0]
             rows, lens = decode_lib.build_prompt_rows(
                 [self._initial_prompt_tokens] + [[]] * (b - 1),
@@ -286,6 +281,22 @@ class Transcriber:
                 self.special,
                 len(self._initial_prompt_tokens),
             )
+            if self.beam_size > 0:
+                return decode_lib.beam_decode(
+                    self.params,
+                    self.cfg,
+                    audio_states,
+                    sot_sequence=sot_seq,
+                    beam_size=self.beam_size,
+                    max_new_tokens=self.max_new_tokens,
+                    use_timestamps=True,
+                    suppress_mask=self._suppress_mask,
+                    dtype_name=self.compute_dtype,
+                    quantize_cross_kv=self.quantize_cross_kv,
+                    kv_bits=self.cross_kv_bits,
+                    prompt_tokens=jnp.asarray(rows),
+                    prompt_lens=jnp.asarray(lens),
+                )
             return decode_lib.prompted_greedy_decode(
                 self.params,
                 self.cfg,

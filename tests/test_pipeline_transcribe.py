@@ -290,9 +290,28 @@ def test_task_validation():
         Transcriber.random_init("test", task="summarise")
 
 
-def test_initial_prompt_requires_greedy():
-    with pytest.raises(ValueError, match="initial_prompt"):
-        Transcriber.random_init("test", initial_prompt="hi", beam_size=2)
+def test_initial_prompt_with_beam_search(speech_like_audio, monkeypatch):
+    """initial_prompt now works under beam search: the first slab routes
+    through beam_decode with the prompt rows."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6, beam_size=2,
+        initial_prompt="context words", no_speech_threshold=None,
+    )
+    captured = {}
+    orig = decode_lib.beam_decode
+
+    def spy(params, cfg, states, **kw):
+        if kw.get("prompt_tokens") is not None:
+            captured["lens"] = np.asarray(kw["prompt_lens"])
+        return orig(params, cfg, states, **kw)
+
+    monkeypatch.setattr(decode_lib, "beam_decode", spy)
+    out = t.transcribe(speech_like_audio, remove_silence=False)
+    assert set(out) >= {"text", "segments", "duration"}
+    sot_len = len(t.special.sot_sequence())
+    assert captured["lens"][0] == 1 + len(t._initial_prompt_tokens) + sot_len
 
 
 def test_initial_prompt_routes_first_slab_through_prompted(

@@ -471,3 +471,46 @@ def test_int8_self_kv_tracks_float(hf_pair, mel):
     assert rel < 0.05, rel
     assert cq.self_k.dtype == jnp.int8
     assert cq.self_k_scale.shape == (CFG.n_text_layer, 2, 8, CFG.n_text_head, 1)
+
+
+def test_beam_with_empty_prompt_rows_matches_plain_beam(hf_pair, mel):
+    """Prompted beam with bare-sot rows must decode token-identically to
+    the uniform-prompt beam path (the prompt machinery is invisible when
+    there is nothing to prompt)."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    sot_seq = tuple(st.sot_sequence())
+    kw = dict(sot_sequence=sot_seq, beam_size=2, max_new_tokens=6)
+    plain = decode.beam_decode(params, CFG, audio, **kw)
+    rows, lens = decode.build_prompt_rows(
+        [[] for _ in range(audio.shape[0])], sot_seq, st, 4
+    )
+    prompted = decode.beam_decode(
+        params, CFG, audio, prompt_tokens=jnp.asarray(rows),
+        prompt_lens=jnp.asarray(lens), **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.tokens), np.asarray(prompted.tokens)
+    )
+
+
+def test_beam_prompt_changes_only_the_prompted_row(hf_pair, mel):
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    sot_seq = tuple(st.sot_sequence())
+    kw = dict(sot_sequence=sot_seq, beam_size=2, max_new_tokens=6)
+    rows0, lens0 = decode.build_prompt_rows(
+        [[5, 6, 7]] + [[] for _ in range(audio.shape[0] - 1)], sot_seq, st, 4
+    )
+    a = decode.beam_decode(
+        params, CFG, audio, prompt_tokens=jnp.asarray(rows0),
+        prompt_lens=jnp.asarray(lens0), **kw,
+    )
+    plain = decode.beam_decode(params, CFG, audio, **kw)
+    ta, tp = np.asarray(a.tokens), np.asarray(plain.tokens)
+    # unprompted rows decode identically; the prompted row (random weights
+    # are hyper-sensitive to context) must differ
+    np.testing.assert_array_equal(ta[1:], tp[1:])
+    assert not np.array_equal(ta[0], tp[0])
