@@ -4,7 +4,7 @@ Replaces the reference's whisper_model.transcribe() call and its
 model-size-fallback retry ladder (reference:
 app/services/audio_processor.py:1053-1101).  Long audio scales over the
 BATCH axis: the recording is cut into 30 s windows that run through
-log-mel + encoder + KV-cache decode in fixed-size slabs (default 64
+log-mel + encoder + KV-cache decode in fixed-size slabs (default 128
 windows — the measured throughput sweet spot), sharded over the mesh's
 data axis (SURVEY.md §7 stage 3).
 
@@ -126,10 +126,10 @@ class Transcriber:
     # groups decode in parallel across the batch — trading the reference
     # engine's fully-sequential chaining for batch parallelism (group
     # boundaries lose conditioning; everything inside a group matches
-    # openai's behaviour).  Greedy only (beam_size must be 0).  The
-    # temperature ladder applies here too: failed rows retry compacted,
-    # keeping their prompt up to T=0.5 and dropping it above (openai's
-    # prompt_reset_on_temperature rule).
+    # openai's behaviour).  Works with greedy or beam decoding.  The
+    # temperature ladder applies in greedy mode: failed rows retry
+    # compacted, keeping their prompt up to T=0.5 and dropping it above
+    # (openai's prompt_reset_on_temperature rule); beam has no ladder.
     condition_on_previous_text: bool = False
     condition_group_size: int = 8
     condition_ctx_tokens: int = 48
@@ -520,6 +520,22 @@ class Transcriber:
                         sub_hists + [[]] * n_pad, sot_seq, self.special,
                         self.condition_ctx_tokens,
                     )
+                    if self.beam_size > 0:
+                        return decode_lib.beam_decode(
+                            self.params,
+                            self.cfg,
+                            sub_states,
+                            sot_sequence=sot_seq,
+                            beam_size=self.beam_size,
+                            max_new_tokens=self.max_new_tokens,
+                            use_timestamps=True,
+                            suppress_mask=self._suppress_mask,
+                            dtype_name=self.compute_dtype,
+                            quantize_cross_kv=self.quantize_cross_kv,
+                            kv_bits=self.cross_kv_bits,
+                            prompt_tokens=jnp.asarray(rows),
+                            prompt_lens=jnp.asarray(lens),
+                        )
                     return decode_lib.prompted_greedy_decode(
                         self.params,
                         self.cfg,
@@ -545,10 +561,11 @@ class Transcriber:
                 lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
                 avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
 
-                if self.enable_fallback:
+                if self.enable_fallback and self.beam_size == 0:
                     # same quality gate + compacted retry as the parallel
                     # path; conditioning stops above T=0.5, matching
-                    # openai-whisper's prompt_reset_on_temperature
+                    # openai-whisper's prompt_reset_on_temperature (beam
+                    # has no temperature ladder, as in the parallel path)
                     failed = self._failed_rows(result, tokens, n_real)
                     for temp in self.temperature_ladder:
                         if not failed.any():
@@ -678,7 +695,7 @@ class Transcriber:
         if self.mesh is not None:
             slab = mesh_lib.round_up_batch(slab, self.mesh)
 
-        if self.condition_on_previous_text and self.beam_size == 0:
+        if self.condition_on_previous_text:
             tokens, cond_states = self._transcribe_conditioned(
                 audio, n_chunks, progress
             )

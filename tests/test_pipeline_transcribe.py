@@ -520,3 +520,25 @@ def test_condition_with_word_timestamps(rng):
     for w in out["words"]:
         assert set(w) == {"word", "start", "end"}
         assert 0.0 <= w["start"] <= w["end"] <= 95.0
+
+
+def test_condition_with_beam_search(rng):
+    """Conditioned mode + beam search: previously beam silently fell back
+    to the unconditioned path; now rounds decode with prompted beams."""
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    cond = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6, beam_size=2,
+        condition_on_previous_text=True, condition_group_size=4,
+        condition_ctx_tokens=8, no_speech_threshold=None,
+    )
+    base = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6, beam_size=2,
+        no_speech_threshold=None,
+    )
+    out_cond = cond.transcribe(audio, remove_silence=False)
+    out_base = base.transcribe(audio, remove_silence=False)
+    assert set(out_cond) >= {"text", "segments", "duration"}
+    for seg in out_cond["segments"]:
+        assert 0.0 <= seg["start"] <= seg["end"] <= 65.1
+    # later windows carry prompts, so the decode must differ
+    assert out_cond["segments"] != out_base["segments"]
