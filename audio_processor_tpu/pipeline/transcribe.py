@@ -103,12 +103,12 @@ class Transcriber:
     # fused Pallas log-mel kernel instead of the XLA-fused jnp frontend
     use_pallas_frontend: bool = False
     # chunks per device pass: long meetings process in equal slabs so HBM
-    # stays bounded and every slab reuses ONE compiled program.  128 is the
-    # measured sweet spot for whisper-small on v5e with the v3.1 kernel +
-    # compute-dtype params (2284 -> 2629 RTFx vs 64; 192 exceeds the 16 GB
-    # HBM).  Models >= medium clamp to 48 in __post_init__ (their caches
-    # OOM at 64+) unless the caller sets this explicitly.
-    max_chunk_batch: int = 128
+    # stays bounded and every slab reuses ONE compiled program.  None =
+    # auto: 128 (the measured v5e sweet spot for whisper-small with the
+    # v3.1 kernel + compute-dtype params — 2284 -> 2622 RTFx vs 64; 192
+    # exceeds the 16 GB HBM) or 48 for >= 1024-d models, whose caches OOM
+    # at 64+.  An explicit value is always honoured.
+    max_chunk_batch: int | None = None
     # "transcribe" or "translate" (X->English): whisper's task token, the
     # same switch openai-whisper exposes as transcribe(task=...)
     task: str = "transcribe"
@@ -138,10 +138,10 @@ class Transcriber:
         if self.task not in ("transcribe", "translate"):
             raise ValueError(f"task must be transcribe|translate, got {self.task!r}")
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
-        if self.max_chunk_batch == 128 and self.cfg.n_audio_state >= 1024:
+        if self.max_chunk_batch is None:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
             # (measured: medium wants 18.8 GB at 64); 48 fits with room
-            self.max_chunk_batch = 48
+            self.max_chunk_batch = 48 if self.cfg.n_audio_state >= 1024 else 128
         wd = self.weights_dtype
         if wd == "auto":
             wd = None if self.compute_dtype == "float32" else self.compute_dtype
@@ -257,6 +257,29 @@ class Transcriber:
                 failed[i] |= ratio > self.compression_ratio_threshold
         return failed
 
+    def _beam_decode(self, audio_states, sot_seq, rows=None, lens=None):
+        """One beam_decode invocation with the Transcriber-derived kwargs
+        (three call sites share it: plain, initial_prompt, conditioned)."""
+        kw = {}
+        if rows is not None:
+            kw = dict(
+                prompt_tokens=jnp.asarray(rows), prompt_lens=jnp.asarray(lens)
+            )
+        return decode_lib.beam_decode(
+            self.params,
+            self.cfg,
+            audio_states,
+            sot_sequence=sot_seq,
+            beam_size=self.beam_size,
+            max_new_tokens=self.max_new_tokens,
+            use_timestamps=True,
+            suppress_mask=self._suppress_mask,
+            dtype_name=self.compute_dtype,
+            quantize_cross_kv=self.quantize_cross_kv,
+            kv_bits=self.cross_kv_bits,
+            **kw,
+        )
+
     def _run_decode(
         self,
         audio_states,
@@ -282,21 +305,7 @@ class Transcriber:
                 len(self._initial_prompt_tokens),
             )
             if self.beam_size > 0:
-                return decode_lib.beam_decode(
-                    self.params,
-                    self.cfg,
-                    audio_states,
-                    sot_sequence=sot_seq,
-                    beam_size=self.beam_size,
-                    max_new_tokens=self.max_new_tokens,
-                    use_timestamps=True,
-                    suppress_mask=self._suppress_mask,
-                    dtype_name=self.compute_dtype,
-                    quantize_cross_kv=self.quantize_cross_kv,
-                    kv_bits=self.cross_kv_bits,
-                    prompt_tokens=jnp.asarray(rows),
-                    prompt_lens=jnp.asarray(lens),
-                )
+                return self._beam_decode(audio_states, sot_seq, rows, lens)
             return decode_lib.prompted_greedy_decode(
                 self.params,
                 self.cfg,
@@ -316,19 +325,7 @@ class Transcriber:
                 rng_seed=seed,
             )
         if self.beam_size > 0:
-            return decode_lib.beam_decode(
-                self.params,
-                self.cfg,
-                audio_states,
-                sot_sequence=sot_seq,
-                beam_size=self.beam_size,
-                max_new_tokens=self.max_new_tokens,
-                use_timestamps=True,
-                suppress_mask=self._suppress_mask,
-                dtype_name=self.compute_dtype,
-                quantize_cross_kv=self.quantize_cross_kv,
-                kv_bits=self.cross_kv_bits,
-            )
+            return self._beam_decode(audio_states, sot_seq)
         return decode_lib.greedy_decode(
             self.params,
             self.cfg,
@@ -521,21 +518,7 @@ class Transcriber:
                         self.condition_ctx_tokens,
                     )
                     if self.beam_size > 0:
-                        return decode_lib.beam_decode(
-                            self.params,
-                            self.cfg,
-                            sub_states,
-                            sot_sequence=sot_seq,
-                            beam_size=self.beam_size,
-                            max_new_tokens=self.max_new_tokens,
-                            use_timestamps=True,
-                            suppress_mask=self._suppress_mask,
-                            dtype_name=self.compute_dtype,
-                            quantize_cross_kv=self.quantize_cross_kv,
-                            kv_bits=self.cross_kv_bits,
-                            prompt_tokens=jnp.asarray(rows),
-                            prompt_lens=jnp.asarray(lens),
-                        )
+                        return self._beam_decode(sub_states, sot_seq, rows, lens)
                     return decode_lib.prompted_greedy_decode(
                         self.params,
                         self.cfg,
@@ -622,6 +605,8 @@ class Transcriber:
                 all_states, jnp.asarray(np.argsort(order_ids)), axis=0
             )  # back into chunk order
             slab = min(_bucket(n_chunks), self.max_chunk_batch)
+            if self.mesh is not None:
+                slab = mesh_lib.round_up_batch(slab, self.mesh)
             states_per_slab = [
                 all_states[lo : lo + slab] for lo in range(0, n_chunks, slab)
             ]
@@ -660,14 +645,25 @@ class Transcriber:
         if sample_rate != 16_000:
             audio = np.asarray(frontend.resample(jnp.asarray(audio), sample_rate))
 
+        if clip_timestamps and time_map is not None:
+            raise ValueError(
+                "clip_timestamps cannot be combined with an explicit "
+                "time_map — compose the clips into the map instead"
+            )
         if time_map is None:
             clip_map = None
             if clip_timestamps:
-                clips = [
-                    (max(0.0, s), min(float(e), duration_s))
-                    for s, e in clip_timestamps
-                    if e > s
-                ]
+                clips = []
+                for s, e in clip_timestamps:
+                    s2 = min(max(0.0, float(s)), duration_s)
+                    e2 = min(max(0.0, float(e)), duration_s)
+                    if e2 > s2:
+                        clips.append((s2, e2))
+                if not clips:
+                    raise ValueError(
+                        f"clip_timestamps {clip_timestamps!r} selects no "
+                        f"audio within the {duration_s:.1f}s recording"
+                    )
                 clip_map = TimeMap(clips)
                 audio = np.concatenate(
                     [

@@ -106,6 +106,8 @@ def parse_clip_timestamps(spec: str, duration: float) -> list[tuple[float, float
         vals.append(duration)
     clips = []
     for s, e in zip(vals[0::2], vals[1::2]):
+        if e < s:
+            raise ValueError(f"clip end before start in {spec!r}: {s},{e}")
         s = max(0.0, min(s, duration))
         e = max(0.0, min(e, duration))
         if e > s:

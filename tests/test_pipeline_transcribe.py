@@ -542,3 +542,46 @@ def test_condition_with_beam_search(rng):
         assert 0.0 <= seg["start"] <= seg["end"] <= 65.1
     # later windows carry prompts, so the decode must differ
     assert out_cond["segments"] != out_base["segments"]
+
+
+def test_clip_validation(transcriber, rng):
+    from audio_processor_tpu.utils.timestamps import (
+        TimeMap, parse_clip_timestamps,
+    )
+
+    audio = rng.normal(0, 0.1, 10 * 16000).astype(np.float32)
+    # a clip entirely past the end selects nothing -> explicit error
+    with pytest.raises(ValueError, match="selects no audio"):
+        transcriber.transcribe(
+            audio, remove_silence=False, clip_timestamps=[(80.0, 90.0)]
+        )
+    # clips cannot ride alongside a caller-supplied time_map
+    with pytest.raises(ValueError, match="time_map"):
+        transcriber.transcribe(
+            audio, remove_silence=False, clip_timestamps=[(1.0, 2.0)],
+            time_map=TimeMap.identity(10.0),
+        )
+    # inverted pair in the CLI string form raises instead of being dropped
+    with pytest.raises(ValueError, match="end before start"):
+        parse_clip_timestamps("20,10", 100.0)
+
+
+def test_explicit_max_chunk_batch_honoured_for_large_models():
+    """An explicit 128 must not be silently clamped for >=1024-d models;
+    only the None auto-default resolves per model size."""
+    from audio_processor_tpu.models.whisper.config import WhisperConfig
+    from audio_processor_tpu.models.whisper import model as model_lib
+    import jax
+
+    cfg = WhisperConfig(
+        name="fake-medium", n_mels=8, n_audio_ctx=8, n_audio_state=1024,
+        n_audio_head=4, n_audio_layer=1, n_vocab=100, n_text_ctx=16,
+        n_text_state=1024, n_text_head=4, n_text_layer=1,
+    )
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    auto = Transcriber(params=params, cfg=cfg, compute_dtype="float32")
+    assert auto.max_chunk_batch == 48
+    explicit = Transcriber(
+        params=params, cfg=cfg, compute_dtype="float32", max_chunk_batch=128
+    )
+    assert explicit.max_chunk_batch == 128
