@@ -86,7 +86,9 @@ class Transcriber:
     # OFF; opt-in for memory-constrained configs where the bf16 self cache
     # itself is the HBM problem
     quantize_self_kv: bool = False
-    beam_size: int = 0  # 0 = greedy; >0 = beam search (no temperature ladder)
+    beam_size: int = 0  # 0 = greedy; >0 = beam at T=0, sampling retries at T>0
+    # (openai decode_with_fallback: the quality-gate ladder applies to
+    # beam rungs too, and its T>0 retries always use sampling)
     # quality-gated temperature fallback (openai-whisper's retry heuristic,
     # which the reference depends on implicitly via model.transcribe):
     # rows with avg logprob < logprob_threshold OR gzip compression ratio >
@@ -304,7 +306,7 @@ class Transcriber:
                 self.special,
                 len(self._initial_prompt_tokens),
             )
-            if self.beam_size > 0:
+            if self.beam_size > 0 and temperature == 0:
                 return self._beam_decode(audio_states, sot_seq, rows, lens)
             return decode_lib.prompted_greedy_decode(
                 self.params,
@@ -324,7 +326,7 @@ class Transcriber:
                 temperature=temperature,
                 rng_seed=seed,
             )
-        if self.beam_size > 0:
+        if self.beam_size > 0 and temperature == 0:
             return self._beam_decode(audio_states, sot_seq)
         return decode_lib.greedy_decode(
             self.params,
@@ -348,9 +350,6 @@ class Transcriber:
     ) -> np.ndarray:
         """Sync one slab's decode to host and apply the quality gates."""
         tokens = np.array(result.tokens)[:n_real]  # writable copy
-        if self.beam_size > 0:
-            return tokens
-
         if self.enable_fallback:
             failed = self._failed_rows(result, tokens, n_real)
             for temp in self.temperature_ladder:
@@ -517,7 +516,7 @@ class Transcriber:
                         sub_hists + [[]] * n_pad, sot_seq, self.special,
                         self.condition_ctx_tokens,
                     )
-                    if self.beam_size > 0:
+                    if self.beam_size > 0 and temp == 0:
                         return self._beam_decode(sub_states, sot_seq, rows, lens)
                     return decode_lib.prompted_greedy_decode(
                         self.params,
@@ -544,11 +543,12 @@ class Transcriber:
                 lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
                 avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
 
-                if self.enable_fallback and self.beam_size == 0:
+                if self.enable_fallback:
                     # same quality gate + compacted retry as the parallel
                     # path; conditioning stops above T=0.5, matching
-                    # openai-whisper's prompt_reset_on_temperature (beam
-                    # has no temperature ladder, as in the parallel path)
+                    # openai-whisper's prompt_reset_on_temperature.  Beam
+                    # rows that fail retry through SAMPLING at T>0 — the
+                    # exact decode_with_fallback ladder openai runs
                     failed = self._failed_rows(result, tokens, n_real)
                     for temp in self.temperature_ladder:
                         if not failed.any():

@@ -585,3 +585,43 @@ def test_explicit_max_chunk_batch_honoured_for_large_models():
         params=params, cfg=cfg, compute_dtype="float32", max_chunk_batch=128
     )
     assert explicit.max_chunk_batch == 128
+
+
+def test_beam_failures_retry_through_sampling_ladder(rng, monkeypatch):
+    """openai's decode_with_fallback: beam runs at T=0; rows failing the
+    quality gate re-decode with SAMPLING at increasing temperature."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8, beam_size=2,
+        enable_fallback=True, temperature_ladder=(0.5,),
+        no_speech_threshold=None,
+    )
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    kinds = []
+    orig_beam = decode_lib.beam_decode
+    orig_greedy = decode_lib.greedy_decode
+    monkeypatch.setattr(
+        decode_lib, "beam_decode",
+        lambda *a, **kw: kinds.append(("beam",)) or orig_beam(*a, **kw),
+    )
+    monkeypatch.setattr(
+        decode_lib, "greedy_decode",
+        lambda *a, **kw: kinds.append(("greedy", kw.get("temperature", 0.0)))
+        or orig_greedy(*a, **kw),
+    )
+
+    fail_once = {"n": 0}
+
+    def fake_failed(result, tokens, n_real):
+        out = np.zeros(n_real, bool)
+        if fail_once["n"] == 0 and n_real > 1:
+            out[1] = True
+        fail_once["n"] += 1
+        return out
+
+    monkeypatch.setattr(t, "_failed_rows", fake_failed)
+    out = t.transcribe(audio, remove_silence=False)
+    assert set(out) >= {"text", "segments"}
+    assert ("beam",) in kinds                      # T=0 rung used beam
+    assert ("greedy", 0.5) in kinds                # the retry sampled at T>0
