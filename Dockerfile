@@ -33,6 +33,11 @@ ENV APTPU_MODEL=small \
 VOLUME ["/models", "/data"]
 EXPOSE 5000
 
-# single process is fine: the job queue lives in sqlite (shared across any
-# number of workers), unlike the reference's per-process in-memory dict
-CMD ["python", "serve.py", "--host", "0.0.0.0", "--port", "5000"]
+# gunicorn with ONE worker process (the TPU runtime and jit cache are
+# per-process; the job queue in sqlite is shared regardless) and a bounded
+# thread pool — a poll burst queues instead of growing threads.  The long
+# timeout covers first-compile latency on a cold jit cache.  serve.py's
+# stdlib server remains the no-deps dev fallback (also thread-capped).
+CMD ["gunicorn", "--workers", "1", "--threads", "16", \
+     "--worker-class", "gthread", "--timeout", "600", \
+     "--bind", "0.0.0.0:5000", "serve:application"]

@@ -28,6 +28,14 @@ def cmd_transcribe(args) -> None:
         kw["beam_size"] = args.beam
     if args.word_timestamps:
         kw["word_timestamps"] = True
+    if args.hallucination_silence_threshold is not None:
+        if not args.word_timestamps:
+            raise SystemExit(
+                "--hallucination-silence-threshold requires --word-timestamps"
+            )
+        kw["hallucination_silence_threshold"] = (
+            args.hallucination_silence_threshold
+        )
     if args.condition:
         kw["condition_on_previous_text"] = True
     if args.task != "transcribe":
@@ -35,7 +43,9 @@ def cmd_transcribe(args) -> None:
     if args.initial_prompt:
         kw["initial_prompt"] = args.initial_prompt
     if args.model_path:
-        t = Transcriber.from_npz(args.model_path, **kw)
+        t = Transcriber.from_npz(
+            args.model_path, tokenizer_path=args.tokenizer, **kw
+        )
     else:
         t = Transcriber.random_init(args.model, **kw)
     audio = ingest.load_audio(args.audio)
@@ -97,7 +107,7 @@ def cmd_process(args) -> None:
     from .runtime.job_engine import JobEngine
 
     transcriber = (
-        Transcriber.from_npz(args.model_path)
+        Transcriber.from_npz(args.model_path, tokenizer_path=args.tokenizer)
         if args.model_path
         else Transcriber.random_init(args.model)
     )
@@ -124,12 +134,27 @@ def cmd_process(args) -> None:
 
 
 def cmd_convert_whisper(args) -> None:
+    import sys
+
     from .models.whisper import convert
+    from .models.whisper.tokenizer import load_tokenizer_file
 
     params, cfg = convert.load_openai_checkpoint(args.checkpoint)
-    convert.save_params(args.out, params, cfg)
+    tokenizer = None
+    if args.tokenizer:
+        tokenizer = load_tokenizer_file(args.tokenizer)
+    else:
+        print(
+            "WARNING: no --tokenizer given — the .npz will have no embedded "
+            "vocab and serving will fall back to the byte tokenizer "
+            "(garbage text on real weights).  Pass the checkpoint's "
+            "multilingual.tiktoken / gpt2.tiktoken (or HF vocab.json).",
+            file=sys.stderr,
+        )
+    convert.save_params(args.out, params, cfg, tokenizer=tokenizer)
     print(f"converted {args.checkpoint} -> {args.out} ({cfg.n_audio_state}d, "
-          f"{cfg.n_audio_layer}+{cfg.n_text_layer} layers)")
+          f"{cfg.n_audio_layer}+{cfg.n_text_layer} layers"
+          f"{', vocab embedded' if tokenizer else ''})")
 
 
 def cmd_convert_diarizer(args) -> None:
@@ -185,7 +210,24 @@ def cmd_finetune_whisper(args) -> None:
         cfg = get_config(args.model)
         params = model_lib.init_params(cfg, jax.random.PRNGKey(args.seed))
     st = decode_lib.SpecialTokens.for_config(cfg)
-    tokenizer = ByteTokenizer()
+    # Tokenize training text with the CHECKPOINT'S vocab — fine-tuning a
+    # converted BPE checkpoint against byte ids would silently corrupt it.
+    # Resolution mirrors Transcriber.from_npz: --tokenizer asset > vocab
+    # embedded in the .npz > ByteTokenizer (random-init / byte models only).
+    if args.tokenizer:
+        from .models.whisper.tokenizer import load_tokenizer_file
+
+        tokenizer = load_tokenizer_file(args.tokenizer)
+    elif args.model_path:
+        tokenizer = convert.load_tokenizer(args.model_path)
+        if tokenizer is None:
+            raise SystemExit(
+                f"{args.model_path} has no embedded tokenizer — pass "
+                "--tokenizer, or re-convert with convert-whisper --tokenizer. "
+                "Refusing to fine-tune real weights against byte ids."
+            )
+    else:
+        tokenizer = ByteTokenizer()
     lang = language_index(args.language) if args.language else None
     sot_seq = st.sot_sequence(language=lang, timestamps=False)
 
@@ -248,7 +290,11 @@ def cmd_finetune_whisper(args) -> None:
             print(f"step {step:5d}  loss {last_loss:.4f}", file=sys.stderr)
     print(f"loss {first_loss:.4f} -> {last_loss:.4f} over {args.steps} steps")
     if args.out:
-        convert.save_params(args.out, jax.device_get(state.params), cfg)
+        convert.save_params(
+            args.out, jax.device_get(state.params), cfg,
+            tokenizer=tokenizer if not isinstance(tokenizer, ByteTokenizer)
+            else None,
+        )
         print(f"saved {args.out} (serve with `transcribe --model-path {args.out}`)")
 
 
@@ -344,7 +390,9 @@ def cmd_calibrate_alignment_heads(args) -> None:
     from .pipeline import ingest
     from .pipeline.transcribe import CHUNK_SAMPLES, Transcriber
 
-    t = Transcriber.from_npz(args.checkpoint)
+    # weights_dtype=None: --write re-saves the .npz, and the default
+    # compute-dtype cast would round the stored f32 weights to bf16
+    t = Transcriber.from_npz(args.checkpoint, weights_dtype=None)
     audio = ingest.load_audio(args.audio)
     chunk = np.zeros((1, CHUNK_SAMPLES), np.int16)
     piece = audio[:CHUNK_SAMPLES]
@@ -362,7 +410,10 @@ def cmd_calibrate_alignment_heads(args) -> None:
     print(json.dumps({"alignment_heads": [list(p) for p in pairs]}))
     if args.write:
         cfg2 = dataclasses.replace(t.cfg, alignment_heads=pairs)
-        convert.save_params(args.checkpoint, t.params, cfg2)
+        # keep the embedded vocab through the rewrite (read BEFORE savez
+        # truncates the file)
+        embedded = convert.load_tokenizer(args.checkpoint)
+        convert.save_params(args.checkpoint, t.params, cfg2, tokenizer=embedded)
         print(f"wrote alignment heads into {args.checkpoint}", file=sys.stderr)
 
 
@@ -384,11 +435,21 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("audio")
     t.add_argument("--model", default="tiny")
     t.add_argument("--model-path", help=".npz converted checkpoint")
+    t.add_argument("--tokenizer", help="tokenizer asset (tiktoken rank file "
+                   "or HF vocab.json) overriding the checkpoint's embedded "
+                   "vocab / APTPU_TOKENIZER_PATH")
     t.add_argument("--keep-silence", action="store_true")
     t.add_argument("--json", action="store_true")
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     t.add_argument("--word-timestamps", action="store_true")
+    t.add_argument(
+        "--hallucination-silence-threshold", type=float, default=None,
+        dest="hallucination_silence_threshold", metavar="SECONDS",
+        help="drop anomalous segments next to silence longer than this "
+        "(openai-whisper's hallucination_silence_threshold; needs "
+        "--word-timestamps)",
+    )
     t.add_argument("--task", choices=("transcribe", "translate"),
                    default="transcribe",
                    help="translate = X->English (whisper's task token)")
@@ -426,12 +487,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("audio")
     p.add_argument("--model", default="tiny")
     p.add_argument("--model-path")
+    p.add_argument("--tokenizer", help="tokenizer asset overriding the "
+                   "checkpoint's embedded vocab")
     p.add_argument("--no-diarization", action="store_true")
     p.set_defaults(fn=cmd_process)
 
     c = sub.add_parser("convert-whisper", help="openai .pt -> native .npz")
     c.add_argument("checkpoint")
     c.add_argument("out")
+    c.add_argument("--tokenizer", help="embed this vocab (multilingual/"
+                   "gpt2.tiktoken or HF vocab.json) into the .npz so "
+                   "serving needs no separate asset")
     c.set_defaults(fn=cmd_convert_whisper)
 
     cd = sub.add_parser("convert-diarizer", help="pyannote+ResNet ckpts -> .npz")
@@ -447,6 +513,8 @@ def main(argv: list[str] | None = None) -> None:
     ft.add_argument("manifest", help="jsonl: {\"audio\": path, \"text\": str}")
     ft.add_argument("--model", default="tiny")
     ft.add_argument("--model-path", help="start from a converted .npz")
+    ft.add_argument("--tokenizer", help="tokenizer asset for the training "
+                    "text (default: the checkpoint's embedded vocab)")
     ft.add_argument("--language", help="ISO code pinned into the sot sequence")
     ft.add_argument("--steps", type=int, default=200)
     ft.add_argument("--batch", type=int, default=8)

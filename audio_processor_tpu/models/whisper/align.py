@@ -35,18 +35,19 @@ from .model import (
 AUDIO_FRAME_S = 0.02  # one encoder position = 20 ms
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def cross_attention_map(
+def _teacher_forced_scan(
     params: Params,
     cfg: WhisperConfig,
     tokens: jnp.ndarray,  # (B, T)
     audio_states: jnp.ndarray,  # (B, Ta, d)
-) -> jnp.ndarray:
-    """Teacher-forced pass -> weighted cross-attention (B, T, Ta).
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared teacher-forced decoder pass.
 
-    cfg.alignment_heads set -> mean over exactly those (layer, head) pairs
-    (openai's per-checkpoint alignment mask); None -> mean over ALL heads
-    of the last half of the decoder layers (standard fallback)."""
+    Returns (final hidden states (B, T, d), weighted cross-attention
+    accumulator (B, T, Ta)).  cfg.alignment_heads set -> mean over exactly
+    those (layer, head) pairs (openai's per-checkpoint alignment mask);
+    None -> mean over ALL heads of the last half of the decoder layers
+    (the standard fallback)."""
     p = params["decoder"]
     b, t = tokens.shape
     x = p["token_emb"][tokens].astype(jnp.float32)
@@ -87,7 +88,60 @@ def cross_attention_map(
 
     acc0 = jnp.zeros((b, t, audio_states.shape[1]), jnp.float32)
     (x, acc), _ = jax.lax.scan(block_fn, (x, acc0), (p["blocks"], head_w))
+    return x, acc
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cross_attention_map(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, T)
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+) -> jnp.ndarray:
+    """Teacher-forced pass -> weighted cross-attention (B, T, Ta)."""
+    _, acc = _teacher_forced_scan(params, cfg, tokens, audio_states)
     return acc
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cross_attention_map_and_probs(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, T)
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cross_attention_map plus per-token probabilities (B, T).
+
+    probs[:, i] = P(tokens[i] | tokens[:i], audio) from the same teacher-
+    forced pass (position 0 gets 1.0 — no prefix).  These feed openai's
+    word_anomaly_score for hallucination_silence_threshold; the rows start
+    at the first decoded token rather than <|sot|>, so the first word's
+    probability is conditioned on slightly less context than openai's —
+    identical from the second token on.
+    """
+    p = params["decoder"]
+    x, acc = _teacher_forced_scan(params, cfg, tokens, audio_states)
+    xn = layer_norm(p["ln"], x)
+    emb = p["token_emb"].astype(jnp.float32)  # (V, d)
+    b = tokens.shape[0]
+
+    # scan position-by-position: the full (B, T, V) logits tensor would be
+    # ~6 GB at slab 128 / whisper vocab; one (B, V) slice at a time is
+    # ~26 MB and XLA pipelines the scanned matmuls
+    def step(_, inp):
+        h, tok = inp  # h: (B, d) hidden at pos i; tok: (B,) token at i+1
+        lp = jax.nn.log_softmax(h @ emb.T, axis=-1)
+        return None, jnp.take_along_axis(
+            lp, tok[:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+    _, nxt = jax.lax.scan(
+        step, None,
+        (jnp.swapaxes(xn[:, :-1], 0, 1), jnp.swapaxes(tokens[:, 1:], 0, 1)),
+    )  # (T-1, B)
+    probs = jnp.concatenate(
+        [jnp.ones((b, 1), jnp.float32), jnp.exp(nxt).T], axis=1
+    )
+    return acc, probs
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -228,14 +282,25 @@ def word_timestamps(
     st: SpecialTokens,
     decode_text,
     chunk_offsets_s: np.ndarray,
+    with_probabilities: bool = False,
 ) -> list[list[dict]]:
-    """Per chunk: [{"word", "start", "end"}] in the global timeline."""
+    """Per chunk: [{"word", "start", "end"}] in the global timeline.
+
+    with_probabilities=True adds "probability" (mean per-token probability
+    from the same teacher-forced pass) — the signal openai's
+    hallucination_silence_threshold anomaly score consumes."""
     b, t = token_rows.shape
     if t == 0:
         return [[] for _ in range(b)]
-    attn = np.asarray(
-        cross_attention_map(params, cfg, jnp.asarray(token_rows, jnp.int32), audio_states)
-    )
+    tok_dev = jnp.asarray(token_rows, jnp.int32)
+    if with_probabilities:
+        attn, tok_probs = cross_attention_map_and_probs(
+            params, cfg, tok_dev, audio_states
+        )
+        attn, tok_probs = np.asarray(attn), np.asarray(tok_probs)
+    else:
+        attn = np.asarray(cross_attention_map(params, cfg, tok_dev, audio_states))
+        tok_probs = None
     out: list[list[dict]] = []
     for row_i in range(b):
         toks = token_rows[row_i]
@@ -250,35 +315,39 @@ def word_timestamps(
         # split tokens into words on decoded-space boundaries
         words: list[dict] = []
         cur_ids: list[int] = []
+        cur_pos: list[int] = []
         cur_start = starts[0]
         offset = float(chunk_offsets_s[row_i])
+
+        def emit(word: str, start_f: float, end_f: float, positions: list[int]):
+            w = {
+                "word": word,
+                "start": round(offset + start_f * AUDIO_FRAME_S, 3),
+                "end": round(offset + end_f * AUDIO_FRAME_S, 3),
+            }
+            if tok_probs is not None:
+                w["probability"] = float(
+                    np.mean(tok_probs[row_i][positions])
+                )
+            words.append(w)
+
         for k, pos in enumerate(text_pos):
             tok = int(toks[pos])
             piece = decode_text([tok])
             if piece.startswith(" ") and cur_ids:
                 word = decode_text(cur_ids).strip()
                 if word:
-                    words.append(
-                        {
-                            "word": word,
-                            "start": round(offset + cur_start * AUDIO_FRAME_S, 3),
-                            "end": round(offset + starts[k] * AUDIO_FRAME_S, 3),
-                        }
-                    )
+                    emit(word, cur_start, starts[k], cur_pos)
                 cur_ids = [tok]
+                cur_pos = [pos]
                 cur_start = starts[k]
             else:
                 cur_ids.append(tok)
+                cur_pos.append(pos)
         if cur_ids:
             word = decode_text(cur_ids).strip()
             end_frame = starts[-1] + 10  # ~200 ms tail for the last word
             if word:
-                words.append(
-                    {
-                        "word": word,
-                        "start": round(offset + cur_start * AUDIO_FRAME_S, 3),
-                        "end": round(offset + end_frame * AUDIO_FRAME_S, 3),
-                    }
-                )
+                emit(word, cur_start, end_frame, cur_pos)
         out.append(words)
     return out

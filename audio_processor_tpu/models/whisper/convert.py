@@ -235,7 +235,15 @@ def _unflatten(flat: Mapping[str, np.ndarray]) -> dict:
     return tree
 
 
-def save_params(path: str, params: Params, cfg: WhisperConfig) -> None:
+def save_params(
+    path: str, params: Params, cfg: WhisperConfig, tokenizer=None
+) -> None:
+    """Write a servable .npz.  Pass the checkpoint's BPETokenizer to embed
+    its vocab (tiktoken rank format) so serving gets weights + tokenizer as
+    ONE unit — the same contract whisper.load_model gives the reference
+    (reference: app/services/audio_processor.py:863).  Without it, loading
+    falls back to the byte tokenizer and real weights decode to garbage.
+    """
     flat = _flatten(params)
     meta = np.array(
         [cfg.n_mels, cfg.n_audio_ctx, cfg.n_audio_state, cfg.n_audio_head,
@@ -249,10 +257,26 @@ def save_params(path: str, params: Params, cfg: WhisperConfig) -> None:
         # ships these per checkpoint; align.calibrate_alignment_heads
         # measures one for converted/finetuned weights)
         extra["__alignment_heads__"] = np.asarray(cfg.alignment_heads, np.int64)
+    if tokenizer is not None and hasattr(tokenizer, "to_tiktoken_bytes"):
+        extra["__tokenizer__"] = np.frombuffer(
+            tokenizer.to_tiktoken_bytes(), dtype=np.uint8
+        )
     np.savez(path, __config__=meta, **extra, **flat)
 
 
-_SIDECAR_KEYS = ("__config__", "__alignment_heads__")
+_SIDECAR_KEYS = ("__config__", "__alignment_heads__", "__tokenizer__")
+
+
+def load_tokenizer(path: str):
+    """The BPETokenizer embedded in a converted .npz, or None if the
+    checkpoint predates / skipped vocab embedding."""
+    from .tokenizer import BPETokenizer
+
+    with np.load(path) as z:
+        if "__tokenizer__" not in z.files:
+            return None
+        data = z["__tokenizer__"].tobytes()
+    return BPETokenizer.from_tiktoken_bytes(data)
 
 
 def load_params(path: str) -> tuple[Params, WhisperConfig]:

@@ -976,7 +976,7 @@ def beam_decode(
     max_new_tokens: int = 224,
     use_timestamps: bool = True,
     suppress_mask: jnp.ndarray | None = None,
-    length_penalty: float = 1.0,
+    length_penalty: float | None = None,
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
     use_pallas_kernel: bool = False,
@@ -984,12 +984,29 @@ def beam_decode(
     prompt_tokens: jnp.ndarray | None = None,  # (B, P) LEFT-padded rows
     prompt_lens: jnp.ndarray | None = None,  # (B,) real tokens per row
 ) -> DecodeResult:
-    """Batched beam search, fully on-device (one jit region).
+    """Batched beam search with openai-whisper's BeamSearchDecoder
+    semantics, fully on-device (one jit region).
 
-    Beams ride the batch axis: the cache holds B*K rows; each step takes
-    top-K of the K*V candidate scores per batch element and reorders the
-    cache rows with a gather.  Finished beams propagate EOT at zero added
-    score.  Returns the best beam per element (length-penalised).
+    Beams ride the batch axis: the cache holds B*K live rows; each step
+    takes the top 2K of the K*V candidate scores per element, routes
+    EOT-ending candidates into a FINISHED set (capacity K, never evicted —
+    whisper's finished_sequences merge with patience=1), and keeps the
+    best K non-EOT candidates as the live beams, reordering the cache rows
+    with a gather.  The loop exits once every element holds K finished
+    hypotheses (whisper's is_done); elements still short at the token cap
+    are topped up from the live beams by raw score (whisper's finalize).
+    The winner is ranked by sum_logprob / length for length_penalty=None
+    (whisper's MaximumLikelihoodRanker default) or the Google-NMT
+    ((5+len)/6)**penalty form otherwise.  Semantic deltas vs the exact
+    openai implementation, both unreachable corner cases here: no
+    candidate dict-dedup (live beams are always distinct sequences — a
+    duplicate child requires a duplicate parent), and per-step candidates
+    come from a flat top-2K rather than per-beam top-(K+1) merges (proven
+    equivalent: a beam can place at most one EOT among its candidates, so
+    the top-K non-EOT sets coincide).  Oracle-tested token-exact against
+    an independent torch port of whisper's decoder loop in
+    tests/test_parity_beam.py (reference engine:
+    app/services/audio_processor.py:1076).
 
     prompt_tokens/prompt_lens (build_prompt_rows output) replace the
     uniform sot prefill with per-row <|startofprev|> prompts — openai's
@@ -1033,24 +1050,39 @@ def beam_decode(
         compute_dtype=dtype, **row_kw,
     )
     first_logits = logits[:, -1]  # (B*K, V)
+    # P(<|nospeech|>) at the <|sot|> slot, exactly as the greedy paths
+    # compute it (openai's no_speech gate applies identically under beam
+    # search — DecodingTask._main_loop reads it from the prefill
+    # regardless of decoder).  Beams are identical at prefill; beam 0's
+    # row represents the element.
+    sot_slot = prompt_len - len(sot_sequence)
+    sot_probs = jax.nn.softmax(logits[:, sot_slot].astype(jnp.float32), axis=-1)
+    no_speech_prob = (
+        sot_probs[:, st.no_speech]
+        if st.no_speech < cfg.n_vocab
+        else jnp.zeros((b * k,), jnp.float32)
+    ).reshape(b, k)[:, 0]
 
     tb = st.timestamp_begin
-    neg = jnp.float32(NEG_INF)
 
     class BeamState(NamedTuple):
         step: jnp.ndarray
         cache: Cache
-        logits: jnp.ndarray        # (B*K, V)
-        tokens: jnp.ndarray        # (B, K, max_new)
-        scores: jnp.ndarray        # (B, K) cumulative logprob
-        finished: jnp.ndarray      # (B, K)
+        logits: jnp.ndarray        # (B*K, V) next-step logits for LIVE beams
+        tokens: jnp.ndarray        # (B, K, max_new) live-beam tokens
+        scores: jnp.ndarray        # (B, K) live cumulative logprob
         last: jnp.ndarray          # (B, K)
         penult: jnp.ndarray        # (B, K)
         max_ts: jnp.ndarray        # (B, K)
+        fin_tokens: jnp.ndarray    # (B, K, max_new) finished hypotheses
+        fin_scores: jnp.ndarray    # (B, K) raw sum logprob (incl. EOT)
+        fin_lengths: jnp.ndarray   # (B, K) text length (excl. EOT)
+        fin_count: jnp.ndarray     # (B,) slots used
 
     init_scores = jnp.tile(
         jnp.where(jnp.arange(k) == 0, 0.0, NEG_INF)[None, :], (b, 1)
-    )  # only beam 0 is live initially (identical prompts)
+    )  # only beam 0 is live initially (identical prompts — openai gets the
+    # same effect from its candidate dict collapsing identical sequences)
 
     if prompted:
         last0 = jnp.repeat(prompt_tokens[:, -1], k).reshape(b, k)
@@ -1065,14 +1097,18 @@ def beam_decode(
         logits=first_logits,
         tokens=jnp.full((b, k, max_new_tokens), st.eot, jnp.int32),
         scores=init_scores.astype(jnp.float32),
-        finished=jnp.zeros((b, k), bool),
         last=last0.astype(jnp.int32),
         penult=penult0.astype(jnp.int32),
         max_ts=jnp.full((b, k), tb - 1, jnp.int32),
+        fin_tokens=jnp.full((b, k, max_new_tokens), st.eot, jnp.int32),
+        fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
+        fin_lengths=jnp.zeros((b, k), jnp.int32),
+        fin_count=jnp.zeros((b,), jnp.int32),
     )
 
     def cond(s: BeamState):
-        return (s.step < max_new_tokens) & ~jnp.all(s.finished)
+        # whisper's is_done: every element holds K finished hypotheses
+        return (s.step < max_new_tokens) & ~jnp.all(s.fin_count >= k)
 
     def body(s: BeamState):
         v = s.logits.shape[-1]
@@ -1087,17 +1123,25 @@ def beam_decode(
             use_timestamps=use_timestamps,
         )
         logprobs = jax.nn.log_softmax(masked, axis=-1).reshape(b, k, v)
-        # finished beams: only EOT continues, at zero cost
-        eot_only = jnp.full((v,), NEG_INF).at[st.eot].set(0.0)
-        logprobs = jnp.where(s.finished[:, :, None], eot_only[None, None, :], logprobs)
-
         cand = s.scores[:, :, None] + logprobs  # (B, K, V)
         flat = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
-        src_beam = top_idx // v  # (B, K) which beam each candidate came from
-        next_tok = (top_idx % v).astype(jnp.int32)
+        # top 2K: at most one EOT candidate per live beam, so this always
+        # contains >= K non-EOT continuations AND every EOT candidate that
+        # could outrank the K-th non-EOT one (whisper's per-beam
+        # top-(K+1) merge selects the identical sets — see docstring)
+        top2, idx2 = jax.lax.top_k(flat, 2 * k)  # (B, 2K), score-desc
+        tok2 = (idx2 % v).astype(jnp.int32)
+        src2 = idx2 // v
+        is_eot2 = tok2 == st.eot
 
-        # gather beam-carried state from source beams
+        # --- live-beam selection: first K non-EOT candidates in score order
+        pos = jnp.arange(2 * k)[None, :]
+        sel_key = jnp.where(is_eot2, 2 * k + pos, pos)  # non-EOT first
+        order = jnp.argsort(sel_key, axis=-1)[:, :k]  # (B, K) positions
+        next_tok = jnp.take_along_axis(tok2, order, axis=1)
+        src_beam = jnp.take_along_axis(src2, order, axis=1)
+        new_scores = jnp.take_along_axis(top2, order, axis=1)
+
         def gather_beam(x):  # x: (B, K, ...)
             return jnp.take_along_axis(
                 x, src_beam.reshape(b, k, *([1] * (x.ndim - 2))), axis=1
@@ -1107,11 +1151,39 @@ def beam_decode(
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, next_tok[:, :, None], s.step, axis=2
         )
-        finished = gather_beam(s.finished) | (next_tok == st.eot)
         last = next_tok
         penult = gather_beam(s.last[..., None])[..., 0]
         max_ts = gather_beam(s.max_ts[..., None])[..., 0]
-        max_ts = jnp.where((next_tok >= tb) & ~finished, jnp.maximum(max_ts, next_tok), max_ts)
+        max_ts = jnp.where(next_tok >= tb, jnp.maximum(max_ts, next_tok), max_ts)
+
+        # --- finished-set insertion (whisper: EOT candidates ranked above
+        # the K-th saved non-EOT join finished_sequences, first-come slots,
+        # never evicted, capacity K)
+        noneot_before = jnp.cumsum(~is_eot2, axis=-1) - (~is_eot2)  # exclusive
+        qual = is_eot2 & (noneot_before < k)
+        eot_rank = jnp.cumsum(qual, axis=-1) - qual  # exclusive, in order
+        slot = s.fin_count[:, None] + eot_rank  # (B, 2K)
+        take_it = qual & (slot < k)
+        slot = jnp.where(take_it, slot, k)  # k = drop sentinel
+
+        # finished hypothesis tokens: the source beam's buffer — position
+        # `step` is still EOT there, which is exactly the terminator
+        cand_tokens = jnp.take_along_axis(
+            s.tokens, src2[:, :, None], axis=1
+        )  # (B, 2K, max_new)
+
+        def scatter_rows(buf, cand, slots):
+            # buf (K, ...), cand (2K, ...), slots (2K,) with k = drop
+            return buf.at[slots].set(cand, mode="drop")
+
+        fin_tokens = jax.vmap(scatter_rows)(s.fin_tokens, cand_tokens, slot)
+        fin_scores = jax.vmap(scatter_rows)(s.fin_scores, top2, slot)
+        fin_lengths = jax.vmap(scatter_rows)(
+            s.fin_lengths, jnp.broadcast_to(s.step, (b, 2 * k)), slot
+        )
+        fin_count = jnp.minimum(
+            k, s.fin_count + jnp.sum(take_it, axis=-1, dtype=jnp.int32)
+        )
 
         # reorder cache rows: flat row index = b_idx * K + src_beam
         row_idx = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)  # (B*K,)
@@ -1132,27 +1204,57 @@ def beam_decode(
             cache=cache,
             logits=logits[:, -1],
             tokens=tokens,
-            scores=top_scores,
-            finished=finished,
+            scores=new_scores,
             last=last,
             penult=penult,
             max_ts=max_ts,
+            fin_tokens=fin_tokens,
+            fin_scores=fin_scores,
+            fin_lengths=fin_lengths,
+            fin_count=fin_count,
         )
 
     final = jax.lax.while_loop(cond, body, init)
 
-    lengths = jnp.sum(final.tokens != st.eot, axis=-1)  # (B, K)
-    norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
-    norm_scores = final.scores / norm
-    best = jnp.argmax(norm_scores, axis=-1)  # (B,)
+    # whisper's finalize: elements short of K finished hypotheses top up
+    # from the live beams by raw score (EOT appended implicitly — the
+    # token buffers are EOT-padded past `step`), WITHOUT adding an EOT
+    # logprob to the sum
+    live_order = jnp.argsort(-final.scores, axis=-1)  # (B, K) score-desc
+    live_tokens = jnp.take_along_axis(
+        final.tokens, live_order[:, :, None], axis=1
+    )
+    live_scores = jnp.take_along_axis(final.scores, live_order, axis=1)
+    fill_slot = final.fin_count[:, None] + jnp.arange(k)[None, :]
+    fill_slot = jnp.where(fill_slot < k, fill_slot, k)
+
+    def scatter_fill(buf, cand, slots):
+        return buf.at[slots].set(cand, mode="drop")
+
+    fin_tokens = jax.vmap(scatter_fill)(final.fin_tokens, live_tokens, fill_slot)
+    fin_scores = jax.vmap(scatter_fill)(final.fin_scores, live_scores, fill_slot)
+    fin_lengths = jax.vmap(scatter_fill)(
+        final.fin_lengths,
+        jnp.broadcast_to(final.step, (b, k)).astype(jnp.int32),
+        fill_slot,
+    )
+
+    # whisper's MaximumLikelihoodRanker: avg logprob (length_penalty=None)
+    # or the Google-NMT ((5+len)/6)**penalty normalisation
+    lengths_f = jnp.maximum(fin_lengths, 1).astype(jnp.float32)
+    if length_penalty is None:
+        norm = lengths_f
+    else:
+        norm = ((5.0 + lengths_f) / 6.0) ** length_penalty
+    best = jnp.argmax(fin_scores / norm, axis=-1)  # (B,)
     take = lambda x: jnp.take_along_axis(  # noqa: E731
         x, best.reshape(b, *([1] * (x.ndim - 1))), axis=1
     )[:, 0]
     return DecodeResult(
-        tokens=take(final.tokens),
-        lengths=take(lengths),
-        sum_logprob=take(final.scores),
-        no_speech_prob=jnp.zeros((b,), jnp.float32),
+        tokens=take(fin_tokens),
+        lengths=take(fin_lengths),
+        sum_logprob=take(fin_scores),
+        no_speech_prob=no_speech_prob,
     )
 
 
@@ -1179,6 +1281,143 @@ def detect_language(
     )
     probs = jax.nn.softmax(lang_logits, axis=-1)
     return jnp.argmax(probs, axis=-1), probs
+
+
+# ---------------------------------------------------------------------------
+# Seek semantics (openai-whisper's transcribe-loop window advance)
+# ---------------------------------------------------------------------------
+
+def seek_consumed(
+    row: np.ndarray, st: SpecialTokens, chunk_length_s: float = 30.0
+) -> tuple[float, bool]:
+    """How much of a 30 s window this decode actually CONSUMED.
+
+    openai-whisper's transcribe loop advances ``seek`` by the full window
+    only when the decode ends cleanly; when text trails after the last
+    closed timestamp pair it rewinds to that pair's end and re-decodes the
+    straddling speech in the next window (whisper/transcribe.py seek logic,
+    inherited by the reference via whisper_model.transcribe at
+    app/services/audio_processor.py:1076).  Returns
+    ``(consumed_seconds, rewound)``:
+
+      * clean ending (last non-EOT token is a timestamp, or no closed
+        segment exists at all) -> (chunk_length_s, False)
+      * trailing unclosed text after >=1 closed segment ->
+        (last closed end timestamp, True) — the trailing tokens are the
+        straddler to re-decode from there.
+    """
+    toks = [int(t) for t in row if int(t) != st.eot]
+    if not toks:
+        return chunk_length_s, False
+    if toks[-1] >= st.timestamp_begin:
+        return chunk_length_s, False  # single-timestamp / paired ending
+    last_closed_end = None
+    cur_start = None
+    trailing_text = False
+    for t in toks:
+        if t >= st.timestamp_begin:
+            if cur_start is None:
+                cur_start = t
+            else:
+                last_closed_end = t
+                cur_start = None
+            trailing_text = False
+        elif t < st.eot:
+            trailing_text = True
+    if last_closed_end is None or not trailing_text:
+        return chunk_length_s, False
+    consumed = (last_closed_end - st.timestamp_begin) * 0.02
+    if consumed <= 0.0:
+        return chunk_length_s, False  # degenerate: never rewind to 0
+    return consumed, True
+
+
+def truncate_row_after_seek(
+    row: np.ndarray, st: SpecialTokens
+) -> np.ndarray:
+    """Drop the trailing unclosed text a rewound window re-decodes.
+
+    Returns a copy of ``row`` with every token after the last CLOSED
+    timestamp pair replaced by EOT (the straddling speech is owned by the
+    patch window that re-decodes it — keeping both would duplicate text).
+    """
+    out = np.asarray(row).copy()
+    last_close_idx = None
+    cur_start = None
+    for i, t in enumerate(int(x) for x in out):
+        if t == st.eot:
+            break
+        if t >= st.timestamp_begin:
+            if cur_start is None:
+                cur_start = i
+            else:
+                last_close_idx = i
+                cur_start = None
+    if last_close_idx is not None:
+        out[last_close_idx + 1:] = st.eot
+    return out
+
+
+def keep_closed_segments_before(
+    row: np.ndarray, st: SpecialTokens, cut_s: float
+) -> tuple[np.ndarray, float | None]:
+    """Keep only the CLOSED segments that start (window-local) before
+    ``cut_s``; truncate everything after the last of them.
+
+    Returns ``(new_row, last_end_s)`` where last_end_s is the kept
+    content's final closing timestamp (None when nothing qualifies — the
+    returned row is then all-EOT).  Used to trim a seek-repair patch
+    window to the span it owns, so the following grid window keeps the
+    rest.
+    """
+    out = np.asarray(row).copy()
+    cur_start = None
+    last_keep_idx = None
+    last_end_s = None
+    for i, t in enumerate(int(x) for x in out):
+        if t == st.eot:
+            break
+        if t >= st.timestamp_begin:
+            if cur_start is None:
+                cur_start = (t - st.timestamp_begin) * 0.02
+            else:
+                if cur_start < cut_s:
+                    last_keep_idx = i
+                    last_end_s = (t - st.timestamp_begin) * 0.02
+                cur_start = None
+    if last_keep_idx is None:
+        return np.full_like(out, st.eot), None
+    out[last_keep_idx + 1:] = st.eot
+    return out, last_end_s
+
+
+def drop_segments_before(
+    row: np.ndarray, st: SpecialTokens, cut_s: float
+) -> np.ndarray:
+    """Drop a row's leading segments that START (window-local) before
+    ``cut_s`` — their speech was already consumed by a preceding patch
+    window.  Keeps everything from the first segment at/after the cut."""
+    out = np.asarray(row).copy()
+    toks = [int(t) for t in out]
+    cur_start_idx = None
+    keep_from = None
+    for i, t in enumerate(toks):
+        if t == st.eot:
+            break
+        if t >= st.timestamp_begin:
+            if cur_start_idx is None:
+                cur_start_idx = i
+                if (t - st.timestamp_begin) * 0.02 >= cut_s:
+                    keep_from = i
+                    break
+            else:
+                cur_start_idx = None
+    if keep_from is None:
+        return np.full_like(out, st.eot)
+    kept = out[keep_from:]
+    res = np.full_like(out, st.eot)
+    res[: len(kept)] = kept
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -112,19 +112,30 @@ class BPETokenizer:
 
     @classmethod
     def from_tiktoken(cls, path: str) -> "BPETokenizer":
-        """Build from an openai tiktoken rank file.
+        """Build from an openai tiktoken rank file on disk."""
+        with open(path, "rb") as f:
+            return cls.from_tiktoken_bytes(f.read())
+
+    @classmethod
+    def from_tiktoken_bytes(cls, data: bytes) -> "BPETokenizer":
+        """Build from tiktoken rank-file CONTENT (base64(token) <sp> rank
+        per line).
 
         Ranks double as merge priorities: a token's merge is the split of its
         bytes into the two highest-priority sub-tokens, recovered greedily.
+        This is also the canonical form checkpoints embed their vocab as
+        (convert.save_params / load_tokenizer), so serving needs no separate
+        tokenizer asset — matching the reference's one-call
+        whisper.load_model which bundles weights + vocab
+        (reference: app/services/audio_processor.py:863).
         """
         ranks: dict[bytes, int] = {}
-        with open(path, "rb") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                tok_b64, rank = line.split()
-                ranks[base64.b64decode(tok_b64)] = int(rank)
+        for line in data.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            tok_b64, rank = line.split()
+            ranks[base64.b64decode(tok_b64)] = int(rank)
         byte_enc = _bytes_to_unicode()
 
         def to_unicode(bs: bytes) -> str:
@@ -135,6 +146,32 @@ class BPETokenizer:
         # merge-rule reconstruction (which is heuristic and can drift from
         # the true training order) needed at all
         return cls(vocab, [], result_rank_merge=True)
+
+    # -- serialisation ------------------------------------------------------
+
+    def to_tiktoken_bytes(self) -> bytes:
+        """Serialise the vocab as tiktoken rank-file content.
+
+        Canonical interchange form for embedding the vocab inside converted
+        .npz checkpoints.  Tokens whose unicode form maps outside the GPT-2
+        byte table (HF added-special strings like ``<|endoftext|>`` that some
+        vocab.json files carry) are skipped — special ids are derived from
+        the model config (decode.SpecialTokens), not the vocab.
+
+        Note for HF-sourced vocabs: the round trip re-loads in tiktoken
+        result-rank merge mode (priority = merged token's id).  For every
+        Whisper vocab the ids ARE the training ranks, so this is exact; it
+        is validated against the real tiktoken library in
+        tests/test_parity_tokenizer.py.
+        """
+        lines = []
+        for tok, rank in sorted(self.vocab.items(), key=lambda kv: kv[1]):
+            try:
+                bs = bytes(self.byte_dec[c] for c in tok)
+            except KeyError:
+                continue  # added-special string, not a byte-level token
+            lines.append(base64.b64encode(bs) + b" " + str(rank).encode())
+        return b"\n".join(lines) + b"\n"
 
     # -- core BPE -----------------------------------------------------------
 
@@ -177,6 +214,27 @@ class BPETokenizer:
         chars = "".join(self.inv_vocab.get(int(i), "") for i in ids)
         data = bytes(self.byte_dec[c] for c in chars if c in self.byte_dec)
         return data.decode("utf-8", errors="replace")
+
+
+def load_tokenizer_file(path: str) -> BPETokenizer:
+    """Load a tokenizer asset by path, auto-detecting the format.
+
+    ``*.json`` is treated as a HF ``vocab.json`` (with ``merges.txt`` beside
+    it); anything else as an openai tiktoken rank file.  This is what the
+    ``APTPU_TOKENIZER_PATH`` env override and the CLI ``--tokenizer`` flags
+    resolve through.
+    """
+    import os
+
+    if path.endswith(".json"):
+        merges = os.path.join(os.path.dirname(path), "merges.txt")
+        if not os.path.exists(merges):
+            raise FileNotFoundError(
+                f"{path} looks like a HF vocab.json but no merges.txt "
+                f"found beside it ({merges})"
+            )
+        return BPETokenizer.from_vocab_files(path, merges)
+    return BPETokenizer.from_tiktoken(path)
 
 
 class ByteTokenizer:

@@ -54,10 +54,27 @@ class Diarizer:
     max_speakers: int | None = None
     max_batch: int = 128
     seg_fn: Any = None  # segment_windows impl; default pyannote-compatible
+    # provenance flags: False = random weights.  Serving a random net is a
+    # test/bench mode only — jobs surface it loudly (meeting.py marks the
+    # result "diarizer": "untrained:...") instead of completing with
+    # meaningless speaker clusters as if they were real (round-2 review
+    # weak #2; the reference always serves trained pyannote weights,
+    # app/services/audio_processor.py:885).
+    seg_trained: bool = False
+    emb_trained: bool = False
 
     def __post_init__(self):
         if self.seg_fn is None:
             self.seg_fn = seg_lib.segment_windows
+
+    @property
+    def untrained_parts(self) -> list[str]:
+        parts = []
+        if not self.seg_trained:
+            parts.append("segmentation")
+        if not self.emb_trained:
+            parts.append("embedding")
+        return parts
 
     @classmethod
     def random_init(cls, seed: int = 0, segmentation: str = "pyannet", **kw) -> "Diarizer":
@@ -70,6 +87,8 @@ class Diarizer:
         if "emb_params" not in kw:
             emb_cfg = kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
             kw["emb_params"] = emb_lib.init_params(emb_cfg, k2)
+        else:
+            kw.setdefault("emb_trained", True)  # caller-supplied = trained
         if segmentation == "tpu":
             from ..models.diarization import segmentation_tpu as seg_tpu
 
@@ -99,15 +118,18 @@ class Diarizer:
 
         seg_params, seg_cfg = dt.load_params(seg_path)
         emb_cfg = emb_lib.EmbeddingConfig()
-        kw.setdefault(
-            "emb_params",
-            emb_lib.init_params(emb_cfg, jax.random.PRNGKey(emb_seed)),
-        )
+        if "emb_params" in kw:
+            kw.setdefault("emb_trained", True)
+        else:
+            kw["emb_params"] = emb_lib.init_params(
+                emb_cfg, jax.random.PRNGKey(emb_seed)
+            )
         kw.setdefault("emb_cfg", emb_cfg)
         return cls(
             seg_params=seg_params,
             seg_cfg=seg_cfg,
             seg_fn=seg_tpu.segment_windows,
+            seg_trained=True,
             **kw,
         )
 
@@ -123,6 +145,8 @@ class Diarizer:
         return cls(
             seg_params=seg_params,
             seg_cfg=seg_lib.SegmentationConfig(),
+            seg_trained=True,
+            emb_trained=True,
             **kw,
         )
 
@@ -189,35 +213,48 @@ class Diarizer:
         fs = self.seg_cfg.frame_step_s
         sr = self.seg_cfg.sample_rate
 
-        # --- collect one speech crop per active (window, local speaker)
+        # --- one speech crop per active (window, local speaker), assembled
+        # with pure array ops.  Only the FIRST ceil(crop_len/step) active
+        # frames of a pair can reach the crop, so the gather is a bounded
+        # (N, need, step) fancy-index instead of the per-(window, speaker)
+        # python loop that dominated host time on talkative audio (round-2
+        # review weak #4: config 4's first-trial jitter).  Chunked to bound
+        # the gather's scratch memory.
         crop_len = self.emb_cfg.crop_samples
-        crops, owners = [], []
         active = probs > self.onset
         min_frames = int(self.min_speech_s / fs)
         step = int(fs * sr)
-        for w in range(n_win):
-            # one frame-major view of the window; per-speaker crops are a
-            # single fancy-index (the per-frame python loop here was the
-            # dominant host cost on talkative audio)
-            base = int(starts_s[w] * sr)
-            win = audio[base : base + n_frames * step]
-            if len(win) < n_frames * step:
-                win = np.pad(win, (0, n_frames * step - len(win)))
-            frames_view = win.reshape(n_frames, step)
-            for s in range(n_spk):
-                frames_on = np.flatnonzero(active[w, :, s])
-                if len(frames_on) < max(min_frames, 1):
-                    continue
-                speech = frames_view[frames_on].reshape(-1)
-                if len(speech) < crop_len:
-                    speech = np.pad(speech, (0, crop_len - len(speech)), mode="wrap")
-                crops.append(speech[:crop_len])
-                owners.append((w, s))
-
-        if not crops:
+        n_act_all = active.sum(axis=1)  # (W, S)
+        ew, es = np.nonzero(n_act_all >= max(min_frames, 1))  # row-major
+        if len(ew) == 0:
             return []
+        owners = list(zip(ew.tolist(), es.tolist()))
+        # active frames that can reach the crop (capped by the window's
+        # frame count — short windows wrap-pad instead)
+        need = min(-(-crop_len // step), n_frames)
+        audio_pad = np.pad(audio, (0, n_frames * step))
+        crops = np.empty((len(ew), crop_len), np.float32)
+        chunk = 256  # (256, need, step) float32 scratch ≈ 50 MB at 3 s crops
+        for lo in range(0, len(ew), chunk):
+            w_idx, s_idx = ew[lo : lo + chunk], es[lo : lo + chunk]
+            act = active[w_idx, :, s_idx]  # (n, F)
+            # first `need` active frame numbers per pair (stable argsort:
+            # active frames first, original order preserved)
+            order = np.argsort(~act, axis=1, kind="stable")[:, :need]
+            base = (starts_s[w_idx] * sr).astype(np.int64)
+            sample_idx = (
+                base[:, None, None]
+                + order[:, :, None] * step
+                + np.arange(step)[None, None, :]
+            )
+            flat = audio_pad[sample_idx].reshape(len(w_idx), need * step)
+            # wrap-pad pairs with less speech than crop_len (same cyclic
+            # extension np.pad(mode="wrap") produced in the loop version)
+            valid = np.minimum(n_act_all[w_idx, s_idx] * step, need * step)
+            col = np.arange(crop_len)[None, :] % np.maximum(valid[:, None], 1)
+            crops[lo : lo + chunk] = np.take_along_axis(flat, col, axis=1)
 
-        embeddings = self._embed_all(np.stack(crops))
+        embeddings = self._embed_all(crops)
         labels = cluster_lib.agglomerative_cluster(
             embeddings,
             threshold=self.cluster_threshold,

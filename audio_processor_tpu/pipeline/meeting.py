@@ -196,6 +196,19 @@ class MeetingProcessor:
                 turns = (
                     self.diarizer.diarize(audio) if self.diarizer is not None else []
                 )
+            diarizer_status = None
+            if self.diarizer is not None:
+                untrained = getattr(self.diarizer, "untrained_parts", [])
+                diarizer_status = (
+                    "untrained:" + ",".join(untrained) if untrained else "trained"
+                )
+                if untrained:
+                    logger.warning(
+                        "diarizer serving RANDOM %s weights — speaker labels "
+                        "in this job are meaningless (configure "
+                        "APTPU_DIARIZER_PATH / APTPU_EMBEDDING_PATH)",
+                        " and ".join(untrained),
+                    )
             segments = fuse.fuse_segments(segments_raw, turns)
             ctx.partial["segments"] = segments
 
@@ -286,6 +299,11 @@ class MeetingProcessor:
                 "duration_s": round(duration_s, 2),
                 "processing_s": round(elapsed, 2),
                 "rtf_x": round(duration_s / max(elapsed, 1e-9), 2),
+                # "trained" | "untrained:<parts>" | None (diarization off) —
+                # jobs must not pass random-weight speaker clusters off as
+                # real output (reference serves trained pyannote weights
+                # unconditionally, app/services/audio_processor.py:885)
+                "diarizer": diarizer_status,
             }
         finally:
             for tmp in (audio_tmp, attach_tmp):

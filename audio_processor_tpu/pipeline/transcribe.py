@@ -39,6 +39,98 @@ logger = logging.getLogger(__name__)
 CHUNK_SAMPLES = frontend.N_SAMPLES  # 480_000 = 30 s @ 16 kHz
 
 
+# openai-whisper's punctuation set for the hallucination anomaly score
+# (whisper/transcribe.py `punctuation`): pure-punctuation "words" carry no
+# evidence either way and are excluded from the score
+_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+
+
+def _word_anomaly_score(word: dict) -> float:
+    """openai-whisper's word_anomaly_score: improbable or implausibly
+    short/long words score high (whisper/transcribe.py)."""
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(seg_words: list[dict]) -> bool:
+    """openai-whisper's is_segment_anomaly over a segment's words."""
+    words = [w for w in seg_words if w["word"] not in _PUNCTUATION][:8]
+    if not words:
+        return False
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def filter_hallucinations(
+    segments: list[dict],
+    words: list[dict],
+    threshold: float,
+    total_duration: float,
+) -> tuple[list[dict], list[dict]]:
+    """openai's hallucination_silence_threshold, adapted to the batched grid.
+
+    The sequential engine skips over silent gaps longer than ``threshold``
+    when the adjacent segment looks like a hallucination (low word
+    probabilities / implausible word durations — whisper/transcribe.py's
+    is_segment_anomaly; the reference inherits the surrounding defaults at
+    app/services/audio_processor.py:1076).  Here the decision runs as a
+    post-pass on the final timeline: an anomalous segment bounded by
+    silence (or by another anomaly) on BOTH sides is dropped, together
+    with its words.  Returns (segments, words) filtered.
+    """
+    if not segments:
+        return segments, words
+
+    def words_in(seg: dict | None) -> list[dict]:
+        if seg is None:
+            return []
+        return [
+            w for w in words
+            if seg["start"] - 0.05 <= (w["start"] + w["end"]) / 2 <= seg["end"] + 0.05
+        ]
+
+    anomalous = [_is_segment_anomaly(words_in(s)) for s in segments]
+    kept: list[dict] = []
+    dropped_spans: list[tuple[float, float]] = []
+    for si, seg in enumerate(segments):
+        if not anomalous[si]:
+            kept.append(seg)
+            continue
+        prev_end = kept[-1]["end"] if kept else 0.0
+        nxt = segments[si + 1] if si + 1 < len(segments) else None
+        next_start = nxt["start"] if nxt is not None else total_duration
+        silence_before = (
+            seg["start"] - prev_end > threshold or seg["start"] < threshold
+        )
+        silence_after = (
+            next_start - seg["end"] > threshold
+            or total_duration - seg["end"] < threshold
+            or (nxt is not None and anomalous[si + 1])
+        )
+        if silence_before and silence_after:
+            dropped_spans.append((seg["start"], seg["end"]))
+        else:
+            kept.append(seg)
+    if not dropped_spans:
+        return segments, words
+    kept_words = [
+        w for w in words
+        if not any(
+            s - 0.05 <= (w["start"] + w["end"]) / 2 <= e + 0.05
+            for s, e in dropped_spans
+        )
+    ]
+    return kept, kept_words
+
+
 def _bucket(n: int, max_bucket: int = 64) -> int:
     """Round a chunk count up to the next power of two (compile-count cap).
 
@@ -102,6 +194,11 @@ class Transcriber:
     no_speech_threshold: float | None = 0.6
     # cross-attention DTW word alignment (openai word_timestamps=True)
     word_timestamps: bool = False
+    # openai's hallucination_silence_threshold (seconds): drop anomalous
+    # segments (low word probability / implausible word durations) that sit
+    # next to silence longer than this.  Requires word_timestamps=True,
+    # exactly as openai-whisper does.
+    hallucination_silence_threshold: float | None = None
     # fused Pallas log-mel kernel instead of the XLA-fused jnp frontend
     use_pallas_frontend: bool = False
     # chunks per device pass: long meetings process in equal slabs so HBM
@@ -135,10 +232,29 @@ class Transcriber:
     condition_on_previous_text: bool = False
     condition_group_size: int = 8
     condition_ctx_tokens: int = 48
+    # openai-whisper's seek-based window advance, adapted to the batched
+    # grid: when a window's decode ends with text trailing after its last
+    # closed timestamp pair, that speech straddles the 30 s boundary (the
+    # sequential reference engine would REWIND seek to the last closed
+    # timestamp and re-decode — whisper/transcribe.py's seek loop,
+    # inherited by the reference at app/services/audio_processor.py:1076).
+    # Here the batched first pass stays untouched; all straddling
+    # boundaries are then re-cut at their last closed timestamp and
+    # re-decoded together in ONE extra patch slab, whose segments replace
+    # the discarded tail of window i and the overlapped head of window
+    # i+1.  Cost is one additional bounded decode (only when straddles
+    # exist), keeping the throughput of the grid decode.
+    seek_repair: bool = True
 
     def __post_init__(self):
         if self.task not in ("transcribe", "translate"):
             raise ValueError(f"task must be transcribe|translate, got {self.task!r}")
+        if self.hallucination_silence_threshold is not None and not self.word_timestamps:
+            raise ValueError(
+                "hallucination_silence_threshold requires word_timestamps=True "
+                "(the anomaly score reads word probabilities/durations — same "
+                "constraint as openai-whisper)"
+            )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
         if self.max_chunk_batch is None:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
@@ -235,11 +351,42 @@ class Transcriber:
         return cls(params=params, cfg=cfg, **kw)
 
     @classmethod
-    def from_npz(cls, path: str, tokenizer=None, **kw) -> "Transcriber":
+    def from_npz(
+        cls, path: str, tokenizer=None, tokenizer_path: str | None = None, **kw
+    ) -> "Transcriber":
+        """Load a converted checkpoint as a servable Transcriber.
+
+        Tokenizer resolution (first hit wins): explicit ``tokenizer``
+        object > ``tokenizer_path`` / APTPU_TOKENIZER_PATH asset file >
+        the vocab embedded in the .npz at convert time > ByteTokenizer
+        with a LOUD warning (real weights + byte tokenizer = garbage text;
+        the reference never hits this state because whisper.load_model
+        bundles both — reference: app/services/audio_processor.py:863).
+        """
+        import os
+
         from ..models.whisper import convert
+        from ..models.whisper.tokenizer import load_tokenizer_file
 
         params, cfg = convert.load_params(path)
-        return cls(params=params, cfg=cfg, tokenizer=tokenizer or ByteTokenizer(), **kw)
+        if tokenizer is None:
+            tok_path = tokenizer_path or os.environ.get("APTPU_TOKENIZER_PATH")
+            if tok_path:
+                tokenizer = load_tokenizer_file(tok_path)
+            else:
+                tokenizer = convert.load_tokenizer(path)
+                if tokenizer is None:
+                    logger.warning(
+                        "%s has no embedded tokenizer and no tokenizer asset "
+                        "was given (--tokenizer / APTPU_TOKENIZER_PATH) — "
+                        "falling back to the byte tokenizer.  If these are "
+                        "real Whisper weights the transcripts WILL be "
+                        "garbage; re-convert with --tokenizer to embed the "
+                        "vocab.",
+                        path,
+                    )
+                    tokenizer = ByteTokenizer()
+        return cls(params=params, cfg=cfg, tokenizer=tokenizer, **kw)
 
     # -- chunking -----------------------------------------------------------
 
@@ -392,6 +539,114 @@ class Transcriber:
             ) & (avg_lp < self.logprob_threshold)
             tokens[silent] = self.special.eot
         return tokens
+
+    # -- seek-based window advance (boundary-straddle repair) ----------------
+
+    def _apply_seek_repair(self, tokens: np.ndarray, n_chunks: int, audio):
+        """Re-cut and re-decode boundary-straddling windows in one pass.
+
+        For every window whose decode trails unclosed text after its last
+        closed timestamp pair (openai's rewind condition — see
+        decode.seek_consumed), a patch window starting at that timestamp is
+        decoded; its segments replace the discarded tail of window i and
+        the overlapped head of window i+1.  All patches batch into ONE
+        extra slab decode, preserving the grid decode's throughput.
+
+        Mutates ``tokens`` rows in place; returns (tokens, patches) where
+        patches is None or {"tokens","offsets","durations"[,"states"]}
+        for _finalize to merge.
+        """
+        if not self.seek_repair or n_chunks < 2:
+            return tokens, None
+        bounds: list[tuple[int, float]] = []
+        for i in range(n_chunks - 1):
+            consumed, rewound = decode_lib.seek_consumed(
+                tokens[i], self.special
+            )
+            if rewound and 1.0 <= consumed <= 29.0:
+                bounds.append((i, consumed))
+        if not bounds:
+            return tokens, None
+        logger.info(
+            "seek repair: %d/%d windows straddle a 30 s boundary — "
+            "re-decoding one patch slab", len(bounds), n_chunks,
+        )
+        content_s = len(audio) / 16_000.0
+        keep_states = self.word_timestamps
+        patch_rows: list[np.ndarray] = []
+        patch_states: list[tuple[Any, int]] = []
+        for lo in range(0, len(bounds), self.max_chunk_batch):
+            batch = bounds[lo : lo + self.max_chunk_batch]
+            bucket = min(_bucket(len(batch)), self.max_chunk_batch)
+            if self.mesh is not None:
+                bucket = mesh_lib.round_up_batch(bucket, self.mesh)
+            arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
+            for j, (i, c) in enumerate(batch):
+                s0 = i * CHUNK_SAMPLES + int(round(c * 16_000))
+                piece = audio[s0 : s0 + CHUNK_SAMPLES]
+                arr[j, : len(piece)] = np.clip(
+                    piece * 32768.0, -32768, 32767
+                ).astype(np.int16)
+            dev = jnp.asarray(arr)
+            if self.mesh is not None:
+                dev = jax.device_put(dev, mesh_lib.data_sharding(self.mesh))
+            states = self._frontend_encode(self.params, dev)
+            result = self._run_decode(states)
+            patch_rows.append(self._collect_slab(result, states, len(batch)))
+            if keep_states:
+                patch_states.append((states, len(batch)))
+        patch_tokens = np.concatenate(patch_rows, axis=0)
+
+        kept_rows, kept_offsets, kept_durations, kept_idx = [], [], [], []
+        for j, (i, c) in enumerate(bounds):
+            offset = i * 30.0 + c
+            boundary_local = 30.0 - c  # window i+1's start, patch-local
+            row = patch_tokens[j]
+            trimmed, last_end_local = decode_lib.keep_closed_segments_before(
+                row, self.special, boundary_local
+            )
+            if last_end_local is None:
+                if any(int(t) < self.special.eot for t in row):
+                    # no closed segment before the boundary: the whole
+                    # patch is one long straddler — take it as-is (its
+                    # unclosed tail ends at the patch window edge)
+                    trimmed = np.asarray(row).copy()
+                    last_end_local = min(30.0, max(content_s - offset, 0.02))
+                else:
+                    # patch gated to silence: window i's trailing text was
+                    # hallucination next to the boundary — just drop it
+                    tokens[i] = decode_lib.truncate_row_after_seek(
+                        tokens[i], self.special
+                    )
+                    continue
+            tokens[i] = decode_lib.truncate_row_after_seek(
+                tokens[i], self.special
+            )
+            taken_end_global = offset + last_end_local
+            next_start = (i + 1) * 30.0
+            if taken_end_global > next_start + 0.1:
+                tokens[i + 1] = decode_lib.drop_segments_before(
+                    tokens[i + 1], self.special, taken_end_global - next_start
+                )
+            kept_rows.append(trimmed)
+            kept_offsets.append(offset)
+            kept_durations.append(min(30.0, max(content_s - offset, 0.02)))
+            kept_idx.append(j)
+        if not kept_rows:
+            return tokens, None
+        patches: dict[str, Any] = {
+            "tokens": np.stack(kept_rows),
+            "offsets": np.asarray(kept_offsets, np.float64),
+            "durations": np.asarray(kept_durations, np.float64),
+        }
+        if keep_states:
+            all_states = jnp.concatenate(
+                [s[:n] for s, n in patch_states], axis=0
+            )
+            patches["states"] = jnp.take(
+                all_states, jnp.asarray(kept_idx), axis=0
+            )
+        return tokens, patches
 
     # -- language detection ---------------------------------------------------
 
@@ -695,9 +950,11 @@ class Transcriber:
             tokens, cond_states = self._transcribe_conditioned(
                 audio, n_chunks, progress
             )
+            tokens, patches = self._apply_seek_repair(tokens, n_chunks, audio)
             return self._finalize(
                 tokens, n_chunks, duration_s, time_map, t0, progress,
                 states_per_slab=cond_states, slab=slab, audio=audio,
+                patches=patches,
             )
 
         token_rows: list[np.ndarray] = []
@@ -765,14 +1022,16 @@ class Transcriber:
             drain_one()
 
         tokens = np.concatenate(token_rows, axis=0)
+        tokens, patches = self._apply_seek_repair(tokens, n_chunks, audio)
         return self._finalize(
             tokens, n_chunks, duration_s, time_map, t0, progress,
             states_per_slab=states_per_slab, slab=slab, audio=audio,
+            patches=patches,
         )
 
     def _finalize(
         self, tokens, n_chunks, duration_s, time_map, t0, progress,
-        *, states_per_slab, slab, audio,
+        *, states_per_slab, slab, audio, patches=None,
     ) -> dict:
         """Shared tail: tokens -> segments -> (words) -> result dict."""
         import time as _time
@@ -782,11 +1041,19 @@ class Transcriber:
         # bounds unclosed trailing segments to real content, not 30 s
         content_s = len(audio) / 16_000.0
         durations = np.clip(content_s - offsets, 0.0, 30.0)
+        all_rows, all_offsets, all_durations = tokens, offsets, durations
+        if patches is not None:
+            # seek-repair patch windows join the grid windows; segments
+            # re-sort into time order below
+            all_rows = np.concatenate([tokens[:n_chunks], patches["tokens"]])
+            all_offsets = np.concatenate([offsets, patches["offsets"]])
+            all_durations = np.concatenate([durations, patches["durations"]])
 
         segments = decode_lib.tokens_to_segments(
-            tokens, self.special, offsets, self.tokenizer.decode,
-            chunk_durations_s=durations,
+            all_rows, self.special, all_offsets, self.tokenizer.decode,
+            chunk_durations_s=all_durations,
         )
+        segments.sort(key=lambda s: (s["start"], s["end"]))
         # map trimmed-timeline stamps back to the original recording
         for seg in segments:
             seg["start"] = round(time_map.to_original(seg["start"]), 3)
@@ -796,6 +1063,7 @@ class Transcriber:
         if self.word_timestamps:
             from ..models.whisper import align
 
+            with_probs = self.hallucination_silence_threshold is not None
             per_chunk = []
             for si, slab_states in enumerate(states_per_slab):
                 lo = si * slab
@@ -809,17 +1077,37 @@ class Transcriber:
                         self.special,
                         self.tokenizer.decode,
                         offsets[lo : lo + real],
+                        with_probabilities=with_probs,
+                    )
+                )
+            if patches is not None and "states" in patches:
+                per_chunk.extend(
+                    align.word_timestamps(
+                        self.params,
+                        self.cfg,
+                        patches["states"],
+                        patches["tokens"],
+                        self.special,
+                        self.tokenizer.decode,
+                        patches["offsets"],
+                        with_probabilities=with_probs,
                     )
                 )
             words = [
                 {
-                    "word": w["word"],
+                    **w,
                     "start": round(time_map.to_original(w["start"]), 3),
                     "end": round(time_map.to_original(w["end"]), 3),
                 }
                 for chunk_words in per_chunk
                 for w in chunk_words
             ]
+            words.sort(key=lambda w: (w["start"], w["end"]))
+            if self.hallucination_silence_threshold is not None:
+                segments, words = filter_hallucinations(
+                    segments, words,
+                    self.hallucination_silence_threshold, duration_s,
+                )
 
         elapsed = _time.perf_counter() - t0
         if progress:

@@ -347,15 +347,35 @@ class App:
 
     # -- dev server ---------------------------------------------------------
 
-    def run(self, host: str = "0.0.0.0", port: int = 5000) -> None:
+    def run(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 5000,
+        max_threads: int | None = None,
+    ) -> None:
+        """Bounded threaded WSGI server.
+
+        Requests run on a FIXED pool (APTPU_HTTP_WORKERS, default 32) —
+        a status-poll burst queues instead of spawning a thread per
+        connection (the reference at least ran gunicorn with worker
+        limits, reference Dockerfile:44; production here runs gunicorn
+        too — see the repo Dockerfile — this server is the dev/fallback
+        path).  SSE streams hold a pool thread each; their subscriber cap
+        (server/api.py) is sized well below the default pool.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if max_threads is None:
+            max_threads = int(os.environ.get("APTPU_HTTP_WORKERS", "32"))
+        pool = ThreadPoolExecutor(
+            max_workers=max_threads, thread_name_prefix="http"
+        )
+
         class ThreadingWSGIServer(WSGIServer):
             daemon_threads = True
 
             def process_request(self, request, client_address):
-                t = threading.Thread(
-                    target=self._handle, args=(request, client_address), daemon=True
-                )
-                t.start()
+                pool.submit(self._handle, request, client_address)
 
             def _handle(self, request, client_address):
                 try:
@@ -366,5 +386,7 @@ class App:
                     self.shutdown_request(request)
 
         with make_server(host, port, self, server_class=ThreadingWSGIServer) as srv:
-            logger.info("serving on %s:%d", host, port)
+            logger.info(
+                "serving on %s:%d (%d worker threads)", host, port, max_threads
+            )
             srv.serve_forever()

@@ -245,15 +245,30 @@ def calibrate_onset(
 ) -> tuple[float, float]:
     """Sweep binarisation thresholds; return (best_onset, frame_error).
 
-    The result plugs straight into Diarizer(onset=...) — the reference has
-    no calibration story at all (pyannote's thresholds are baked into the
-    downloaded pipeline config).
+    The powerset loss is permutation-INVARIANT, so a trained net's local
+    speaker slots need not line up with the label slots — each window's
+    predictions are first aligned to the labels with a Hungarian match on
+    activation overlap (without this the sweep scores slot permutations as
+    errors and lands on a badly-biased threshold).  The result plugs
+    straight into Diarizer(onset=...) — the reference has no calibration
+    story at all (pyannote's thresholds are baked into the downloaded
+    pipeline config).
     """
+    from scipy.optimize import linear_sum_assignment
+
     if grid is None:
         grid = np.linspace(0.2, 0.8, 25)
+    aligned = np.empty_like(probs)
+    for i in range(len(probs)):
+        # agreement between predicted slot s and label slot l
+        agree = probs[i].T @ labels[i] + (1 - probs[i]).T @ (1 - labels[i])
+        rows, cols = linear_sum_assignment(-agree)
+        perm = np.empty(probs.shape[2], np.int64)
+        perm[cols] = rows
+        aligned[i] = probs[i][:, perm]
     best = (0.5, float("inf"))
     for th in grid:
-        err = float(np.mean((probs > th) != (labels > 0.5)))
+        err = float(np.mean((aligned > th) != (labels > 0.5)))
         if err < best[1]:
             best = (float(th), err)
     return best

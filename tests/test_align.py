@@ -136,3 +136,30 @@ def test_word_timestamps_end_to_end():
         assert 30.0 <= w["start"] <= w["end"]
     starts = [w["start"] for w in ws]
     assert starts == sorted(starts)
+
+
+def test_word_timestamps_with_probabilities():
+    """with_probabilities attaches a per-word mean token probability from
+    the same teacher-forced pass (feeds the hallucination anomaly score)."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(0, 1, (1, CFG.n_audio_ctx, 64)), jnp.float32)
+    ids = tok.encode("hello world")
+    rows = np.full((1, len(ids)), st.eot, np.int64)
+    rows[0, : len(ids)] = ids
+    plain = align.word_timestamps(
+        params, CFG, audio, rows, st, tok.decode, np.array([0.0])
+    )[0]
+    withp = align.word_timestamps(
+        params, CFG, audio, rows, st, tok.decode, np.array([0.0]),
+        with_probabilities=True,
+    )[0]
+    assert all("probability" not in w for w in plain)
+    assert [w["word"] for w in withp] == [w["word"] for w in plain]
+    assert [(w["start"], w["end"]) for w in withp] == [
+        (w["start"], w["end"]) for w in plain
+    ]  # probabilities must not perturb the alignment itself
+    for w in withp:
+        assert 0.0 <= w["probability"] <= 1.0

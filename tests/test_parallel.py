@@ -58,6 +58,46 @@ def test_tp_sharded_forward_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_tp_sharded_decode_matches_single_device():
+    """greedy + beam KV-cache DECODE under 2-way tensor parallelism.
+
+    The mesh claim (parallel/mesh.py) is that decode-latency-sensitive
+    large variants can run TP; this pins it: sharded-param decode must be
+    token-identical to single-device decode.  Runs the XLA attention path
+    (quantize_cross_kv=False) — the Pallas int4/int8 kernels are
+    replicated-only by design (ops/pallas/decode_attention.py)."""
+    from audio_processor_tpu.models.whisper import decode
+
+    params = whisper_model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    mel = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (4, 80, 64)), jnp.float32
+    )
+    states = whisper_model.encode(params, CFG, mel)
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8)
+
+    ref_g = decode.greedy_decode(params, CFG, states, **kw)
+    ref_b = decode.beam_decode(params, CFG, states, beam_size=3, **kw)
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    sharded = sharding_lib.shard_params(params, mesh)
+    states_sh = jax.device_put(states, NamedSharding(mesh, P("data")))
+
+    out_g = decode.greedy_decode(sharded, CFG, states_sh, **kw)
+    out_b = decode.beam_decode(sharded, CFG, states_sh, beam_size=3, **kw)
+
+    np.testing.assert_array_equal(np.asarray(out_g.tokens), np.asarray(ref_g.tokens))
+    np.testing.assert_array_equal(np.asarray(out_b.tokens), np.asarray(ref_b.tokens))
+    np.testing.assert_allclose(
+        np.asarray(out_g.no_speech_prob), np.asarray(ref_g.no_speech_prob),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.no_speech_prob), np.asarray(ref_b.no_speech_prob),
+        atol=1e-5,
+    )
+
+
 def test_transcriber_data_parallel_over_mesh(rng):
     """End-to-end sharded transcription over the 8-device CPU mesh matches
     the single-device result."""

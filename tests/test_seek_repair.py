@@ -1,0 +1,193 @@
+"""Seek-based window advance (openai-whisper's transcribe-loop rewind).
+
+The reference inherits whisper's sequential seek loop: when a decode ends
+with text trailing after the last closed timestamp pair, seek rewinds to
+that pair's end and the straddling speech is re-decoded in the next window
+(reference: app/services/audio_processor.py:1076 via whisper.transcribe).
+This repo keeps the batched grid decode and repairs straddling boundaries
+in one extra patch slab (pipeline/transcribe._apply_seek_repair).  Decode
+outputs are mocked so the splice semantics are pinned exactly.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from audio_processor_tpu.models.whisper import decode as decode_lib
+from audio_processor_tpu.models.whisper.config import get_config
+from audio_processor_tpu.pipeline.transcribe import CHUNK_SAMPLES, Transcriber
+
+ST = decode_lib.SpecialTokens.for_config(get_config("tiny"))
+
+
+def ts(seconds: float) -> int:
+    return ST.timestamp_begin + int(round(seconds / 0.02))
+
+
+def row(*toks, width=32) -> np.ndarray:
+    out = np.full(width, ST.eot, np.int32)
+    out[: len(toks)] = toks
+    return out
+
+
+A, B, C, D = 97, 98, 99, 100  # 'a'..'d' under ByteTokenizer
+
+
+# -- helper semantics -------------------------------------------------------
+
+def test_seek_consumed_clean_ending_advances_full_window():
+    # "<|0|> a <|10|>" — ends on a timestamp: no rewind
+    c, r = decode_lib.seek_consumed(row(ts(0), A, ts(10)), ST)
+    assert (c, r) == (30.0, False)
+
+
+def test_seek_consumed_trailing_text_rewinds_to_last_closed_pair():
+    # "<|0|> a <|10|><|10|> b" — 'b' trails unclosed: rewind to 10 s
+    c, r = decode_lib.seek_consumed(row(ts(0), A, ts(10), ts(10), B), ST)
+    assert r and c == pytest.approx(10.0)
+
+
+def test_seek_consumed_no_closed_pair_never_rewinds():
+    c, r = decode_lib.seek_consumed(row(ts(0), A, B), ST)
+    assert (c, r) == (30.0, False)
+    c, r = decode_lib.seek_consumed(row(A, B), ST)  # no timestamps at all
+    assert (c, r) == (30.0, False)
+    c, r = decode_lib.seek_consumed(row(), ST)  # empty row
+    assert (c, r) == (30.0, False)
+
+
+def test_truncate_row_after_seek_drops_straddler_tokens():
+    out = decode_lib.truncate_row_after_seek(
+        row(ts(0), A, ts(10), ts(10), B), ST
+    )
+    np.testing.assert_array_equal(out[:3], [ts(0), A, ts(10)])
+    assert (out[3:] == ST.eot).all()
+
+
+def test_drop_segments_before_cuts_consumed_head():
+    r = row(ts(0), A, ts(2), ts(2.5), B, ts(5))
+    out = decode_lib.drop_segments_before(r, ST, 2.2)
+    np.testing.assert_array_equal(out[:3], [ts(2.5), B, ts(5)])
+    assert (out[3:] == ST.eot).all()
+    # cut consumes everything -> all EOT
+    out = decode_lib.drop_segments_before(r, ST, 20.0)
+    assert (out == ST.eot).all()
+
+
+def test_keep_closed_segments_before():
+    r = row(ts(0), A, ts(22.5), ts(22.5), B, ts(28))
+    out, end = decode_lib.keep_closed_segments_before(r, ST, 20.0)
+    assert end == pytest.approx(22.5)
+    np.testing.assert_array_equal(out[:3], [ts(0), A, ts(22.5)])
+    assert (out[3:] == ST.eot).all()
+    out, end = decode_lib.keep_closed_segments_before(r, ST, -1.0)
+    assert end is None and (out == ST.eot).all()
+
+
+# -- end-to-end splice through transcribe() ---------------------------------
+
+def make_mock_transcriber(decode_script):
+    """Transcriber whose encode/decode are mocked; decode_script is a list
+    of (B, T) token matrices returned per _run_decode call."""
+    t = Transcriber.random_init(
+        "tiny", language=0, no_speech_threshold=None, enable_fallback=False
+    )
+    t._frontend_encode = lambda p, chunks: jnp.zeros(
+        (chunks.shape[0], 4, 8), jnp.float32
+    )
+    calls = []
+
+    def fake_run_decode(audio_states, temperature=0.0, seed=0,
+                        first_row_prompt=False):
+        i = len(calls)
+        calls.append(audio_states.shape[0])
+        toks = decode_script[i]
+        b = audio_states.shape[0]
+        full = np.full((b, toks.shape[1]), ST.eot, np.int32)
+        full[: len(toks)] = toks
+        return decode_lib.DecodeResult(
+            tokens=jnp.asarray(full),
+            lengths=jnp.asarray((full != ST.eot).sum(-1), jnp.int32),
+            sum_logprob=jnp.zeros((b,), jnp.float32),
+            no_speech_prob=jnp.zeros((b,), jnp.float32),
+        )
+
+    t._run_decode = fake_run_decode
+    return t, calls
+
+
+def test_straddling_word_comes_out_as_one_segment():
+    """A 'word' spanning t=30 s: grid pass splits it; seek repair re-decodes
+    from the last closed timestamp and yields ONE segment crossing 30 s."""
+    grid = np.stack([
+        # window 0: closed "a" [0,10], then 'b' trailing unclosed (straddle)
+        row(ts(0), A, ts(10), ts(10), B),
+        # window 1: "c" at [2.5,5] local = [32.5,35] global
+        row(ts(2.5), C, ts(5)),
+    ])
+    # patch at 10 s: "d" closed [0,22.5] local = [10,32.5] global
+    patch = row(ts(0), D, ts(22.5))[None, :]
+    t, calls = make_mock_transcriber([grid, patch])
+    audio = np.zeros(60 * 16_000, np.float32)
+    audio[::100] = 0.1  # keep trim_silence from eating the recording
+    out = t.transcribe(audio, remove_silence=False)
+    segs = out["segments"]
+    assert [s["text"] for s in segs] == ["a", "d", "c"]
+    assert segs[1]["start"] == pytest.approx(10.0, abs=0.05)
+    assert segs[1]["end"] == pytest.approx(32.5, abs=0.05)  # crosses 30 s
+    assert segs[2]["start"] == pytest.approx(32.5, abs=0.05)
+    assert len(calls) == 2 and calls[1] >= 1  # exactly one patch decode
+
+
+def test_patch_overlap_drops_consumed_head_of_next_window():
+    """When the patch consumes into window 1, window 1's overlapped leading
+    segment is dropped (no duplicated text)."""
+    grid = np.stack([
+        row(ts(0), A, ts(10), ts(10), B),
+        # window 1: TWO segments; the first [0,2] global [30,32] is covered
+        # by the patch (which reaches 32.5) and must be dropped
+        row(ts(0), B, ts(2), ts(2.5), C, ts(5)),
+    ])
+    patch = row(ts(0), D, ts(22.5))[None, :]
+    t, calls = make_mock_transcriber([grid, patch])
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    assert [s["text"] for s in out["segments"]] == ["a", "d", "c"]
+
+
+def test_no_straddle_means_no_patch_decode():
+    grid = np.stack([
+        row(ts(0), A, ts(10)),          # clean single-timestamp ending
+        row(ts(0), B, ts(5), ts(5)),    # clean paired ending
+    ])
+    t, calls = make_mock_transcriber([grid])
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    assert len(calls) == 1
+    assert [s["text"] for s in out["segments"]] == ["a", "b"]
+
+
+def test_silent_patch_just_drops_hallucinated_tail():
+    grid = np.stack([
+        row(ts(0), A, ts(10), ts(10), B),   # straddle candidate
+        row(ts(2.5), C, ts(5)),
+    ])
+    patch = row()[None, :]  # patch decodes to nothing (silence)
+    t, calls = make_mock_transcriber([grid, patch])
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    # 'b' (the unclosed tail) is gone; window 1 untouched
+    assert [s["text"] for s in out["segments"]] == ["a", "c"]
+
+
+def test_seek_repair_off_keeps_grid_behaviour():
+    grid = np.stack([
+        row(ts(0), A, ts(10), ts(10), B),
+        row(ts(2.5), C, ts(5)),
+    ])
+    t, calls = make_mock_transcriber([grid])
+    t.seek_repair = False
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    assert len(calls) == 1
+    # trailing 'b' is kept as an unclosed segment (old behaviour)
+    assert [s["text"] for s in out["segments"]] == ["a", "b", "c"]

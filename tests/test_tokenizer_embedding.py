@@ -1,0 +1,176 @@
+"""Tokenizer assets ride the checkpoint: convert embeds, serving auto-loads.
+
+The reference never wires a tokenizer because whisper.load_model bundles
+weights + vocab as one unit (reference: app/services/audio_processor.py:863).
+These tests pin the equivalent contract here: a converted .npz carries its
+BPE vocab, `Transcriber.from_npz` reconstructs it with zero extra flags,
+env/flag overrides win, and the byte fallback is loud.
+"""
+import base64
+import logging
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.models.whisper import convert, model as model_lib
+from audio_processor_tpu.models.whisper.config import get_config
+from audio_processor_tpu.models.whisper.tokenizer import (
+    BPETokenizer,
+    ByteTokenizer,
+    load_tokenizer_file,
+)
+from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+from test_parity_tokenizer import CORPUS, TEST_STRINGS, _train_bpe
+
+TINY_TEST_CFG = dict(
+    n_mels=80, n_audio_ctx=32, n_audio_state=64, n_audio_head=2,
+    n_audio_layer=1, n_text_ctx=48, n_text_state=64, n_text_head=2,
+    n_text_layer=1, n_vocab=51865,
+)
+
+
+@pytest.fixture(scope="module")
+def bpe():
+    ranks = _train_bpe(CORPUS)
+    content = b"\n".join(
+        base64.b64encode(tok) + b" " + str(rank).encode()
+        for tok, rank in ranks.items()
+    )
+    return BPETokenizer.from_tiktoken_bytes(content)
+
+
+@pytest.fixture()
+def tiny_ckpt(tmp_path, bpe):
+    import dataclasses
+    import jax
+
+    cfg = dataclasses.replace(get_config("tiny"), **TINY_TEST_CFG)
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "model.npz")
+    convert.save_params(path, params, cfg, tokenizer=bpe)
+    return path
+
+
+def test_tiktoken_bytes_roundtrip(bpe):
+    clone = BPETokenizer.from_tiktoken_bytes(bpe.to_tiktoken_bytes())
+    for s in TEST_STRINGS:
+        assert clone.encode(s) == bpe.encode(s)
+        assert clone.decode(bpe.encode(s)) == s
+
+
+def test_from_npz_autoloads_embedded_tokenizer(tiny_ckpt, bpe):
+    t = Transcriber.from_npz(tiny_ckpt)
+    assert isinstance(t.tokenizer, BPETokenizer)
+    for s in TEST_STRINGS:
+        assert t.tokenizer.encode(s) == bpe.encode(s)
+        assert t.tokenizer.decode(bpe.encode(s)) == s
+
+
+def test_load_tokenizer_helper(tiny_ckpt, bpe, tmp_path):
+    tok = convert.load_tokenizer(tiny_ckpt)
+    assert tok is not None and tok.encode(CORPUS) == bpe.encode(CORPUS)
+    # a checkpoint saved WITHOUT a tokenizer reports None
+    import dataclasses
+    import jax
+
+    cfg = dataclasses.replace(get_config("tiny"), **TINY_TEST_CFG)
+    bare = str(tmp_path / "bare.npz")
+    convert.save_params(
+        bare, model_lib.init_params(cfg, jax.random.PRNGKey(0)), cfg
+    )
+    assert convert.load_tokenizer(bare) is None
+
+
+def test_env_override_beats_embedded(tiny_ckpt, tmp_path, monkeypatch):
+    # the override vocab maps every byte only (no merges): distinguishable
+    # from the embedded trained vocab on any multi-char merge
+    content = b"\n".join(
+        base64.b64encode(bytes([b])) + b" " + str(b).encode()
+        for b in range(256)
+    )
+    ov = tmp_path / "override.tiktoken"
+    ov.write_bytes(content)
+    monkeypatch.setenv("APTPU_TOKENIZER_PATH", str(ov))
+    t = Transcriber.from_npz(tiny_ckpt)
+    assert t.tokenizer.encode("the the the") == [
+        int(b) for b in b"the the the"
+    ]
+
+
+def test_explicit_tokenizer_path_beats_env(tiny_ckpt, tmp_path, monkeypatch, bpe):
+    monkeypatch.setenv("APTPU_TOKENIZER_PATH", str(tmp_path / "missing"))
+    ov = tmp_path / "flag.tiktoken"
+    ov.write_bytes(bpe.to_tiktoken_bytes())
+    t = Transcriber.from_npz(tiny_ckpt, tokenizer_path=str(ov))
+    assert t.tokenizer.encode(CORPUS) == bpe.encode(CORPUS)
+
+
+def test_byte_fallback_is_loud(tmp_path, caplog):
+    import dataclasses
+    import jax
+
+    cfg = dataclasses.replace(get_config("tiny"), **TINY_TEST_CFG)
+    bare = str(tmp_path / "bare.npz")
+    convert.save_params(
+        bare, model_lib.init_params(cfg, jax.random.PRNGKey(0)), cfg
+    )
+    with caplog.at_level(logging.WARNING):
+        t = Transcriber.from_npz(bare)
+    assert isinstance(t.tokenizer, ByteTokenizer)
+    assert any("no embedded tokenizer" in r.message for r in caplog.records)
+
+
+def test_hf_vocab_files_roundtrip_production_path(tmp_path, bpe):
+    """Toy HF vocab.json + merges.txt -> convert-time embed -> from_npz.
+
+    Mirrors the HF checkpoint family: vocab.json ids double as tiktoken
+    ranks for every Whisper vocab, so the embedded (result-rank) form must
+    reproduce the HF (merge-list) encoder exactly on covered text.
+    """
+    import dataclasses
+    import json
+
+    import jax
+
+    # derive HF-format files from the trained ranks: unicode-mapped vocab
+    # + merges in rank order
+    from audio_processor_tpu.models.whisper.tokenizer import _bytes_to_unicode
+
+    ranks = _train_bpe(CORPUS)
+    enc = _bytes_to_unicode()
+    to_u = lambda bs: "".join(enc[b] for b in bs)  # noqa: E731
+    vocab = {to_u(bs): r for bs, r in ranks.items()}
+    merges = []
+    for bs, r in sorted(ranks.items(), key=lambda kv: kv[1]):
+        if r < 256:
+            continue
+        # recover the training split: the two highest-priority sub-tokens
+        best = None
+        for cut in range(1, len(bs)):
+            a, b = bs[:cut], bs[cut:]
+            if a in ranks and b in ranks and ranks[a] < r and ranks[b] < r:
+                key = max(ranks[a], ranks[b])
+                if best is None or key < best[0]:
+                    best = (key, to_u(a), to_u(b))
+        assert best is not None
+        merges.append(f"{best[1]} {best[2]}")
+    (tmp_path / "vocab.json").write_text(
+        json.dumps(vocab, ensure_ascii=False), encoding="utf-8"
+    )
+    (tmp_path / "merges.txt").write_text(
+        "#version: toy\n" + "\n".join(merges), encoding="utf-8"
+    )
+
+    hf_tok = load_tokenizer_file(str(tmp_path / "vocab.json"))
+    cfg = dataclasses.replace(get_config("tiny"), **TINY_TEST_CFG)
+    path = str(tmp_path / "hf.npz")
+    convert.save_params(
+        path, model_lib.init_params(cfg, jax.random.PRNGKey(0)), cfg,
+        tokenizer=hf_tok,
+    )
+    t = Transcriber.from_npz(path)
+    for s in TEST_STRINGS:
+        ids = t.tokenizer.encode(s)
+        assert ids == bpe.encode(s)
+        assert t.tokenizer.decode(ids) == s

@@ -83,3 +83,65 @@ def test_streaming_resamples_input():
     list(st.feed(rng.normal(0, 0.1, 8000 * 3).astype(np.float32)))
     # 3 s at 8 kHz -> 3 s at 16 kHz in the buffer
     assert abs(len(st._buffer) - 48000) < 50
+
+
+def test_dev_server_thread_pool_is_bounded():
+    """A burst of concurrent requests must be served by the FIXED worker
+    pool, not one thread per connection (round-2 review weak #6: 100
+    status polls spawned 100 threads; production also fronts with
+    gunicorn — this pins the dev/fallback server)."""
+    import socket
+    import threading
+    import time
+    import urllib.request
+
+    app = App()
+
+    @app.route("/slow")
+    def slow(request):
+        time.sleep(0.05)
+        return {"ok": True}
+
+    with socket.socket() as s:  # grab a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    threading.Thread(
+        target=lambda: app.run(host="127.0.0.1", port=port, max_threads=4),
+        daemon=True,
+    ).start()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/slow", timeout=2
+            ).read()
+            break
+        except OSError:
+            time.sleep(0.05)
+    else:
+        raise AssertionError("dev server did not come up")
+
+    peak = 0
+    lock = threading.Lock()
+
+    def hit():
+        nonlocal peak
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/slow", timeout=30
+            ).read()
+        finally:
+            n = sum(
+                1 for t in threading.enumerate()
+                if t.name.startswith("http")
+            )
+            with lock:
+                peak = max(peak, n)
+
+    clients = [threading.Thread(target=hit) for _ in range(40)]
+    for c in clients:
+        c.start()
+    for c in clients:
+        c.join(timeout=60)
+    assert peak <= 4, f"{peak} http worker threads for a 4-thread pool"

@@ -251,6 +251,42 @@ def test_beam_decode_deterministic(hf_pair, mel):
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
+def test_beam_no_speech_prob_matches_greedy(hf_pair, mel):
+    """The no-speech gate must fire identically under beam search.
+
+    openai's DecodingTask reads P(<|nospeech|>) from the prefill logits at
+    the <|sot|> slot regardless of decoder, so beam and greedy must report
+    the same probability (previously beam returned zeros, silently
+    disabling transcribe's silence gate for beam_size>0)."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), max_new_tokens=6)
+    greedy = decode.greedy_decode(params, CFG, audio, **kw)
+    beam = decode.beam_decode(params, CFG, audio, beam_size=3, **kw)
+    g = np.asarray(greedy.no_speech_prob)
+    b = np.asarray(beam.no_speech_prob)
+    assert (g > 0).all()  # softmax output: a real probability, not zeros
+    np.testing.assert_allclose(b, g, rtol=1e-5, atol=1e-6)
+
+    # prompted variant: beam agrees with prompted-greedy at the same slot
+    rows, lens = decode.build_prompt_rows(
+        [[7, 8, 9], []], tuple(st.sot_sequence()), st, 3
+    )
+    pg = decode.prompted_greedy_decode(
+        params, CFG, audio, jnp.asarray(rows), jnp.asarray(lens),
+        sot_len=len(st.sot_sequence()), max_new_tokens=6,
+    )
+    pb = decode.beam_decode(
+        params, CFG, audio, beam_size=3,
+        prompt_tokens=jnp.asarray(rows), prompt_lens=jnp.asarray(lens), **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pb.no_speech_prob), np.asarray(pg.no_speech_prob),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_detect_language(hf_pair, mel):
     _, params = hf_pair
     audio = model.encode(params, CFG, jnp.asarray(mel))

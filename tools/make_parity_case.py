@@ -69,7 +69,14 @@ def main() -> int:
 
     npz_path = os.path.join(args.out, f"whisper-{args.model}.npz")
     params, cfg = convert.load_openai_checkpoint(pt_path)
-    convert.save_params(npz_path, params, cfg)
+    # embed the vocab so the .npz alone is servable (Transcriber.from_npz
+    # auto-builds the BPE tokenizer from it; the sidecar rank file stays
+    # as an override/debug asset)
+    from audio_processor_tpu.models.whisper.tokenizer import BPETokenizer
+
+    convert.save_params(
+        npz_path, params, cfg, tokenizer=BPETokenizer.from_tiktoken(rank_dst)
+    )
 
     case = {
         "model_npz": os.path.abspath(npz_path),
