@@ -26,6 +26,14 @@ def cmd_transcribe(args) -> None:
         kw["language"] = language_index(args.language)
     if args.beam:
         kw["beam_size"] = args.beam
+    if args.best_of is not None:
+        kw["best_of"] = args.best_of
+    if args.patience is not None:
+        kw["patience"] = args.patience
+    if args.suppress_tokens is not None:
+        kw["suppress_tokens"] = [
+            int(t) for t in args.suppress_tokens.split(",") if t.strip()
+        ]
     if args.word_timestamps:
         kw["word_timestamps"] = True
     if args.hallucination_silence_threshold is not None:
@@ -442,6 +450,15 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--json", action="store_true")
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
+    t.add_argument("--suppress-tokens", dest="suppress_tokens", default=None,
+                   help="comma-separated token ids to suppress; '-1' = the "
+                   "default non-speech set (openai's suppress_tokens)")
+    t.add_argument("--patience", type=float, default=None,
+                   help="beam patience (finished-hypothesis multiplier, "
+                   "openai's patience; default 1.0)")
+    t.add_argument("--best-of", dest="best_of", type=int, default=None,
+                   help="independent sampling candidates on T>0 fallback "
+                   "rungs, best by avg logprob (openai's best_of; default 5)")
     t.add_argument("--word-timestamps", action="store_true")
     t.add_argument(
         "--hallucination-silence-threshold", type=float, default=None,

@@ -737,8 +737,30 @@ def _sample_loop(
 _GREEDY_STATIC_ARGNAMES = (
     "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
     "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
-    "kv_bits", "quantize_self_kv",
+    "kv_bits", "quantize_self_kv", "best_of",
 )
+
+
+def _rank_groups(tokens, lengths, sum_logprob, no_speech_prob, b, g):
+    """Select the best of g independent sampling candidates per element by
+    average logprob — openai's MaximumLikelihoodRanker over a best_of
+    group (whisper.transcribe defaults best_of=5 whenever temperature>0,
+    so the reference's fallback rungs pick the best of five samples, not
+    one — app/services/audio_processor.py:1076)."""
+    tokens = tokens.reshape(b, g, -1)
+    lengths = lengths.reshape(b, g)
+    sum_logprob = sum_logprob.reshape(b, g)
+    avg = sum_logprob / jnp.maximum(lengths, 1).astype(jnp.float32)
+    best = jnp.argmax(avg, axis=-1)  # (B,)
+    take = lambda x: jnp.take_along_axis(  # noqa: E731
+        x, best.reshape(b, *([1] * (x.ndim - 1))), axis=1
+    )[:, 0]
+    return DecodeResult(
+        tokens=take(tokens),
+        lengths=take(lengths),
+        sum_logprob=take(sum_logprob),
+        no_speech_prob=no_speech_prob.reshape(b, g)[:, 0],
+    )
 
 
 def _greedy_decode_impl(
@@ -758,12 +780,17 @@ def _greedy_decode_impl(
     quantize_self_kv: bool = False,
     temperature: float = 0.0,
     rng_seed: int = 0,
+    best_of: int = 1,
 ) -> DecodeResult:
     """Batched greedy/sampling decode with Whisper rules, one jit region.
 
     temperature == 0 -> argmax; > 0 -> categorical sampling (used by the
     quality-gated fallback ladder in pipeline.transcribe, mirroring
     openai-whisper's temperature retry that the reference relies on).
+    best_of > 1 at temperature > 0 samples that many independent
+    candidates per element (rows ride the batch axis) and returns the
+    best by average logprob — openai's best_of, defaulted to 5 by
+    whisper.transcribe on every fallback rung.
 
     The loop is a lax.while_loop that exits as soon as every row has hit
     EOT — decisive for RTFx since typical 30 s segments need ~40-120 tokens,
@@ -771,6 +798,10 @@ def _greedy_decode_impl(
     """
     st = SpecialTokens.for_config(cfg)
     dtype = jnp.dtype(dtype_name)
+    b0 = audio_states.shape[0]
+    group = best_of if (best_of > 1 and temperature > 0) else 1
+    if group > 1:
+        audio_states = jnp.repeat(audio_states, group, axis=0)
     b = audio_states.shape[0]
     prompt_len = len(sot_sequence)
     max_len = prompt_len + max_new_tokens
@@ -809,6 +840,10 @@ def _greedy_decode_impl(
         kv_bits=kv_bits_eff,
         compute_dtype=dtype,
     )
+    if group > 1:
+        return _rank_groups(
+            tokens, lengths, sum_logprob, no_speech_prob, b0, group
+        )
     return DecodeResult(
         tokens=tokens,
         lengths=lengths,
@@ -852,10 +887,12 @@ def _prompted_greedy_impl(
     quantize_self_kv: bool = False,
     temperature: float = 0.0,
     rng_seed: int = 0,
+    best_of: int = 1,
 ) -> DecodeResult:
     """Greedy decode with PER-ROW prompts: openai-whisper's
     condition_on_previous_text mechanism (<|startofprev|> + previous-window
-    text + sot sequence), batched.
+    text + sot sequence), batched.  best_of as in greedy_decode (openai
+    applies it to prompted fallback rungs identically).
 
     Rows are left-padded to a common length P so one compiled program
     serves every prompt mix; padding is invisible (attention floor) and
@@ -867,6 +904,12 @@ def _prompted_greedy_impl(
     """
     st = SpecialTokens.for_config(cfg)
     dtype = jnp.dtype(dtype_name)
+    b0 = audio_states.shape[0]
+    group = best_of if (best_of > 1 and temperature > 0) else 1
+    if group > 1:
+        audio_states = jnp.repeat(audio_states, group, axis=0)
+        prompt_tokens = jnp.repeat(prompt_tokens, group, axis=0)
+        prompt_lens = jnp.repeat(prompt_lens, group, axis=0)
     b, p_len = prompt_tokens.shape
     max_len = p_len + max_new_tokens
 
@@ -911,6 +954,10 @@ def _prompted_greedy_impl(
         kv_bits=kv_bits_eff,
         compute_dtype=dtype,
     )
+    if group > 1:
+        return _rank_groups(
+            tokens, lengths, sum_logprob, no_speech_prob, b0, group
+        )
     return DecodeResult(
         tokens=tokens,
         lengths=lengths,
@@ -924,7 +971,7 @@ prompted_greedy_decode = jax.jit(
     static_argnames=(
         "cfg", "sot_len", "max_new_tokens", "use_timestamps", "dtype_name",
         "space_blank_id", "quantize_cross_kv", "use_pallas_kernel",
-        "kv_bits", "quantize_self_kv", "temperature",
+        "kv_bits", "quantize_self_kv", "temperature", "best_of",
     ),
 )
 
@@ -964,6 +1011,7 @@ def build_prompt_rows(
     static_argnames=(
         "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
         "use_timestamps", "quantize_cross_kv", "use_pallas_kernel", "kv_bits",
+        "patience",
     ),
 )
 def beam_decode(
@@ -977,6 +1025,7 @@ def beam_decode(
     use_timestamps: bool = True,
     suppress_mask: jnp.ndarray | None = None,
     length_penalty: float | None = None,
+    patience: float = 1.0,
     dtype_name: str = "float32",
     quantize_cross_kv: bool = False,
     use_pallas_kernel: bool = False,
@@ -1019,6 +1068,10 @@ def beam_decode(
     dtype = jnp.dtype(dtype_name)
     b, ta, d = audio_states.shape
     k = beam_size
+    # whisper's patience: collect round(K * patience) finished hypotheses
+    # before stopping (max_candidates); the ranker still sees them all
+    m_fin = max(1, int(round(k * patience)))
+    cap = max(k, m_fin)  # buffer width (finalize may top up to K)
     prompted = prompt_tokens is not None
     prompt_len = prompt_tokens.shape[1] if prompted else len(sot_sequence)
     max_len = prompt_len + max_new_tokens
@@ -1100,15 +1153,15 @@ def beam_decode(
         last=last0.astype(jnp.int32),
         penult=penult0.astype(jnp.int32),
         max_ts=jnp.full((b, k), tb - 1, jnp.int32),
-        fin_tokens=jnp.full((b, k, max_new_tokens), st.eot, jnp.int32),
-        fin_scores=jnp.full((b, k), NEG_INF, jnp.float32),
-        fin_lengths=jnp.zeros((b, k), jnp.int32),
+        fin_tokens=jnp.full((b, cap, max_new_tokens), st.eot, jnp.int32),
+        fin_scores=jnp.full((b, cap), NEG_INF, jnp.float32),
+        fin_lengths=jnp.zeros((b, cap), jnp.int32),
         fin_count=jnp.zeros((b,), jnp.int32),
     )
 
     def cond(s: BeamState):
-        # whisper's is_done: every element holds K finished hypotheses
-        return (s.step < max_new_tokens) & ~jnp.all(s.fin_count >= k)
+        # whisper's is_done: every element holds max_candidates finished
+        return (s.step < max_new_tokens) & ~jnp.all(s.fin_count >= m_fin)
 
     def body(s: BeamState):
         v = s.logits.shape[-1]
@@ -1163,8 +1216,8 @@ def beam_decode(
         qual = is_eot2 & (noneot_before < k)
         eot_rank = jnp.cumsum(qual, axis=-1) - qual  # exclusive, in order
         slot = s.fin_count[:, None] + eot_rank  # (B, 2K)
-        take_it = qual & (slot < k)
-        slot = jnp.where(take_it, slot, k)  # k = drop sentinel
+        take_it = qual & (slot < m_fin)
+        slot = jnp.where(take_it, slot, cap)  # cap = drop sentinel
 
         # finished hypothesis tokens: the source beam's buffer — position
         # `step` is still EOT there, which is exactly the terminator
@@ -1182,7 +1235,7 @@ def beam_decode(
             s.fin_lengths, jnp.broadcast_to(s.step, (b, 2 * k)), slot
         )
         fin_count = jnp.minimum(
-            k, s.fin_count + jnp.sum(take_it, axis=-1, dtype=jnp.int32)
+            m_fin, s.fin_count + jnp.sum(take_it, axis=-1, dtype=jnp.int32)
         )
 
         # reorder cache rows: flat row index = b_idx * K + src_beam
@@ -1225,8 +1278,9 @@ def beam_decode(
         final.tokens, live_order[:, :, None], axis=1
     )
     live_scores = jnp.take_along_axis(final.scores, live_order, axis=1)
+    # top up ONLY elements short of K (whisper finalize); sentinel = cap
     fill_slot = final.fin_count[:, None] + jnp.arange(k)[None, :]
-    fill_slot = jnp.where(fill_slot < k, fill_slot, k)
+    fill_slot = jnp.where(fill_slot < k, fill_slot, cap)
 
     def scatter_fill(buf, cand, slots):
         return buf.at[slots].set(cand, mode="drop")

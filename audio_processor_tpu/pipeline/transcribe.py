@@ -178,7 +178,15 @@ class Transcriber:
     # OFF; opt-in for memory-constrained configs where the bf16 self cache
     # itself is the HBM problem
     quantize_self_kv: bool = False
+    # independent sampling candidates per chunk on T>0 fallback rungs; the
+    # best by avg logprob wins (openai's best_of — whisper.transcribe
+    # defaults it to 5, so the reference's retries pick best-of-five).
+    # Only multiplies the COMPACTED retry batches, not the main decode.
+    best_of: int = 5
     beam_size: int = 0  # 0 = greedy; >0 = beam at T=0, sampling retries at T>0
+    # whisper's beam patience (Kasai et al.): keep searching until
+    # round(beam_size * patience) finished hypotheses are collected
+    patience: float = 1.0
     # (openai decode_with_fallback: the quality-gate ladder applies to
     # beam rungs too, and its T>0 retries always use sampling)
     # quality-gated temperature fallback (openai-whisper's retry heuristic,
@@ -192,6 +200,10 @@ class Transcriber:
     # drop chunks Whisper itself flags as silence: P(<|nospeech|>) above the
     # threshold AND below-threshold avg logprob (openai-whisper's gate)
     no_speech_threshold: float | None = 0.6
+    # openai's suppress_tokens option: None or [-1] = the default
+    # non-speech set; a list of ids = exactly those ids (include -1 to add
+    # the default set on top) — whisper.DecodingOptions semantics
+    suppress_tokens: list[int] | None = None
     # cross-attention DTW word alignment (openai word_timestamps=True)
     word_timestamps: bool = False
     # openai's hallucination_silence_threshold (seconds): drop anomalous
@@ -300,10 +312,36 @@ class Transcriber:
         self._lang_tls = threading.local()
         # openai-whisper's default SuppressTokens (non-speech symbols +
         # sot/task/prev/nospeech specials) and SuppressBlank — the rules the
-        # reference gets implicitly from whisper.transcribe
-        self._suppress_mask = jnp.asarray(
-            decode_lib.build_suppress_mask(self.tokenizer, self.special)
-        )
+        # reference gets implicitly from whisper.transcribe.  The
+        # suppress_tokens option refines it with DecodingOptions semantics:
+        # a plain id list REPLACES the default set; -1 in the list mixes
+        # the default set back in.
+        if self.suppress_tokens is None or list(self.suppress_tokens) == [-1]:
+            mask = decode_lib.build_suppress_mask(self.tokenizer, self.special)
+        else:
+            ids = [int(t) for t in self.suppress_tokens]
+            if -1 in ids:
+                mask = decode_lib.build_suppress_mask(
+                    self.tokenizer, self.special
+                )
+                ids = [t for t in ids if t >= 0]
+            else:
+                import numpy as _np
+
+                mask = _np.zeros(self.special.n_vocab, bool)
+                # the specials openai ALWAYS suppresses regardless of the
+                # user list (whisper.decoding._get_suppress_tokens)
+                for t in (
+                    self.special.sot, self.special.translate,
+                    self.special.transcribe, self.special.startoflm,
+                    self.special.startofprev, self.special.no_speech,
+                ):
+                    if 0 <= t < self.special.n_vocab:
+                        mask[t] = True
+            for t in ids:
+                if 0 <= t < self.special.n_vocab:
+                    mask[t] = True
+        self._suppress_mask = jnp.asarray(mask)
         self._space_blank_id = decode_lib.space_blank_token_id(
             self.tokenizer, self.special
         )
@@ -420,6 +458,7 @@ class Transcriber:
             audio_states,
             sot_sequence=sot_seq,
             beam_size=self.beam_size,
+            patience=self.patience,
             max_new_tokens=self.max_new_tokens,
             use_timestamps=True,
             suppress_mask=self._suppress_mask,
@@ -472,6 +511,7 @@ class Transcriber:
                 quantize_self_kv=self.quantize_self_kv,
                 temperature=temperature,
                 rng_seed=seed,
+                best_of=self.best_of,
             )
         if self.beam_size > 0 and temperature == 0:
             return self._beam_decode(audio_states, sot_seq)
@@ -490,6 +530,7 @@ class Transcriber:
             quantize_self_kv=self.quantize_self_kv,
             temperature=temperature,
             rng_seed=seed,
+            best_of=self.best_of,
         )
 
     def _collect_slab(
@@ -790,6 +831,7 @@ class Transcriber:
                         quantize_self_kv=self.quantize_self_kv,
                         temperature=temp,
                         rng_seed=seed,
+                        best_of=self.best_of,
                     )
 
                 result = run_prompted(states, hists, 0.0, 0)

@@ -158,7 +158,10 @@ def make_api_blueprint(services: Any) -> Blueprint:
     # the frontend already implements (round-1 review weak #5).
     sse_slots = {"active": 0}
     sse_lock = threading.Lock()
-    sse_max = int(os.environ.get("APTPU_SSE_MAX_SUBSCRIBERS", "16"))
+    # default 8: half the gunicorn gthread pool (Dockerfile --threads 16)
+    # and a quarter of the dev server pool (APTPU_HTTP_WORKERS=32), so
+    # streams can never starve ordinary requests of worker threads
+    sse_max = int(os.environ.get("APTPU_SSE_MAX_SUBSCRIBERS", "8"))
 
     @bp.route("/job/<job_id>/events")
     def job_events(request: Request, job_id: str):

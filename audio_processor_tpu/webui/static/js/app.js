@@ -209,6 +209,11 @@ const Tasks = {
       row.appendChild(span);
       body.appendChild(row);
     };
+    if (r.diarizer && r.diarizer.startsWith("untrained")) {
+      // random-weight diarizer: speaker labels are meaningless — say so
+      // instead of presenting them as real output
+      add("⚠ Diarizer", `serving UNTRAINED weights (${r.diarizer.split(":")[1] || ""}) — speaker labels are not meaningful`);
+    }
     add("Title", r.title);
     add("Summary", r.summary);
     if (r.todos && r.todos.length) add("Action items", r.todos.join(" · "));

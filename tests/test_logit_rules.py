@@ -176,3 +176,41 @@ def test_space_blank_token_id():
     from audio_processor_tpu.models.whisper.tokenizer import ByteTokenizer
 
     assert decode.space_blank_token_id(ByteTokenizer(), ST) == 32
+
+
+def test_suppress_tokens_option_semantics():
+    """openai DecodingOptions.suppress_tokens: None / [-1] = default
+    non-speech set; explicit ids REPLACE it (specials always suppressed);
+    -1 inside a list mixes the default set back in."""
+    import numpy as np
+
+    from audio_processor_tpu.models.whisper import decode as dl
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    t_def = Transcriber.random_init("test", max_new_tokens=4)
+    default_mask = np.asarray(t_def._suppress_mask)
+    st = t_def.special
+
+    t_none = Transcriber.random_init(
+        "test", max_new_tokens=4, suppress_tokens=[-1]
+    )
+    np.testing.assert_array_equal(np.asarray(t_none._suppress_mask), default_mask)
+
+    t_ids = Transcriber.random_init(
+        "test", max_new_tokens=4, suppress_tokens=[7, 9]
+    )
+    m = np.asarray(t_ids._suppress_mask)
+    assert m[7] and m[9]
+    assert m[st.sot] and m[st.no_speech]  # specials always suppressed
+    # a default-set symbol NOT in the list is no longer suppressed
+    sym = np.flatnonzero(default_mask)
+    free = [i for i in sym if i not in (7, 9) and i < st.sot - 10]
+    if free:
+        assert not m[free[0]]
+
+    t_mix = Transcriber.random_init(
+        "test", max_new_tokens=4, suppress_tokens=[-1, 7]
+    )
+    m2 = np.asarray(t_mix._suppress_mask)
+    assert m2[7]
+    assert (m2 | default_mask == m2).all()  # superset of the default set

@@ -65,14 +65,16 @@ def hf_pair():
     return hf, params
 
 
-def _torch_beam_reference(hf, mel, sot_seq, eot, beam_size, max_new):
+def _torch_beam_reference(hf, mel, sot_seq, eot, beam_size, max_new,
+                          patience=1.0):
     """openai-whisper BeamSearchDecoder + finalize + ranker, re-implemented
-    over torch logits (whisper/decoding.py semantics, patience=1,
+    over torch logits (whisper/decoding.py semantics,
     length_penalty=None)."""
     import torch
 
     n_audio = mel.shape[0]
     k = beam_size
+    max_candidates = max(1, round(k * patience))
     with torch.no_grad():
         enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state
         enc_rep = enc.repeat_interleave(k, dim=0)
@@ -112,12 +114,12 @@ def _torch_beam_reference(hf, mel, sot_seq, eot, beam_size, max_new):
                             break
                 prev = finished_sequences[i]
                 for seq in sorted(finished, key=finished.get, reverse=True):
-                    if len(prev) >= k:
+                    if len(prev) >= max_candidates:
                         break
                     prev[seq] = finished[seq]
             tokens = torch.tensor(next_rows, dtype=torch.long)
             sum_logprobs = torch.tensor(new_sums)
-            if all(len(fs) >= k for fs in finished_sequences):
+            if all(len(fs) >= max_candidates for fs in finished_sequences):
                 break
         # finalize: top up short elements from the live beams by raw score
         for i, seqs in enumerate(finished_sequences):
@@ -172,6 +174,37 @@ def test_beam_decode_matches_whisper_algorithm(hf_pair, rng, beam_size):
             f"beam_size={beam_size} row {i}: {got} != {new}"
         )
         np.testing.assert_allclose(ours_sum[i], ref_sum, atol=5e-3)
+
+
+@pytest.mark.parametrize("patience", [0.5, 2.0])
+def test_beam_patience_matches_whisper_algorithm(hf_pair, rng, patience):
+    """patience scales the finished-set capacity (Kasai et al., whisper's
+    --patience); the device loop must track the oracle at != 1.0 too."""
+    hf, params = hf_pair
+    mel = rng.normal(0, 1, (2, CFG.n_mels, 2 * CFG.n_audio_ctx)).astype(
+        np.float32
+    )
+    max_new, k = 16, 3
+    sot_seq = (ST.sot,)
+    ref = _torch_beam_reference(
+        hf, mel, sot_seq, ST.eot, k, max_new, patience=patience
+    )
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    res = decode.beam_decode(
+        params, CFG, audio,
+        sot_sequence=sot_seq, beam_size=k, patience=patience,
+        max_new_tokens=max_new, use_timestamps=False, suppress_mask=None,
+    )
+    ours = np.asarray(res.tokens)
+    for i, (seq, ref_sum) in enumerate(ref):
+        new = list(seq[len(sot_seq):])
+        if new and new[-1] == ST.eot:
+            new = new[:-1]
+        got = [int(t) for t in ours[i] if int(t) != ST.eot]
+        assert got == new, f"patience={patience} row {i}: {got} != {new}"
+        np.testing.assert_allclose(
+            np.asarray(res.sum_logprob)[i], ref_sum, atol=5e-3
+        )
 
 
 def test_beam_matches_greedy_when_k1(hf_pair, rng):

@@ -287,6 +287,53 @@ def test_beam_no_speech_prob_matches_greedy(hf_pair, mel):
     )
 
 
+def test_best_of_picks_argmax_avg_logprob(hf_pair, mel):
+    """best_of=G at T>0 must equal manually sampling G copies per element
+    (same seed -> same noise stream) and taking the best by avg logprob —
+    openai's best_of ranker (whisper.transcribe defaults best_of=5 on
+    every fallback rung, inherited by the reference)."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    g = 4
+    kw = dict(
+        sot_sequence=tuple(st.sot_sequence()), max_new_tokens=8,
+        temperature=0.7, rng_seed=3,
+    )
+    picked = decode.greedy_decode(params, CFG, audio, best_of=g, **kw)
+    # oracle: identical expanded batch through the same sampler
+    manual = decode.greedy_decode(
+        params, CFG, jnp.repeat(audio, g, axis=0), **kw
+    )
+    toks = np.asarray(manual.tokens).reshape(2, g, -1)
+    lens = np.asarray(manual.lengths).reshape(2, g)
+    sums = np.asarray(manual.sum_logprob).reshape(2, g)
+    best = (sums / np.maximum(lens, 1)).argmax(-1)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(picked.tokens)[i], toks[i, best[i]]
+        )
+        np.testing.assert_allclose(
+            np.asarray(picked.sum_logprob)[i], sums[i, best[i]], atol=1e-5
+        )
+    # determinism + T=0 ignores best_of (no silent behaviour change)
+    again = decode.greedy_decode(params, CFG, audio, best_of=g, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(picked.tokens), np.asarray(again.tokens)
+    )
+    base = decode.greedy_decode(
+        params, CFG, audio, sot_sequence=tuple(st.sot_sequence()),
+        max_new_tokens=8,
+    )
+    with_bo = decode.greedy_decode(
+        params, CFG, audio, sot_sequence=tuple(st.sot_sequence()),
+        max_new_tokens=8, best_of=g,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.tokens), np.asarray(with_bo.tokens)
+    )
+
+
 def test_detect_language(hf_pair, mel):
     _, params = hf_pair
     audio = model.encode(params, CFG, jnp.asarray(mel))
