@@ -142,21 +142,28 @@ def cmd_process(args) -> None:
 
 
 def cmd_convert_whisper(args) -> None:
+    import os
     import sys
 
     from .models.whisper import convert
     from .models.whisper.tokenizer import load_tokenizer_file
 
-    params, cfg = convert.load_openai_checkpoint(args.checkpoint)
-    tokenizer = None
+    if os.path.isdir(args.checkpoint):
+        # HF checkpoint directory: torch-free (safetensors), vocab
+        # auto-embedded from the directory's vocab.json/merges.txt
+        params, cfg, tokenizer = convert.load_hf_checkpoint(args.checkpoint)
+    else:
+        params, cfg = convert.load_openai_checkpoint(args.checkpoint)
+        tokenizer = None
     if args.tokenizer:
         tokenizer = load_tokenizer_file(args.tokenizer)
-    else:
+    if tokenizer is None:
         print(
-            "WARNING: no --tokenizer given — the .npz will have no embedded "
-            "vocab and serving will fall back to the byte tokenizer "
-            "(garbage text on real weights).  Pass the checkpoint's "
-            "multilingual.tiktoken / gpt2.tiktoken (or HF vocab.json).",
+            "WARNING: no tokenizer found/given — the .npz will have no "
+            "embedded vocab and serving will fall back to the byte "
+            "tokenizer (garbage text on real weights).  Pass the "
+            "checkpoint's multilingual.tiktoken / gpt2.tiktoken (or HF "
+            "vocab.json) via --tokenizer.",
             file=sys.stderr,
         )
     convert.save_params(args.out, params, cfg, tokenizer=tokenizer)
@@ -509,8 +516,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-diarization", action="store_true")
     p.set_defaults(fn=cmd_process)
 
-    c = sub.add_parser("convert-whisper", help="openai .pt -> native .npz")
-    c.add_argument("checkpoint")
+    c = sub.add_parser(
+        "convert-whisper",
+        help="openai .pt OR HF checkpoint dir (torch-free) -> native .npz",
+    )
+    c.add_argument("checkpoint", help="openai .pt file, or a HF Whisper "
+                   "checkpoint directory (config.json + model.safetensors; "
+                   "converted without torch)")
     c.add_argument("out")
     c.add_argument("--tokenizer", help="embed this vocab (multilingual/"
                    "gpt2.tiktoken or HF vocab.json) into the .npz so "

@@ -197,6 +197,65 @@ def load_openai_checkpoint(
     return from_openai_state_dict(ckpt["model_state_dict"], cfg), cfg
 
 
+def load_hf_checkpoint(path: str):
+    """HF Whisper checkpoint DIRECTORY -> (params, cfg, tokenizer|None),
+    entirely TORCH-FREE (safetensors + json).
+
+    Reads config.json (+ generation_config.json alignment heads when
+    published), model.safetensors (sharded index supported), and the
+    vocab.json/merges.txt pair when present — so one call yields
+    everything a servable .npz needs, mirroring whisper.load_model's
+    weights+vocab bundle (reference: app/services/audio_processor.py:863)
+    without a torch install anywhere in the pipeline.
+    """
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
+        hc = json.load(f)
+    heads = None
+    gen_path = os.path.join(path, "generation_config.json")
+    if os.path.exists(gen_path):
+        with open(gen_path, encoding="utf-8") as f:
+            heads = alignment_heads_from_generation_config(json.load(f))
+    cfg = WhisperConfig(
+        name=os.path.basename(os.path.normpath(path)) or "hf",
+        n_mels=int(hc["num_mel_bins"]),
+        n_audio_ctx=int(hc["max_source_positions"]),
+        n_audio_state=int(hc["d_model"]),
+        n_audio_head=int(hc["encoder_attention_heads"]),
+        n_audio_layer=int(hc["encoder_layers"]),
+        n_vocab=int(hc["vocab_size"]),
+        n_text_ctx=int(hc["max_target_positions"]),
+        n_text_state=int(hc["d_model"]),
+        n_text_head=int(hc["decoder_attention_heads"]),
+        n_text_layer=int(hc["decoder_layers"]),
+        alignment_heads=heads,
+    )
+
+    index_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path, encoding="utf-8") as f:
+            index = json.load(f)
+        sd: dict = {}
+        for shard in sorted(set(index["weight_map"].values())):
+            sd.update(load_file(os.path.join(path, shard)))
+    else:
+        sd = load_file(os.path.join(path, "model.safetensors"))
+    params = from_hf_state_dict(sd, cfg)
+
+    tokenizer = None
+    vocab_path = os.path.join(path, "vocab.json")
+    merges_path = os.path.join(path, "merges.txt")
+    if os.path.exists(vocab_path) and os.path.exists(merges_path):
+        from .tokenizer import BPETokenizer
+
+        tokenizer = BPETokenizer.from_vocab_files(vocab_path, merges_path)
+    return params, cfg, tokenizer
+
+
 def alignment_heads_from_generation_config(gen_config: Mapping[str, Any]):
     """(layer, head) tuple from a HF generation_config.json dict (the
     `alignment_heads` field transformers publishes per Whisper checkpoint)."""

@@ -156,14 +156,17 @@ class Diarizer:
         w = self.seg_cfg.window_samples
         step = int(self.window_step_s * self.seg_cfg.sample_rate)
         n = len(audio)
-        starts = list(range(0, max(n - w, 0) + 1, step))
-        if not starts or starts[-1] + w < n:
-            starts.append(max(n - w, 0))
-        out = np.zeros((len(starts), w), np.float32)
-        for i, s in enumerate(starts):
-            piece = audio[s : s + w]
-            out[i, : len(piece)] = piece
-        return out, np.asarray(starts, np.float64) / self.seg_cfg.sample_rate
+        starts = np.arange(0, max(n - w, 0) + 1, step, dtype=np.int64)
+        if starts.size == 0 or starts[-1] + w < n:
+            starts = np.append(starts, max(n - w, 0))
+        # one strided gather instead of a per-window copy loop (host time
+        # scales with total window samples either way, but the fancy-index
+        # runs in C and dodges len(starts) python iterations + allocs)
+        audio_pad = audio if n >= w else np.pad(audio, (0, w - n))
+        out = audio_pad[starts[:, None] + np.arange(w)[None, :]].astype(
+            np.float32, copy=False
+        )
+        return out, starts.astype(np.float64) / self.seg_cfg.sample_rate
 
     @staticmethod
     def _to_i16(x: np.ndarray) -> np.ndarray:

@@ -133,6 +133,32 @@ def build_services(
     # A configured-but-missing checkpoint is a deployment error (e.g. the
     # model volume was not mounted): refuse to start rather than silently
     # serve random-weight garbage transcripts as "completed" jobs.
+    # decode options from the environment — the knobs whisper.transcribe
+    # exposes per call, pinned service-wide here (the reference hardcodes
+    # its engine defaults at app/services/audio_processor.py:1076)
+    tkw: dict = {}
+    if os.environ.get("APTPU_BEAM_SIZE"):
+        tkw["beam_size"] = int(os.environ["APTPU_BEAM_SIZE"])
+    if os.environ.get("APTPU_BEST_OF"):
+        tkw["best_of"] = int(os.environ["APTPU_BEST_OF"])
+    if os.environ.get("APTPU_PATIENCE"):
+        tkw["patience"] = float(os.environ["APTPU_PATIENCE"])
+    if os.environ.get("APTPU_CONDITION") == "1":
+        tkw["condition_on_previous_text"] = True
+    if os.environ.get("APTPU_WORD_TIMESTAMPS") == "1":
+        tkw["word_timestamps"] = True
+    if os.environ.get("APTPU_HALLUCINATION_SILENCE_S"):
+        tkw["word_timestamps"] = True
+        tkw["hallucination_silence_threshold"] = float(
+            os.environ["APTPU_HALLUCINATION_SILENCE_S"]
+        )
+    if os.environ.get("APTPU_LANGUAGE"):
+        from ..models.whisper.tokenizer import language_index
+
+        tkw["language"] = language_index(os.environ["APTPU_LANGUAGE"])
+    if os.environ.get("APTPU_TASK"):
+        tkw["task"] = os.environ["APTPU_TASK"]
+
     if model_path:
         if not os.path.exists(model_path):
             raise FileNotFoundError(
@@ -140,14 +166,14 @@ def build_services(
                 "no such file exists — refusing to fall back to random "
                 "weights (is the model volume mounted?)"
             )
-        transcriber = Transcriber.from_npz(model_path, mesh=mesh)
+        transcriber = Transcriber.from_npz(model_path, mesh=mesh, **tkw)
     else:
         logger.warning(
             "no Whisper checkpoint configured (APTPU_MODEL_PATH unset) — "
             "serving RANDOM weights; transcripts will be garbage. "
             "Test/bench mode only."
         )
-        transcriber = Transcriber.random_init(model, mesh=mesh)
+        transcriber = Transcriber.random_init(model, mesh=mesh, **tkw)
 
     diarizer = None
     if diarization:

@@ -107,3 +107,30 @@ def test_build_services_serves_trained_embedding(tmp_path, monkeypatch):
         assert d.emb_cfg == cfg  # the trained config was actually wired in
     finally:
         services.engine.shutdown(wait=False)
+
+
+def test_env_decode_options_reach_transcriber(monkeypatch):
+    """Service-wide decode knobs (APTPU_BEAM_SIZE etc.) configure the
+    served Transcriber — whisper.transcribe's per-call options, pinned by
+    environment in this deployment model."""
+    from audio_processor_tpu.runtime.services import build_services
+
+    monkeypatch.setenv("APTPU_BEAM_SIZE", "3")
+    monkeypatch.setenv("APTPU_PATIENCE", "2.0")
+    monkeypatch.setenv("APTPU_BEST_OF", "2")
+    monkeypatch.setenv("APTPU_CONDITION", "1")
+    monkeypatch.setenv("APTPU_LANGUAGE", "de")
+    monkeypatch.setenv("APTPU_TASK", "translate")
+    svc = build_services(
+        model="test", with_drive=False, with_llm=False, diarization=False
+    )
+    try:
+        t = svc.processor.transcriber
+        assert t.beam_size == 3 and t.patience == 2.0 and t.best_of == 2
+        assert t.condition_on_previous_text is True
+        assert t.task == "translate"
+        from audio_processor_tpu.models.whisper.tokenizer import language_index
+
+        assert t.language == language_index("de")
+    finally:
+        svc.engine.shutdown(wait=False)

@@ -174,3 +174,72 @@ def test_hf_vocab_files_roundtrip_production_path(tmp_path, bpe):
         ids = t.tokenizer.encode(s)
         assert ids == bpe.encode(s)
         assert t.tokenizer.decode(ids) == s
+
+
+def test_hf_directory_conversion_torch_free(tmp_path, bpe):
+    """convert.load_hf_checkpoint: a save_pretrained directory converts to
+    a servable .npz WITHOUT torch in our code path (safetensors + json) —
+    weights logit-equal to the torch-based from_hf_state_dict, vocab
+    auto-embedded, alignment heads picked up from generation_config."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+
+    from audio_processor_tpu.models.whisper.config import WhisperConfig
+
+    torch.manual_seed(3)
+    cfg = WhisperConfig(
+        name="hfdir", n_mels=80, n_audio_ctx=48, n_audio_state=64,
+        n_audio_head=2, n_audio_layer=2, n_vocab=1024, n_text_ctx=32,
+        n_text_state=64, n_text_head=2, n_text_layer=2,
+    )
+    hf_cfg = HFConfig(
+        vocab_size=cfg.n_vocab, num_mel_bins=cfg.n_mels,
+        encoder_layers=cfg.n_audio_layer,
+        encoder_attention_heads=cfg.n_audio_head,
+        decoder_layers=cfg.n_text_layer,
+        decoder_attention_heads=cfg.n_text_head,
+        d_model=cfg.n_audio_state,
+        max_source_positions=cfg.n_audio_ctx,
+        max_target_positions=cfg.n_text_ctx,
+        encoder_ffn_dim=4 * cfg.n_audio_state,
+        decoder_ffn_dim=4 * cfg.n_text_state,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3, suppress_tokens=[],
+        begin_suppress_tokens=[],
+    )
+    hf = WhisperModel(hf_cfg).eval()
+    d = tmp_path / "ckpt"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    (d / "generation_config.json").write_text(
+        json.dumps({"alignment_heads": [[1, 0], [1, 1]]})
+    )
+    # tokenizer assets beside the weights, HF style (byte-level vocab)
+    from audio_processor_tpu.models.whisper.tokenizer import _bytes_to_unicode
+
+    enc = _bytes_to_unicode()
+    vocab = {enc[b]: b for b in range(256)}
+    (d / "vocab.json").write_text(json.dumps(vocab, ensure_ascii=False))
+    (d / "merges.txt").write_text("#version: toy\n")
+
+    params, got_cfg, tok = convert.load_hf_checkpoint(str(d))
+    assert got_cfg.n_audio_state == 64 and got_cfg.n_vocab == 1024
+    assert got_cfg.alignment_heads == ((1, 0), (1, 1))
+    assert tok is not None and tok.decode(tok.encode("hello")) == "hello"
+
+    # weights equal the torch-path conversion
+    ref = convert.from_hf_state_dict(hf.state_dict(), cfg)
+    same = jax.tree.map(
+        lambda a, b: bool(jnp.allclose(a, b, atol=1e-6)), params, ref
+    )
+    assert all(jax.tree.leaves(same))
+
+    # and the full save -> from_npz round trip serves with the vocab
+    out = str(tmp_path / "hf.npz")
+    convert.save_params(out, params, got_cfg, tokenizer=tok)
+    t = Transcriber.from_npz(out)
+    assert not isinstance(t.tokenizer, ByteTokenizer)
+    assert t.cfg.alignment_heads == ((1, 0), (1, 1))
