@@ -153,10 +153,13 @@ class BPETokenizer:
         """Serialise the vocab as tiktoken rank-file content.
 
         Canonical interchange form for embedding the vocab inside converted
-        .npz checkpoints.  Tokens whose unicode form maps outside the GPT-2
-        byte table (HF added-special strings like ``<|endoftext|>`` that some
-        vocab.json files carry) are skipped — special ids are derived from
-        the model config (decode.SpecialTokens), not the vocab.
+        .npz checkpoints.  HF added-special strings some vocab.json files
+        carry are skipped — both forms: entries with characters outside
+        the GPT-2 byte table, AND ASCII ``<|...|>`` markers (vocab.json's
+        "<|endoftext|>" decodes cleanly through the byte table, but
+        embedding it would alias a text entry onto the EOT special id) —
+        special ids are derived from the model config
+        (decode.SpecialTokens), never from the vocab.
 
         Note for HF-sourced vocabs: the round trip re-loads in tiktoken
         result-rank merge mode (priority = merged token's id).  For every
@@ -170,6 +173,8 @@ class BPETokenizer:
                 bs = bytes(self.byte_dec[c] for c in tok)
             except KeyError:
                 continue  # added-special string, not a byte-level token
+            if bs.startswith(b"<|") and bs.endswith(b"|>"):
+                continue  # whisper special marker riding the vocab file
             lines.append(base64.b64encode(bs) + b" " + str(rank).encode())
         return b"\n".join(lines) + b"\n"
 

@@ -112,7 +112,11 @@ def filter_hallucinations(
         )
         silence_after = (
             next_start - seg["end"] > threshold
-            or total_duration - seg["end"] < threshold
+            # openai grants end-proximity with a FIXED 2.0 s window
+            # (whisper/transcribe.py window_end_time rule), not the
+            # threshold — a large threshold must not delete a real final
+            # sentence that more speech follows closely
+            or total_duration - seg["end"] < 2.0
             or (nxt is not None and anomalous[si + 1])
         )
         if silence_before and silence_after:
@@ -129,6 +133,14 @@ def filter_hallucinations(
         )
     ]
     return kept, kept_words
+
+
+def _f32_to_i16(x: np.ndarray) -> np.ndarray:
+    """Float32 [-1, 1] audio -> int16, the wire dtype shipped to HBM.
+
+    One definition for every slab/patch assembly site — the grid windows
+    and the seek-repair patch windows must quantise identically."""
+    return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
 
 
 def _bucket(n: int, max_bucket: int = 64) -> int:
@@ -548,27 +560,42 @@ class Transcriber:
                 # re-decoding the whole slab — one bad chunk in a 64-row
                 # slab costs a 1-row decode per rung, not 64.
                 idx = np.flatnonzero(failed)
-                bucket = min(_bucket(len(idx)), self.max_chunk_batch)
-                pad_idx = np.zeros(bucket, np.int64)
-                pad_idx[: len(idx)] = idx
+                # best_of expands every retry row best_of-fold inside the
+                # decode (T>0 rungs) — cap the sub-batch so
+                # bucket * best_of never exceeds the HBM-tuned slab cap
+                # (medium's cache OOMs past 48 rows; 48*5 would be fatal)
+                retry_cap = max(
+                    1, self.max_chunk_batch // max(1, self.best_of)
+                )
                 logger.info(
                     "quality fallback: %d/%d chunks re-decoding at T=%.1f "
-                    "(batch %d)", len(idx), n_real, temp, bucket,
+                    "(sub-batches of <=%d x best_of=%d)",
+                    len(idx), n_real, temp, retry_cap, self.best_of,
                 )
-                sub_states = jnp.take(audio_states, jnp.asarray(pad_idx), axis=0)
-                # openai keeps initial_prompt through its per-window
-                # temperature retries; idx is ascending so the meeting's
-                # first window (original row 0) compacts to retry row 0 —
-                # exactly where the prompted program applies the prompt
-                retry = self._run_decode(
-                    sub_states, temp, seed=int(temp * 10),
-                    first_row_prompt=bool(first_slab and idx[0] == 0),
-                )
-                retry_tokens = np.array(retry.tokens)[: len(idx)]
-                tokens[idx] = retry_tokens
-                refailed = self._failed_rows(retry, retry_tokens, len(idx))
                 failed[:] = False
-                failed[idx[refailed]] = True
+                for lo in range(0, len(idx), retry_cap):
+                    part = idx[lo : lo + retry_cap]
+                    bucket = min(_bucket(len(part)), retry_cap)
+                    pad_idx = np.zeros(bucket, np.int64)
+                    pad_idx[: len(part)] = part
+                    sub_states = jnp.take(
+                        audio_states, jnp.asarray(pad_idx), axis=0
+                    )
+                    # openai keeps initial_prompt through its per-window
+                    # temperature retries; idx is ascending so the
+                    # meeting's first window (original row 0) compacts to
+                    # retry row 0 — exactly where the prompted program
+                    # applies the prompt
+                    retry = self._run_decode(
+                        sub_states, temp, seed=int(temp * 10),
+                        first_row_prompt=bool(
+                            first_slab and lo == 0 and part[0] == 0
+                        ),
+                    )
+                    retry_tokens = np.array(retry.tokens)[: len(part)]
+                    tokens[part] = retry_tokens
+                    refailed = self._failed_rows(retry, retry_tokens, len(part))
+                    failed[part[refailed]] = True
 
         # no-speech gate: a chunk is silence iff nospeech prob is high AND
         # the decode was low-confidence (both conditions, as openai-whisper)
@@ -625,9 +652,7 @@ class Transcriber:
             for j, (i, c) in enumerate(batch):
                 s0 = i * CHUNK_SAMPLES + int(round(c * 16_000))
                 piece = audio[s0 : s0 + CHUNK_SAMPLES]
-                arr[j, : len(piece)] = np.clip(
-                    piece * 32768.0, -32768, 32767
-                ).astype(np.int16)
+                arr[j, : len(piece)] = _f32_to_i16(piece)
             dev = jnp.asarray(arr)
             if self.mesh is not None:
                 dev = jax.device_put(dev, mesh_lib.data_sharding(self.mesh))
@@ -736,9 +761,7 @@ class Transcriber:
         chunk_arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
         for j, ci in enumerate(chunk_ids):
             piece = audio[ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES]
-            chunk_arr[j, : len(piece)] = np.clip(
-                piece * 32768.0, -32768, 32767
-            ).astype(np.int16)
+            chunk_arr[j, : len(piece)] = _f32_to_i16(piece)
         chunks_dev = jnp.asarray(chunk_arr)
         if self.mesh is not None:
             chunks_dev = jax.device_put(
@@ -851,29 +874,45 @@ class Transcriber:
                         if not failed.any():
                             break
                         idx = np.flatnonzero(failed)
-                        rb = min(_bucket(len(idx)), self.max_chunk_batch)
-                        pad_idx = np.zeros(rb, np.int64)
-                        pad_idx[: len(idx)] = idx
+                        # cap sub-batches so bucket * best_of stays within
+                        # the HBM-tuned slab cap (same bound as the
+                        # parallel path's retry loop)
+                        retry_cap = max(
+                            1, self.max_chunk_batch // max(1, self.best_of)
+                        )
                         logger.info(
                             "conditioned fallback: %d/%d chunks re-decoding "
-                            "at T=%.1f", len(idx), n_real, temp,
+                            "at T=%.1f (sub-batches of <=%d x best_of=%d)",
+                            len(idx), n_real, temp, retry_cap, self.best_of,
                         )
-                        sub_states = jnp.take(states, jnp.asarray(pad_idx), axis=0)
-                        sub_hists = [
-                            hists[i] if temp <= 0.5 else [] for i in idx
-                        ]
-                        retry = run_prompted(
-                            sub_states, sub_hists, temp, int(temp * 10)
-                        )
-                        retry_tokens = np.array(retry.tokens)[: len(idx)]
-                        tokens[idx] = retry_tokens
-                        r_len = np.maximum(np.asarray(retry.lengths)[: len(idx)], 1)
-                        avg_lp[idx] = (
-                            np.asarray(retry.sum_logprob)[: len(idx)] / (r_len + 1)
-                        )
-                        refailed = self._failed_rows(retry, retry_tokens, len(idx))
                         failed[:] = False
-                        failed[idx[refailed]] = True
+                        for lo2 in range(0, len(idx), retry_cap):
+                            part = idx[lo2 : lo2 + retry_cap]
+                            rb = min(_bucket(len(part)), retry_cap)
+                            pad_idx = np.zeros(rb, np.int64)
+                            pad_idx[: len(part)] = part
+                            sub_states = jnp.take(
+                                states, jnp.asarray(pad_idx), axis=0
+                            )
+                            sub_hists = [
+                                hists[i] if temp <= 0.5 else [] for i in part
+                            ]
+                            retry = run_prompted(
+                                sub_states, sub_hists, temp, int(temp * 10)
+                            )
+                            retry_tokens = np.array(retry.tokens)[: len(part)]
+                            tokens[part] = retry_tokens
+                            r_len = np.maximum(
+                                np.asarray(retry.lengths)[: len(part)], 1
+                            )
+                            avg_lp[part] = (
+                                np.asarray(retry.sum_logprob)[: len(part)]
+                                / (r_len + 1)
+                            )
+                            refailed = self._failed_rows(
+                                retry, retry_tokens, len(part)
+                            )
+                            failed[part[refailed]] = True
 
                 if self.no_speech_threshold is not None:
                     silent = (
@@ -1026,9 +1065,7 @@ class Transcriber:
             chunk_arr = np.zeros((slab, CHUNK_SAMPLES), np.int16)
             for i in range(real):
                 piece = audio[(lo + i) * CHUNK_SAMPLES : (lo + i + 1) * CHUNK_SAMPLES]
-                chunk_arr[i, : len(piece)] = np.clip(
-                    piece * 32768.0, -32768, 32767
-                ).astype(np.int16)
+                chunk_arr[i, : len(piece)] = _f32_to_i16(piece)
             chunks_dev = jnp.asarray(chunk_arr)
             if self.mesh is not None:
                 chunks_dev = jax.device_put(

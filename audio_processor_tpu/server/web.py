@@ -355,27 +355,32 @@ class App:
     ) -> None:
         """Bounded threaded WSGI server.
 
-        Requests run on a FIXED pool (APTPU_HTTP_WORKERS, default 32) —
-        a status-poll burst queues instead of spawning a thread per
-        connection (the reference at least ran gunicorn with worker
-        limits, reference Dockerfile:44; production here runs gunicorn
-        too — see the repo Dockerfile — this server is the dev/fallback
-        path).  SSE streams hold a pool thread each; their subscriber cap
-        (server/api.py) is sized well below the default pool.
+        At most max_threads (APTPU_HTTP_WORKERS, default 32) requests run
+        concurrently — a status-poll burst queues at the accept loop
+        instead of spawning a thread per connection (the reference at
+        least ran gunicorn with worker limits, reference Dockerfile:44;
+        production here runs gunicorn too — see the repo Dockerfile —
+        this server is the dev/fallback path).  Handler threads stay
+        DAEMON (a semaphore bounds them, not a ThreadPoolExecutor, whose
+        non-daemon workers are joined at interpreter exit — Ctrl+C would
+        hang behind any open SSE stream).  SSE streams hold a slot each;
+        their subscriber cap (server/api.py) is sized well below the
+        default bound.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
         if max_threads is None:
             max_threads = int(os.environ.get("APTPU_HTTP_WORKERS", "32"))
-        pool = ThreadPoolExecutor(
-            max_workers=max_threads, thread_name_prefix="http"
-        )
+        slots = threading.BoundedSemaphore(max_threads)
 
         class ThreadingWSGIServer(WSGIServer):
             daemon_threads = True
 
             def process_request(self, request, client_address):
-                pool.submit(self._handle, request, client_address)
+                slots.acquire()  # backpressure: accept loop waits for a slot
+                t = threading.Thread(
+                    target=self._handle, args=(request, client_address),
+                    daemon=True, name=f"http-{client_address[1]}",
+                )
+                t.start()
 
             def _handle(self, request, client_address):
                 try:
@@ -384,6 +389,7 @@ class App:
                     self.handle_error(request, client_address)
                 finally:
                     self.shutdown_request(request)
+                    slots.release()
 
         with make_server(host, port, self, server_class=ThreadingWSGIServer) as srv:
             logger.info(

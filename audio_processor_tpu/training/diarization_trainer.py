@@ -256,14 +256,20 @@ def calibrate_onset(
     """
     from scipy.optimize import linear_sum_assignment
 
+    if probs.shape != labels.shape:
+        raise ValueError(
+            f"probs {probs.shape} and labels {labels.shape} must agree — "
+            "slot alignment is a permutation, not a projection"
+        )
     if grid is None:
         grid = np.linspace(0.2, 0.8, 25)
     aligned = np.empty_like(probs)
+    ident = np.arange(probs.shape[2], dtype=np.int64)
     for i in range(len(probs)):
         # agreement between predicted slot s and label slot l
         agree = probs[i].T @ labels[i] + (1 - probs[i]).T @ (1 - labels[i])
         rows, cols = linear_sum_assignment(-agree)
-        perm = np.empty(probs.shape[2], np.int64)
+        perm = ident.copy()
         perm[cols] = rows
         aligned[i] = probs[i][:, perm]
     best = (0.5, float("inf"))

@@ -50,13 +50,22 @@ def build_app():
 
 # WSGI callable for production containers (`<server> serve:application`):
 # builds the service stack lazily on the first request-serving worker.
+# LOCKED double-check: gunicorn gthread (the Dockerfile entrypoint) fires
+# many first requests concurrently, and build_app() takes minutes (TPU
+# init + jit compile) — without the lock each of them would build its own
+# Transcriber (HBM exhaustion) and JobEngine (duplicate worker pools).
+import threading as _threading
+
 _wsgi_app = None
+_wsgi_lock = _threading.Lock()
 
 
 def application(environ, start_response):
     global _wsgi_app
     if _wsgi_app is None:
-        _wsgi_app = build_app()
+        with _wsgi_lock:
+            if _wsgi_app is None:
+                _wsgi_app = build_app()
     return _wsgi_app(environ, start_response)
 
 

@@ -191,3 +191,52 @@ def test_seek_repair_off_keeps_grid_behaviour():
     assert len(calls) == 1
     # trailing 'b' is kept as an unclosed segment (old behaviour)
     assert [s["text"] for s in out["segments"]] == ["a", "b", "c"]
+
+
+def test_retry_subbatches_capped_by_best_of():
+    """The quality-fallback retry expands each row best_of-fold inside the
+    decode — _collect_slab must sub-batch so bucket * best_of never
+    exceeds max_chunk_batch (whisper-medium's cache OOMs past 48 rows;
+    48 * 5 would be fatal)."""
+    t = Transcriber.random_init(
+        "tiny", language=0, no_speech_threshold=None, enable_fallback=True,
+        best_of=4, temperature_ladder=(0.2,),
+    )
+    t.max_chunk_batch = 8
+    calls = []
+
+    def fake_run_decode(audio_states, temperature=0.0, seed=0,
+                        first_row_prompt=False):
+        calls.append((audio_states.shape[0], temperature))
+        b = audio_states.shape[0]
+        toks = np.full((b, 8), ts(0), np.int32)  # quality-passing rows
+        toks[:, 1] = 97
+        toks[:, 2] = ts(1)
+        return decode_lib.DecodeResult(
+            tokens=jnp.asarray(toks),
+            lengths=jnp.full((b,), 3, jnp.int32),
+            sum_logprob=jnp.zeros((b,), jnp.float32),
+            no_speech_prob=jnp.zeros((b,), jnp.float32),
+        )
+
+    t._run_decode = fake_run_decode
+    # force every row of an 8-row slab to fail the first gate once
+    orig_failed = t._failed_rows
+    state = {"first": True}
+
+    def failing_once(result, tokens, n_real):
+        if state["first"]:
+            state["first"] = False
+            return np.ones(n_real, bool)
+        return np.zeros(n_real, bool)
+
+    t._failed_rows = failing_once
+    del orig_failed
+    states = jnp.zeros((8, 4, 8), jnp.float32)
+    first = fake_run_decode(states)
+    t._collect_slab(first, states, 8)
+    retry_calls = [c for c in calls if c[1] > 0]
+    assert retry_calls, "no retry dispatched"
+    # max_chunk_batch=8, best_of=4 -> sub-batches of <= 2 rows
+    assert all(b <= 2 for b, _ in retry_calls), retry_calls
+    assert sum(b for b, _ in retry_calls) >= 8  # every failed row retried

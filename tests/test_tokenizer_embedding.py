@@ -243,3 +243,18 @@ def test_hf_directory_conversion_torch_free(tmp_path, bpe):
     t = Transcriber.from_npz(out)
     assert not isinstance(t.tokenizer, ByteTokenizer)
     assert t.cfg.alignment_heads == ((1, 0), (1, 1))
+
+
+def test_to_tiktoken_bytes_skips_special_markers(bpe):
+    """vocab.json's ASCII '<|endoftext|>' decodes cleanly through the
+    GPT-2 byte table — serialisation must still skip it (specials derive
+    from the model config, never from the vocab)."""
+    vocab = dict(bpe.vocab)
+    eot_rank = max(vocab.values()) + 1
+    vocab["<|endoftext|>"] = eot_rank
+    tok = BPETokenizer(vocab, [], result_rank_merge=True)
+    data = tok.to_tiktoken_bytes()
+    assert b"PHxlbmRvZnRleHR8Pg" not in data  # base64("<|endoftext|>")
+    clone = BPETokenizer.from_tiktoken_bytes(data)
+    assert eot_rank not in clone.inv_vocab
+    assert clone.encode(CORPUS) == bpe.encode(CORPUS)
