@@ -34,6 +34,10 @@ def cmd_transcribe(args) -> None:
         kw["suppress_tokens"] = [
             int(t) for t in args.suppress_tokens.split(",") if t.strip()
         ]
+    if args.temperature:
+        kw["temperature"] = args.temperature
+    if args.length_penalty is not None:
+        kw["length_penalty"] = args.length_penalty
     if args.word_timestamps:
         kw["word_timestamps"] = True
     if args.hallucination_silence_threshold is not None:
@@ -457,6 +461,14 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--json", action="store_true")
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
+    t.add_argument("--temperature", type=float, default=0.0,
+                   help="base decode temperature (0 = deterministic; the "
+                   "fallback ladder's higher rungs still apply — openai's "
+                   "temperature option)")
+    t.add_argument("--length-penalty", dest="length_penalty", type=float,
+                   default=None,
+                   help="beam ranking normalisation exponent (Google-NMT "
+                   "form; default: plain average logprob, as openai)")
     t.add_argument("--suppress-tokens", dest="suppress_tokens", default=None,
                    help="comma-separated token ids to suppress; '-1' = the "
                    "default non-speech set (openai's suppress_tokens)")

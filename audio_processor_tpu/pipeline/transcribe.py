@@ -199,6 +199,15 @@ class Transcriber:
     # whisper's beam patience (Kasai et al.): keep searching until
     # round(beam_size * patience) finished hypotheses are collected
     patience: float = 1.0
+    # beam ranking normalisation: None = avg logprob (whisper's default),
+    # a float = the Google-NMT ((5+len)/6)**penalty form — openai's
+    # length_penalty option verbatim
+    length_penalty: float | None = None
+    # BASE decode temperature (openai's temperature option when given a
+    # single float): 0 = deterministic; >0 samples from the start, with
+    # best_of candidates.  The fallback ladder still applies — only its
+    # rungs above the base run (openai builds its rung list the same way).
+    temperature: float = 0.0
     # (openai decode_with_fallback: the quality-gate ladder applies to
     # beam rungs too, and its T>0 retries always use sampling)
     # quality-gated temperature fallback (openai-whisper's retry heuristic,
@@ -279,6 +288,14 @@ class Transcriber:
                 "(the anomaly score reads word probabilities/durations — same "
                 "constraint as openai-whisper)"
             )
+        if self.temperature < 0:
+            raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        # effective fallback rungs: only temperatures ABOVE the base run
+        # (openai builds its rung list from the temperature option the
+        # same way — a base of 0.4 skips the 0.2 rung)
+        self._ladder = tuple(
+            t for t in self.temperature_ladder if t > self.temperature
+        )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
         if self.max_chunk_batch is None:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
@@ -471,6 +488,7 @@ class Transcriber:
             sot_sequence=sot_seq,
             beam_size=self.beam_size,
             patience=self.patience,
+            length_penalty=self.length_penalty,
             max_new_tokens=self.max_new_tokens,
             use_timestamps=True,
             suppress_mask=self._suppress_mask,
@@ -483,7 +501,7 @@ class Transcriber:
     def _run_decode(
         self,
         audio_states,
-        temperature: float = 0.0,
+        temperature: float | None = None,
         seed: int = 0,
         first_row_prompt: bool = False,
     ):
@@ -493,7 +511,10 @@ class Transcriber:
         initial_prompt tokens as row 0's <|startofprev|> context (the slab
         holding the meeting's first window); rows with no prompt decode
         identically to plain greedy (pinned by test_parity_prompted).
+        temperature=None means the configured BASE temperature.
         """
+        if temperature is None:
+            temperature = self.temperature
         lang = self._active_language if self._active_language is not None else self.language
         sot_seq = tuple(self.special.sot_sequence(language=lang, task=self.task))
         if first_row_prompt and self._initial_prompt_tokens:
@@ -552,7 +573,7 @@ class Transcriber:
         tokens = np.array(result.tokens)[:n_real]  # writable copy
         if self.enable_fallback:
             failed = self._failed_rows(result, tokens, n_real)
-            for temp in self.temperature_ladder:
+            for temp in self._ladder:
                 if not failed.any():
                     break
                 # COMPACTED retry: gather only the failed rows (padded to a
@@ -857,7 +878,7 @@ class Transcriber:
                         best_of=self.best_of,
                     )
 
-                result = run_prompted(states, hists, 0.0, 0)
+                result = run_prompted(states, hists, self.temperature, 0)
                 n_real = len(ids)
                 tokens = np.array(result.tokens)[:n_real]
                 lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
@@ -870,7 +891,7 @@ class Transcriber:
                     # rows that fail retry through SAMPLING at T>0 — the
                     # exact decode_with_fallback ladder openai runs
                     failed = self._failed_rows(result, tokens, n_real)
-                    for temp in self.temperature_ladder:
+                    for temp in self._ladder:
                         if not failed.any():
                             break
                         idx = np.flatnonzero(failed)

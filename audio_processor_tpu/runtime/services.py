@@ -143,6 +143,10 @@ def build_services(
         tkw["best_of"] = int(os.environ["APTPU_BEST_OF"])
     if os.environ.get("APTPU_PATIENCE"):
         tkw["patience"] = float(os.environ["APTPU_PATIENCE"])
+    if os.environ.get("APTPU_TEMPERATURE"):
+        tkw["temperature"] = float(os.environ["APTPU_TEMPERATURE"])
+    if os.environ.get("APTPU_LENGTH_PENALTY"):
+        tkw["length_penalty"] = float(os.environ["APTPU_LENGTH_PENALTY"])
     if os.environ.get("APTPU_CONDITION") == "1":
         tkw["condition_on_previous_text"] = True
     if os.environ.get("APTPU_WORD_TIMESTAMPS") == "1":

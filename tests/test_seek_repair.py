@@ -240,3 +240,40 @@ def test_retry_subbatches_capped_by_best_of():
     # max_chunk_batch=8, best_of=4 -> sub-batches of <= 2 rows
     assert all(b <= 2 for b, _ in retry_calls), retry_calls
     assert sum(b for b, _ in retry_calls) >= 8  # every failed row retried
+
+
+def test_base_temperature_samples_from_the_start():
+    """temperature=0.4 (openai's single-float temperature option): the
+    FIRST decode runs at 0.4 and only higher ladder rungs remain."""
+    t = Transcriber.random_init(
+        "tiny", language=0, no_speech_threshold=None, enable_fallback=False,
+        temperature=0.4,
+    )
+    assert t._ladder == (0.6, 0.8, 1.0)
+    calls = []
+
+    def fake_run_decode(audio_states, temperature=None, seed=0,
+                        first_row_prompt=False):
+        if temperature is None:
+            temperature = t.temperature
+        calls.append(temperature)
+        b = audio_states.shape[0]
+        return decode_lib.DecodeResult(
+            tokens=jnp.full((b, 8), ST.eot, jnp.int32),
+            lengths=jnp.zeros((b,), jnp.int32),
+            sum_logprob=jnp.zeros((b,), jnp.float32),
+            no_speech_prob=jnp.zeros((b,), jnp.float32),
+        )
+
+    t._run_decode = fake_run_decode
+    t._frontend_encode = lambda p, chunks: jnp.zeros(
+        (chunks.shape[0], 4, 8), jnp.float32
+    )
+    audio = np.zeros(35 * 16_000, np.float32)
+    t.transcribe(audio, remove_silence=False)
+    assert calls == [0.4]
+
+
+def test_negative_temperature_rejected():
+    with pytest.raises(ValueError, match="temperature"):
+        Transcriber.random_init("tiny", temperature=-0.1)
