@@ -290,6 +290,26 @@ class Transcriber:
             )
         if self.temperature < 0:
             raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        # tensor-parallel serving: distribute the params over the mesh's
+        # model axis (Megatron specs, parallel/sharding.py) — without this
+        # a model_parallel mesh silently ran data-parallel-only with
+        # replicated weights.  The Pallas int4 cross-KV kernel is
+        # replicated-only by design, so TP decode rides the XLA int8 path
+        # (proven token-identical in tests/test_parallel.py).
+        if (
+            self.mesh is not None
+            and dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1
+        ):
+            from ..parallel import sharding as sharding_lib
+
+            self.params = sharding_lib.shard_params(self.params, self.mesh)
+            if self.cross_kv_bits == 4:
+                logger.info(
+                    "model-parallel mesh: falling back to the XLA int8 "
+                    "cross-KV path (the Pallas int4 kernel is "
+                    "replicated-only)"
+                )
+                self.cross_kv_bits = 8
         # effective fallback rungs: only temperatures ABOVE the base run
         # (openai builds its rung list from the temperature option the
         # same way — a base of 0.4 skips the 0.2 rung)

@@ -117,6 +117,30 @@ def test_transcriber_data_parallel_over_mesh(rng):
     assert out_a["segments"] == out_b["segments"]
 
 
+def test_transcriber_tensor_parallel_end_to_end(rng):
+    """Full transcribe() on a dp x tp mesh: Transcriber must SHARD the
+    params over the model axis (previously a model_parallel mesh silently
+    ran with replicated weights) and still match single-device output."""
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)  # 4-way dp x 2-way tp
+    audio = rng.normal(0, 0.1, 35 * 16000).astype(np.float32)
+    single = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6, enable_fallback=False
+    )
+    sharded = Transcriber(
+        params=single.params, cfg=single.cfg, compute_dtype="float32",
+        max_new_tokens=6, mesh=mesh, enable_fallback=False,
+    )
+    # params actually landed with a model-axis sharding
+    from jax.sharding import PartitionSpec
+    q_spec = sharded.params["decoder"]["blocks"]["attn"]["q"]["w"].sharding.spec
+    assert "model" in str(q_spec), q_spec
+    out_a = single.transcribe(audio, remove_silence=False)
+    out_b = sharded.transcribe(audio, remove_silence=False)
+    assert out_a["segments"] == out_b["segments"]
+
+
 def test_sharded_train_step_runs_and_reduces():
     rng = np.random.default_rng(0)
     mesh = mesh_lib.make_mesh(model_parallel=2)  # 4-way dp x 2-way tp
