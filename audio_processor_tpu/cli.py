@@ -411,13 +411,13 @@ def cmd_calibrate_alignment_heads(args) -> None:
 
     # weights_dtype=None: --write re-saves the .npz, and the default
     # compute-dtype cast would round the stored f32 weights to bf16
+    from .pipeline.transcribe import _f32_to_i16
+
     t = Transcriber.from_npz(args.checkpoint, weights_dtype=None)
     audio = ingest.load_audio(args.audio)
     chunk = np.zeros((1, CHUNK_SAMPLES), np.int16)
     piece = audio[:CHUNK_SAMPLES]
-    chunk[0, : len(piece)] = np.clip(piece * 32768.0, -32768, 32767).astype(
-        np.int16
-    )
+    chunk[0, : len(piece)] = _f32_to_i16(piece)
     import jax.numpy as jnp
 
     states = t._frontend_encode(t.params, jnp.asarray(chunk))

@@ -167,15 +167,29 @@ class BPETokenizer:
         is validated against the real tiktoken library in
         tests/test_parity_tokenizer.py.
         """
-        lines = []
+        decoded: list[tuple[bytes, int]] = []
         for tok, rank in sorted(self.vocab.items(), key=lambda kv: kv[1]):
             try:
                 bs = bytes(self.byte_dec[c] for c in tok)
             except KeyError:
                 continue  # added-special string, not a byte-level token
-            if bs.startswith(b"<|") and bs.endswith(b"|>"):
-                continue  # whisper special marker riding the vocab file
-            lines.append(base64.b64encode(bs) + b" " + str(rank).encode())
+            decoded.append((bs, rank))
+        # whisper appends its specials AFTER the text vocab, so only
+        # marker-shaped entries ranked above every non-marker entry are
+        # specials — a legitimate text token that happens to look like
+        # '<|x|>' (custom fine-tuned vocabs) sits below and is kept
+        is_marker = [
+            bs.startswith(b"<|") and bs.endswith(b"|>") for bs, _ in decoded
+        ]
+        text_max = max(
+            (r for (bs, r), m in zip(decoded, is_marker) if not m),
+            default=-1,
+        )
+        lines = [
+            base64.b64encode(bs) + b" " + str(rank).encode()
+            for (bs, rank), m in zip(decoded, is_marker)
+            if not (m and rank > text_max)
+        ]
         return b"\n".join(lines) + b"\n"
 
     # -- core BPE -----------------------------------------------------------

@@ -171,7 +171,9 @@ class Diarizer:
     @staticmethod
     def _to_i16(x: np.ndarray) -> np.ndarray:
         """Ship audio host->device as int16 (halves transfer bytes)."""
-        return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+        from .transcribe import _f32_to_i16
+
+        return _f32_to_i16(x)
 
     def _segment_all(self, windows: np.ndarray) -> np.ndarray:
         """(B, W) -> (B, F, n_spk) activations, batched in pow2 slabs."""

@@ -190,10 +190,12 @@ class Transcriber:
     # OFF; opt-in for memory-constrained configs where the bf16 self cache
     # itself is the HBM problem
     quantize_self_kv: bool = False
-    # independent sampling candidates per chunk on T>0 fallback rungs; the
-    # best by avg logprob wins (openai's best_of — whisper.transcribe
-    # defaults it to 5, so the reference's retries pick best-of-five).
-    # Only multiplies the COMPACTED retry batches, not the main decode.
+    # independent sampling candidates per chunk whenever a decode runs at
+    # T>0 (fallback rungs, and every pass when a base `temperature` is
+    # set); the best by avg logprob wins (openai's best_of —
+    # whisper.transcribe defaults it to 5).  Batch caps account for the
+    # expansion: retries sub-batch at max_chunk_batch // best_of, and a
+    # base temperature shrinks max_chunk_batch itself.
     best_of: int = 5
     beam_size: int = 0  # 0 = greedy; >0 = beam at T=0, sampling retries at T>0
     # whisper's beam patience (Kasai et al.): keep searching until
@@ -290,12 +292,43 @@ class Transcriber:
             )
         if self.temperature < 0:
             raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        # effective fallback rungs: only temperatures ABOVE the base run
+        # (openai builds its rung list from the temperature option the
+        # same way — a base of 0.4 skips the 0.2 rung)
+        self._ladder = tuple(
+            t for t in self.temperature_ladder if t > self.temperature
+        )
+        self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        if self.max_chunk_batch is None:
+            # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
+            # (measured: medium wants 18.8 GB at 64); 48 fits with room
+            self.max_chunk_batch = 48 if self.cfg.n_audio_state >= 1024 else 128
+        if self.temperature > 0 and self.best_of > 1:
+            # a base temperature makes EVERY decode sample with best_of
+            # candidates — the expansion happens inside the decode
+            # (jnp.repeat), so the slab cap must shrink to keep
+            # rows x best_of within the HBM budget the cap encodes
+            self.max_chunk_batch = max(
+                1, self.max_chunk_batch // self.best_of
+            )
+        wd = self.weights_dtype
+        if wd == "auto":
+            wd = None if self.compute_dtype == "float32" else self.compute_dtype
+        if wd is not None and jnp.dtype(wd) != jnp.float32:
+            target = jnp.dtype(wd)
+            self.params = jax.tree.map(
+                lambda x: x.astype(target)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.params,
+            )
         # tensor-parallel serving: distribute the params over the mesh's
         # model axis (Megatron specs, parallel/sharding.py) — without this
         # a model_parallel mesh silently ran data-parallel-only with
-        # replicated weights.  The Pallas int4 cross-KV kernel is
-        # replicated-only by design, so TP decode rides the XLA int8 path
-        # (proven token-identical in tests/test_parallel.py).
+        # replicated weights.  Runs AFTER the storage-dtype cast so the
+        # host->device transfer ships bf16, not f32-then-cast.  The Pallas
+        # int4 cross-KV kernel is replicated-only by design, so TP decode
+        # rides the XLA int8 path (proven token-identical in
+        # tests/test_parallel.py).
         if (
             self.mesh is not None
             and dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1
@@ -310,27 +343,6 @@ class Transcriber:
                     "replicated-only)"
                 )
                 self.cross_kv_bits = 8
-        # effective fallback rungs: only temperatures ABOVE the base run
-        # (openai builds its rung list from the temperature option the
-        # same way — a base of 0.4 skips the 0.2 rung)
-        self._ladder = tuple(
-            t for t in self.temperature_ladder if t > self.temperature
-        )
-        self.special = decode_lib.SpecialTokens.for_config(self.cfg)
-        if self.max_chunk_batch is None:
-            # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
-            # (measured: medium wants 18.8 GB at 64); 48 fits with room
-            self.max_chunk_batch = 48 if self.cfg.n_audio_state >= 1024 else 128
-        wd = self.weights_dtype
-        if wd == "auto":
-            wd = None if self.compute_dtype == "float32" else self.compute_dtype
-        if wd is not None and jnp.dtype(wd) != jnp.float32:
-            target = jnp.dtype(wd)
-            self.params = jax.tree.map(
-                lambda x: x.astype(target)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                self.params,
-            )
         # openai prepends a space and keeps the last n_text_ctx//2 - 1
         # tokens; additionally cap so prompt + sot + max_new_tokens fits
         # n_text_ctx (positions past it would silently clamp to the last
@@ -605,9 +617,10 @@ class Transcriber:
                 # decode (T>0 rungs) — cap the sub-batch so
                 # bucket * best_of never exceeds the HBM-tuned slab cap
                 # (medium's cache OOMs past 48 rows; 48*5 would be fatal)
-                retry_cap = max(
-                    1, self.max_chunk_batch // max(1, self.best_of)
-                )
+                retry_cap = (
+                    self.max_chunk_batch if self.temperature > 0
+                    else max(1, self.max_chunk_batch // max(1, self.best_of))
+                )  # base T>0: the slab cap already accounts for best_of
                 logger.info(
                     "quality fallback: %d/%d chunks re-decoding at T=%.1f "
                     "(sub-batches of <=%d x best_of=%d)",
@@ -898,7 +911,12 @@ class Transcriber:
                         best_of=self.best_of,
                     )
 
-                result = run_prompted(states, hists, self.temperature, 0)
+                # openai's prompt_reset_on_temperature: above T=0.5 the
+                # rolling context is dropped — for the base temperature too
+                base_hists = (
+                    hists if self.temperature <= 0.5 else [[] for _ in hists]
+                )
+                result = run_prompted(states, base_hists, self.temperature, 0)
                 n_real = len(ids)
                 tokens = np.array(result.tokens)[:n_real]
                 lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
@@ -918,8 +936,12 @@ class Transcriber:
                         # cap sub-batches so bucket * best_of stays within
                         # the HBM-tuned slab cap (same bound as the
                         # parallel path's retry loop)
-                        retry_cap = max(
-                            1, self.max_chunk_batch // max(1, self.best_of)
+                        retry_cap = (
+                            self.max_chunk_batch if self.temperature > 0
+                            else max(
+                                1,
+                                self.max_chunk_batch // max(1, self.best_of),
+                            )
                         )
                         logger.info(
                             "conditioned fallback: %d/%d chunks re-decoding "

@@ -376,11 +376,17 @@ class App:
 
             def process_request(self, request, client_address):
                 slots.acquire()  # backpressure: accept loop waits for a slot
-                t = threading.Thread(
-                    target=self._handle, args=(request, client_address),
-                    daemon=True, name=f"http-{client_address[1]}",
-                )
-                t.start()
+                try:
+                    t = threading.Thread(
+                        target=self._handle, args=(request, client_address),
+                        daemon=True, name=f"http-{client_address[1]}",
+                    )
+                    t.start()
+                except BaseException:
+                    # Thread.start() can fail under fd/thread exhaustion —
+                    # the slot must come back or capacity shrinks forever
+                    slots.release()
+                    raise
 
             def _handle(self, request, client_address):
                 try:
