@@ -145,6 +145,49 @@ def cmd_process(args) -> None:
     engine.shutdown(wait=False)
 
 
+def cmd_stream(args) -> None:
+    """Simulated-real-time streaming transcription of a file.
+
+    Feeds the recording in --block-s blocks through StreamingTranscriber
+    and prints each segment the moment its 30 s window completes — the
+    capability the reference lacks entirely (whole-file uploads only).
+    With --realtime the feed is paced at 1x to demo live latency.
+    """
+    import time
+
+    from .pipeline import ingest
+    from .pipeline.streaming import StreamingTranscriber
+    from .pipeline.transcribe import Transcriber
+
+    kw = {}
+    if args.language:
+        from .models.whisper.tokenizer import language_index
+
+        kw["language"] = language_index(args.language)
+    t = (
+        Transcriber.from_npz(args.model_path, tokenizer_path=args.tokenizer, **kw)
+        if args.model_path
+        else Transcriber.random_init(args.model, **kw)
+    )
+    st = StreamingTranscriber(t)
+    audio = ingest.load_audio(args.audio)
+    block = int(args.block_s * 16_000)
+
+    def emit(seg):
+        print(
+            f"[{seg['start']:8.2f} – {seg['end']:8.2f}] {seg['text']}",
+            flush=True,
+        )
+
+    for lo in range(0, len(audio), block):
+        if args.realtime:
+            time.sleep(args.block_s)
+        for seg in st.feed(audio[lo : lo + block]):
+            emit(seg)
+    for seg in st.flush():
+        emit(seg)
+
+
 def cmd_convert_whisper(args) -> None:
     import os
     import sys
@@ -527,6 +570,21 @@ def main(argv: list[str] | None = None) -> None:
                    "checkpoint's embedded vocab")
     p.add_argument("--no-diarization", action="store_true")
     p.set_defaults(fn=cmd_process)
+
+    s = sub.add_parser(
+        "stream",
+        help="streaming transcription: segments print as windows complete",
+    )
+    s.add_argument("audio")
+    s.add_argument("--model", default="tiny")
+    s.add_argument("--model-path", help=".npz converted checkpoint")
+    s.add_argument("--tokenizer", help="tokenizer asset override")
+    s.add_argument("--language", help="ISO code; default auto-detect")
+    s.add_argument("--block-s", dest="block_s", type=float, default=1.0,
+                   help="feed block size in seconds (default 1.0)")
+    s.add_argument("--realtime", action="store_true",
+                   help="pace the feed at 1x (live-microphone demo)")
+    s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser(
         "convert-whisper",

@@ -125,3 +125,29 @@ def test_cli_train_embedding_then_serve(tmp_path, wav, capsys):
     cli.main(["diarize", wav, "--json", "--embedding-path", out])
     turns = json.loads(capsys.readouterr().out)
     assert isinstance(turns, list)
+
+
+def test_cli_stream_emits_segments(tmp_path, capsys):
+    """`cli stream`: segments print incrementally as windows complete."""
+    import wave
+
+    import numpy as np
+
+    from audio_processor_tpu import cli
+
+    sr = 16_000
+    path = str(tmp_path / "s.wav")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        t = np.arange(4 * sr) / sr
+        f.writeframes(
+            (0.3 * np.sin(2 * np.pi * 350 * t) * 32767).astype(np.int16).tobytes()
+        )
+    cli.main(["stream", path, "--model", "test", "--block-s", "2.0"])
+    out = capsys.readouterr().out
+    # random weights: content is noise, but the streaming contract holds —
+    # zero or more "[start – end] text" lines, all within the recording
+    for line in out.splitlines():
+        assert line.startswith("["), line
