@@ -43,6 +43,9 @@ def main() -> None:
                     "so f32 storage only doubles the weight stream; "
                     "+2.4%% RTFx measured, mirrors Transcriber weights_dtype"
                     "='auto')")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="beam size (0 = greedy). Beams multiply the cache "
+                    "rows, so pair with a smaller --batch (e.g. 24 x beam 5)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
     args = ap.parse_args()
@@ -120,19 +123,34 @@ def main() -> None:
 
     def run_batch(audio):
         states = encode_batch(params, audio)
-        res = decode_lib.greedy_decode(
-            params,
-            cfg,
-            states,
-            sot_sequence=sot_seq,
-            max_new_tokens=args.tokens_per_chunk,
-            use_timestamps=True,
-            suppress_mask=suppress_mask,
-            dtype_name=args.dtype,
-            quantize_cross_kv=not args.no_int8_kv,
-            kv_bits=args.kv_bits,
-            quantize_self_kv=args.self_kv_int8,
-        )
+        if args.beam > 0:
+            res = decode_lib.beam_decode(
+                params,
+                cfg,
+                states,
+                sot_sequence=sot_seq,
+                beam_size=args.beam,
+                max_new_tokens=args.tokens_per_chunk,
+                use_timestamps=True,
+                suppress_mask=suppress_mask,
+                dtype_name=args.dtype,
+                quantize_cross_kv=not args.no_int8_kv,
+                kv_bits=args.kv_bits,
+            )
+        else:
+            res = decode_lib.greedy_decode(
+                params,
+                cfg,
+                states,
+                sot_sequence=sot_seq,
+                max_new_tokens=args.tokens_per_chunk,
+                use_timestamps=True,
+                suppress_mask=suppress_mask,
+                dtype_name=args.dtype,
+                quantize_cross_kv=not args.no_int8_kv,
+                kv_bits=args.kv_bits,
+                quantize_self_kv=args.self_kv_int8,
+            )
         return res.tokens
 
     audio_dev = jnp.asarray(
@@ -159,7 +177,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''}{', f32 weights' if args.f32_weights else ''})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{f', beam {args.beam}' if args.beam else ''}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''}{', f32 weights' if args.f32_weights else ''})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),

@@ -26,3 +26,24 @@ def test_bench_emits_one_json_line(tmp_path):
     assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
     assert payload["unit"] == "x_realtime"
+
+
+def test_bench_beam_mode_emits_one_json_line(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_CACHE_DIR"] = str(tmp_path / "cache")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "bench.py"),
+            "--model", "test", "--audio-minutes", "1",
+            "--batch", "2", "--tokens-per-chunk", "4", "--beam", "2",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    assert "beam 2" in payload["metric"]
+    assert payload["value"] > 0
