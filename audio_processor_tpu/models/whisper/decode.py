@@ -150,6 +150,13 @@ def non_speech_token_ids(tokenizer) -> list[int]:
     return sorted(ids)
 
 
+def always_suppressed_specials(st: SpecialTokens) -> list[int]:
+    """The special ids openai suppresses REGARDLESS of the user's
+    suppress_tokens option (whisper.decoding._get_suppress_tokens)."""
+    return [st.sot, st.translate, st.transcribe, st.startoflm,
+            st.startofprev, st.no_speech]
+
+
 def build_suppress_mask(tokenizer, st: SpecialTokens) -> np.ndarray:
     """(V,) bool mask of always-suppressed ids: openai-whisper's default
     SuppressTokens = non-speech symbols + sot/task/lm/prev/nospeech specials.
@@ -157,9 +164,7 @@ def build_suppress_mask(tokenizer, st: SpecialTokens) -> np.ndarray:
     The reference inherits exactly this via whisper.transcribe's defaults
     (reference: app/services/audio_processor.py:1076)."""
     mask = np.zeros(st.n_vocab, bool)
-    specials = [st.sot, st.translate, st.transcribe, st.startoflm,
-                st.startofprev, st.no_speech]
-    for t in specials + non_speech_token_ids(tokenizer):
+    for t in always_suppressed_specials(st) + non_speech_token_ids(tokenizer):
         if 0 <= t < st.n_vocab:
             mask[t] = True
     return mask

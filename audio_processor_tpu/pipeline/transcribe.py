@@ -387,16 +387,8 @@ class Transcriber:
                 )
                 ids = [t for t in ids if t >= 0]
             else:
-                import numpy as _np
-
-                mask = _np.zeros(self.special.n_vocab, bool)
-                # the specials openai ALWAYS suppresses regardless of the
-                # user list (whisper.decoding._get_suppress_tokens)
-                for t in (
-                    self.special.sot, self.special.translate,
-                    self.special.transcribe, self.special.startoflm,
-                    self.special.startofprev, self.special.no_speech,
-                ):
+                mask = np.zeros(self.special.n_vocab, bool)
+                for t in decode_lib.always_suppressed_specials(self.special):
                     if 0 <= t < self.special.n_vocab:
                         mask[t] = True
             for t in ids:

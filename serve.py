@@ -12,6 +12,7 @@ import argparse
 import logging
 import os
 import sys
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -54,10 +55,8 @@ def build_app():
 # many first requests concurrently, and build_app() takes minutes (TPU
 # init + jit compile) — without the lock each of them would build its own
 # Transcriber (HBM exhaustion) and JobEngine (duplicate worker pools).
-import threading as _threading
-
 _wsgi_app = None
-_wsgi_lock = _threading.Lock()
+_wsgi_lock = threading.Lock()
 
 
 def application(environ, start_response):
