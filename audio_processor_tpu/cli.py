@@ -92,6 +92,8 @@ def cmd_diarize(args) -> None:
     from .pipeline.diarize import Diarizer
 
     kw = {}
+    if args.min_cluster_size:
+        kw["min_cluster_size"] = args.min_cluster_size
     if args.embedding_path:
         from .training import embedding_trainer as et
 
@@ -559,6 +561,11 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument(
         "--embedding-path", dest="embedding_path",
         help="trained speaker-embedding .npz (cli train-embedding)",
+    )
+    d.add_argument(
+        "--min-cluster-size", dest="min_cluster_size", type=int, default=0,
+        help="dissolve speaker clusters with fewer crops than this "
+        "(pyannote-3.1's min_cluster_size; 0 = off)",
     )
     d.set_defaults(fn=cmd_diarize)
 

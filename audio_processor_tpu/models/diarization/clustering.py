@@ -21,11 +21,18 @@ def agglomerative_cluster(
     threshold: float = 0.7,
     min_clusters: int = 1,
     max_clusters: int | None = None,
+    min_cluster_size: int = 0,
 ) -> np.ndarray:
     """(n, d) embeddings -> (n,) integer labels (0..k-1, size-ordered).
 
     Average linkage over cosine distance via scipy; clusters are cut at
     `threshold`, then merged/split to satisfy the min/max constraints.
+
+    min_cluster_size > 1 dissolves clusters with fewer members
+    (pyannote-3.1's AgglomerativeClustering option): their embeddings
+    reassign to the nearest surviving cluster's centroid in cosine space —
+    stray crops (coughs, cross-talk slivers) stop minting phantom
+    speakers.  When no cluster reaches the size, the largest survives.
     """
     n = len(embeddings)
     if n == 0:
@@ -45,6 +52,25 @@ def agglomerative_cluster(
     if max_clusters is not None and k > max_clusters:
         labels = fcluster(z, t=max_clusters, criterion="maxclust") - 1
         k = labels.max() + 1
+
+    if min_cluster_size > 1:
+        ids, counts = np.unique(labels, return_counts=True)
+        large = ids[counts >= min_cluster_size]
+        if large.size == 0:
+            large = ids[np.argmax(counts)][None]
+        small = ~np.isin(labels, large)
+        if small.any():
+            x = embeddings / np.maximum(
+                np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-9
+            )
+            cents = np.stack([x[labels == c].mean(0) for c in large])
+            cents /= np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-9
+            )
+            labels = labels.copy()
+            labels[small] = large[np.argmax(x[small] @ cents.T, axis=1)]
+            k = len(large)
+
     if k < min_clusters and n >= min_clusters:
         labels = fcluster(z, t=min_clusters, criterion="maxclust") - 1
 

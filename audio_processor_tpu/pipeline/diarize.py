@@ -52,6 +52,11 @@ class Diarizer:
     cluster_threshold: float = 0.7
     min_speakers: int = 1
     max_speakers: int | None = None
+    # dissolve clusters owning fewer crops than this (pyannote-3.1's
+    # min_cluster_size): stray crops reassign to the nearest real speaker
+    # instead of minting a phantom one.  0 = off (the hermetic DER gate
+    # runs on short synthetic meetings where every cluster is small)
+    min_cluster_size: int = 0
     max_batch: int = 128
     seg_fn: Any = None  # segment_windows impl; default pyannote-compatible
     # provenance flags: False = random weights.  Serving a random net is a
@@ -265,6 +270,7 @@ class Diarizer:
             threshold=self.cluster_threshold,
             min_clusters=self.min_speakers,
             max_clusters=self.max_speakers,
+            min_cluster_size=self.min_cluster_size,
         )
         n_clusters = int(labels.max()) + 1
 

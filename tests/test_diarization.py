@@ -212,3 +212,45 @@ def test_relabel_and_format():
     assert out[1]["speaker"] == "SPEAKER_01"
     txt = fuse.format_transcript(out)
     assert "Alice: hi" in txt and "[00:00:00 - 00:00:01]" in txt
+
+
+def test_min_cluster_size_dissolves_stray_clusters():
+    """pyannote-3.1's min_cluster_size: a lone outlier crop must reassign
+    to the nearest REAL speaker instead of minting a phantom one."""
+    import numpy as np
+
+    from audio_processor_tpu.models.diarization.clustering import (
+        agglomerative_cluster,
+    )
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.02, (6, 16)) + np.eye(16)[0]    # speaker A x6
+    b = rng.normal(0, 0.02, (5, 16)) + np.eye(16)[1]    # speaker B x5
+    stray = (np.eye(16)[0] * 0.8 + np.eye(16)[5])[None]  # closer to A
+    emb = np.concatenate([a, b, stray])
+
+    plain = agglomerative_cluster(emb, threshold=0.3)
+    assert plain.max() + 1 == 3  # the stray becomes its own cluster
+
+    filtered = agglomerative_cluster(emb, threshold=0.3, min_cluster_size=3)
+    assert filtered.max() + 1 == 2
+    # the stray joined speaker A (same label as the a-block)
+    assert filtered[-1] == filtered[0]
+    # existing big clusters untouched
+    assert len(set(filtered[:6])) == 1 and len(set(filtered[6:11])) == 1
+
+
+def test_min_cluster_size_keeps_largest_when_all_small():
+    import numpy as np
+
+    from audio_processor_tpu.models.diarization.clustering import (
+        agglomerative_cluster,
+    )
+
+    rng = np.random.default_rng(1)
+    emb = np.concatenate([
+        rng.normal(0, 0.02, (2, 8)) + np.eye(8)[0],
+        rng.normal(0, 0.02, (1, 8)) + np.eye(8)[1],
+    ])
+    labels = agglomerative_cluster(emb, threshold=0.3, min_cluster_size=5)
+    assert labels.max() == 0  # everything collapses onto the largest
