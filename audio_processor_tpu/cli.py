@@ -171,7 +171,7 @@ def cmd_stream(args) -> None:
         if args.model_path
         else Transcriber.random_init(args.model, **kw)
     )
-    st = StreamingTranscriber(t)
+    st = StreamingTranscriber(t, partial_step_s=args.partial_step_s)
     audio = ingest.load_audio(args.audio)
     block = int(args.block_s * 16_000)
 
@@ -591,6 +591,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="feed block size in seconds (default 1.0)")
     s.add_argument("--realtime", action="store_true",
                    help="pace the feed at 1x (live-microphone demo)")
+    s.add_argument("--partial-step-s", dest="partial_step_s", type=float,
+                   default=0.0,
+                   help="low-latency mode: re-decode the growing window "
+                   "every N seconds and emit segments once two consecutive "
+                   "decodes agree (local-agreement streaming; 0 = emit at "
+                   "window completion only)")
     s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser(

@@ -36,3 +36,76 @@ def test_streaming_flush_ignores_tiny_tail(streamer, rng):
     st = StreamingTranscriber(streamer.transcriber)
     list(st.feed(rng.normal(0, 0.1, 1000).astype(np.float32)))
     assert list(st.flush()) == []
+
+
+class _ScriptedTranscriber:
+    """transcribe() returns the next scripted segment list per call."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    def transcribe(self, audio, **kw):
+        self.calls.append(len(audio))
+        return {"segments": self.script.pop(0)}
+
+
+def _seg(a, b, text):
+    return {"start": a, "end": b, "text": text}
+
+
+def test_local_agreement_emits_on_second_sighting():
+    """Low-latency mode: a segment is emitted once two consecutive partial
+    decodes agree on it exactly — before the 30 s window completes."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        # partial decode 1 (4 s buffer): one closed + one trailing segment
+        [_seg(0.0, 1.5, "hello"), _seg(1.5, 4.0, "wor")],
+        # partial decode 2 (8 s buffer): agrees on "hello", new trailing
+        [_seg(0.0, 1.5, "hello"), _seg(1.5, 6.2, "world of"), _seg(6.2, 8.0, "str")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=4.0)
+    out = []
+    for _ in range(2):
+        out += list(st.feed(np.zeros(4 * 16_000, np.float32)))
+    assert out == [{"start": 0.0, "end": 1.5, "text": "hello"}]
+    assert len(t.calls) == 2  # one decode per partial step
+
+
+def test_local_agreement_never_confirms_trailing_segment():
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        [_seg(0.0, 4.0, "same")],
+        [_seg(0.0, 4.0, "same"), _seg(4.0, 8.0, "tail")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=4.0)
+    out = []
+    for _ in range(2):
+        out += list(st.feed(np.zeros(4 * 16_000, np.float32)))
+    # "same" was the TRAILING segment of decode 1, so its first sighting
+    # doesn't count; decode 2 sees it non-trailing + agreed -> emitted
+    assert out == [{"start": 0.0, "end": 4.0, "text": "same"}]
+
+
+def test_window_completion_emits_rest_without_duplicates():
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        [_seg(0.0, 5.0, "early"), _seg(5.0, 15.0, "tail")],
+        [_seg(0.0, 5.0, "early"), _seg(5.0, 15.0, "middle"), _seg(15.0, 29.0, "t")],
+        # the FULL 30 s window decode
+        [_seg(0.0, 5.0, "early"), _seg(5.0, 15.0, "middle"), _seg(15.0, 29.5, "late")],
+        # first partial decode of the NEXT window
+        [_seg(0.0, 2.0, "next"), _seg(2.0, 12.0, "t")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=12.0)
+    out = []
+    for _ in range(3):  # 3 x 12 s: partial, partial, window(30)+carry 6 s
+        out += list(st.feed(np.zeros(12 * 16_000, np.float32)))
+    texts = [s["text"] for s in out]
+    assert texts == ["early", "middle", "late", ], texts
+    # next-window partial times are offset by the finalised 30 s
+    out += list(st.feed(np.zeros(12 * 16_000, np.float32)))
+    assert t.calls[-1] == 18 * 16_000  # 6 s carry + 12 s new
