@@ -277,3 +277,39 @@ def test_base_temperature_samples_from_the_start():
 def test_negative_temperature_rejected():
     with pytest.raises(ValueError, match="temperature"):
         Transcriber.random_init("tiny", temperature=-0.1)
+
+
+def test_word_timestamps_include_patch_windows(monkeypatch):
+    """word_timestamps=True + seek repair: the patch window's words join
+    the grid windows' words in time order (patch states are retained and
+    aligned)."""
+    from audio_processor_tpu.models.whisper import align
+
+    grid = np.stack([
+        row(ts(0), A, ts(10), ts(10), B),
+        row(ts(2.5), C, ts(5)),
+    ])
+    patch = row(ts(0), D, ts(22.5))[None, :]
+    t, calls = make_mock_transcriber([grid, patch])
+    t.word_timestamps = True
+
+    def fake_word_timestamps(params, cfg, states, rows, st, dec, offsets,
+                             with_probabilities=False):
+        out = []
+        for r, off in zip(np.asarray(rows), np.asarray(offsets)):
+            text = [int(x) for x in r if int(x) < st.eot]
+            out.append(
+                [{"word": dec([tok]), "start": float(off), "end": float(off) + 0.5}
+                 for tok in text]
+            )
+        return out
+
+    monkeypatch.setattr(align, "word_timestamps", fake_word_timestamps)
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    words = [w["word"] for w in out["words"]]
+    # 'b' was truncated from window 0; 'd' (the patch) lands between 'a'
+    # (offset 0) and 'c' (offset 30) because its offset is 10 s
+    assert words == ["a", "d", "c"], out["words"]
+    starts = [w["start"] for w in out["words"]]
+    assert starts == sorted(starts)
