@@ -11,8 +11,12 @@ from __future__ import annotations
 import numpy as np
 
 
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+
+
 def cosine_distances(x: np.ndarray) -> np.ndarray:
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+    x = _normalize(x)
     return np.clip(1.0 - x @ x.T, 0.0, 2.0)
 
 
@@ -60,13 +64,8 @@ def agglomerative_cluster(
             large = ids[np.argmax(counts)][None]
         small = ~np.isin(labels, large)
         if small.any():
-            x = embeddings / np.maximum(
-                np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-9
-            )
-            cents = np.stack([x[labels == c].mean(0) for c in large])
-            cents /= np.maximum(
-                np.linalg.norm(cents, axis=1, keepdims=True), 1e-9
-            )
+            x = _normalize(embeddings)
+            cents = _normalize(np.stack([x[labels == c].mean(0) for c in large]))
             labels = labels.copy()
             labels[small] = large[np.argmax(x[small] @ cents.T, axis=1)]
             k = len(large)

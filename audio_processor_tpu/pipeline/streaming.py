@@ -26,19 +26,43 @@ from ..ops import frontend
 CHUNK = frontend.N_SAMPLES  # 480_000 samples / 30 s
 
 
+def _segment_words(segments: list[dict]) -> list[tuple[str, float, float]]:
+    """Flatten segments into (word, seg_start, seg_end) triples — words
+    carry their source segment's times (caption-grade approximation)."""
+    out = []
+    for seg in segments:
+        for w in seg["text"].split():
+            out.append((w, seg["start"], seg["end"]))
+    return out
+
+
+def _common_word_prefix(a: list, b: list) -> int:
+    """Length of the longest common WORD-string prefix of two word lists."""
+    n = 0
+    for (wa, *_), (wb, *_) in zip(a, b):
+        if wa != wb:
+            break
+        n += 1
+    return n
+
+
 @dataclass
 class StreamingTranscriber:
     """Window-mode by default; set partial_step_s > 0 for LOW-LATENCY mode.
 
     Low-latency mode decodes the GROWING window every partial_step_s
-    seconds of new audio and emits a segment as soon as two consecutive
-    decodes agree on it exactly — the "local agreement" policy streaming
-    ASR systems use to trade a little extra compute for sub-window
-    latency (the decode still runs the ONE compiled batch-1 program:
-    the partial buffer is zero-padded to the fixed 30 s window, so no
-    recompiles and no dynamic shapes).  Unconfirmed trailing segments
-    stay pending; window completion finalises everything decoded from
-    the full window.
+    seconds of new audio and emits the longest WORD prefix two
+    consecutive decodes agree on — the LocalAgreement policy streaming
+    ASR systems use (whisper_streaming et al.) to trade extra compute
+    for sub-window latency.  Agreement is on word STRINGS, not
+    timestamps: Whisper's timestamps jitter a quantum as the padded
+    context grows, so tuple-exact matching would never confirm anything.
+    The decode still runs the ONE compiled batch-1 program (the partial
+    buffer zero-pads to the fixed 30 s window — no recompiles, no
+    dynamic shapes).  Window completion re-decodes the full window and
+    emits everything past the already-emitted word prefix, so boundary
+    resegmentation can briefly duplicate a word but can never LOSE text.
+    Emitted times are the source segment's (caption-grade).
     """
 
     transcriber: Any  # pipeline.transcribe.Transcriber
@@ -47,8 +71,8 @@ class StreamingTranscriber:
     _buffer: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
     _emitted_s: float = 0.0  # global time already finalised (window starts)
     _partial_mark: int = 0  # buffer samples at the last partial decode
-    _prev_partial: list = field(default_factory=list)
-    _confirmed_end_s: float = 0.0  # window-local time already emitted
+    _prev_words: list = field(default_factory=list)
+    _emitted_words: list = field(default_factory=list)  # this window's output
 
     def feed(self, samples: np.ndarray) -> Iterator[dict]:
         """Append audio; yield segments as they finalise."""
@@ -62,8 +86,6 @@ class StreamingTranscriber:
         while len(self._buffer) >= CHUNK:
             window, self._buffer = self._buffer[:CHUNK], self._buffer[CHUNK:]
             yield from self._decode_window(window)
-            self._partial_mark = 0
-            self._prev_partial = []
         if self.partial_step_s > 0 and (
             len(self._buffer) - self._partial_mark
             >= int(self.partial_step_s * 16_000)
@@ -78,8 +100,12 @@ class StreamingTranscriber:
             yield from self._decode_window(window)
         else:
             self._buffer = np.zeros(0, np.float32)
+            self._reset_window_state()
+
+    def _reset_window_state(self) -> None:
         self._partial_mark = 0
-        self._prev_partial = []
+        self._prev_words = []
+        self._emitted_words = []
 
     def _segments_of(self, audio: np.ndarray) -> list[dict]:
         out = self.transcriber.transcribe(
@@ -87,32 +113,49 @@ class StreamingTranscriber:
         )
         return out["segments"]
 
+    def _emit_words(self, words: list[tuple[str, float, float]]) -> Iterator[dict]:
+        """Group consecutive words sharing a source segment -> one dict."""
+        i = 0
+        while i < len(words):
+            j = i
+            while (
+                j + 1 < len(words)
+                and words[j + 1][1:] == words[i][1:]  # same source segment
+            ):
+                j += 1
+            _, s, e = words[i]
+            yield {
+                "start": round(s + self._emitted_s, 3),
+                "end": round(e + self._emitted_s, 3),
+                "text": " ".join(w for w, *_ in words[i : j + 1]),
+            }
+            i = j + 1
+
     def _partial_decode(self) -> Iterator[dict]:
-        """Local agreement: emit segments two consecutive decodes agree on."""
+        """LocalAgreement: emit the word prefix two decodes agree on."""
         self._partial_mark = len(self._buffer)
         segs = self._segments_of(self._buffer)
-        prev = {(s["start"], s["end"], s["text"]) for s in self._prev_partial}
-        # never confirm the final segment of a partial decode — its end is
-        # an artefact of where the buffer happens to stop
-        for seg in segs[:-1]:
-            key = (seg["start"], seg["end"], seg["text"])
-            if key in prev and seg["start"] >= self._confirmed_end_s:
-                self._confirmed_end_s = seg["end"]
-                yield {
-                    "start": round(seg["start"] + self._emitted_s, 3),
-                    "end": round(seg["end"] + self._emitted_s, 3),
-                    "text": seg["text"],
-                }
-        self._prev_partial = segs
+        # the trailing segment's extent is an artefact of where the buffer
+        # happens to stop — exclude it from what can be confirmed
+        cur = _segment_words(segs[:-1])
+        agreed = _common_word_prefix(self._prev_words, cur)
+        # an empty slice when nothing new is agreed (or when a past
+        # emission ran ahead of the current agreement — the window
+        # finalise resolves that divergence)
+        fresh = cur[len(self._emitted_words) : agreed]
+        yield from self._emit_words(fresh)
+        self._emitted_words.extend(fresh)
+        self._prev_words = _segment_words(segs)
 
     def _decode_window(self, window: np.ndarray) -> Iterator[dict]:
-        for seg in self._segments_of(window):
-            if seg["start"] < self._confirmed_end_s:
-                continue  # already emitted by a partial decode
-            yield {
-                "start": round(seg["start"] + self._emitted_s, 3),
-                "end": round(seg["end"] + self._emitted_s, 3),
-                "text": seg["text"],
-            }
+        """Finalise a full window: emit everything past the emitted prefix.
+
+        If the full-window decode resegmented and disagrees with what the
+        partials emitted, emission restarts at the divergence point —
+        duplication is possible there, text loss is not.
+        """
+        words = _segment_words(self._segments_of(window))
+        agreed = _common_word_prefix(self._emitted_words, words)
+        yield from self._emit_words(words[agreed:])
         self._emitted_s += len(window) / 16_000.0
-        self._confirmed_end_s = 0.0
+        self._reset_window_state()

@@ -1,12 +1,10 @@
 """serve.py WSGI entry: lazy init must be single-flight under concurrency
 (gunicorn gthread fires many first requests at once — round-3 review)."""
-import sys
 import threading
 
 
 def test_application_builds_exactly_once(monkeypatch, tmp_path):
-    sys.path.insert(0, "/root/repo")
-    import serve
+    import serve  # repo root is on sys.path via conftest
 
     builds = []
     barrier = threading.Barrier(8)

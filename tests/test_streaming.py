@@ -109,3 +109,59 @@ def test_window_completion_emits_rest_without_duplicates():
     # next-window partial times are offset by the finalised 30 s
     out += list(st.feed(np.zeros(12 * 16_000, np.float32)))
     assert t.calls[-1] == 18 * 16_000  # 6 s carry + 12 s new
+
+
+def test_boundary_resegmentation_never_loses_text():
+    """If the full-window decode merges segments across the partial-
+    confirmed boundary, the unemitted words still come out (the old
+    tuple-based dedup dropped the whole merged segment)."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        [_seg(0.0, 5.0, "hello world"), _seg(5.0, 9.0, "tail")],
+        [_seg(0.0, 5.0, "hello world"), _seg(5.0, 14.0, "how are"), _seg(14.0, 19.0, "t")],
+        # full 30 s window RESEGMENTS into one merged segment
+        [_seg(0.0, 12.0, "hello world how are you")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=10.0)
+    out = list(st.feed(np.zeros(10 * 16_000, np.float32)))
+    assert out == []
+    out = list(st.feed(np.zeros(10 * 16_000, np.float32)))
+    assert [s["text"] for s in out] == ["hello world"]
+    out = list(st.feed(np.zeros(10 * 16_000, np.float32)))
+    # only the UNEMITTED words emit, with the merged segment's times
+    assert out == [{"start": 0.0, "end": 12.0, "text": "how are you"}]
+
+
+def test_agreement_survives_timestamp_jitter():
+    """Word-string agreement: a one-quantum timestamp shift between
+    decodes (routine as the padded context grows) must not block
+    confirmation (tuple-exact matching confirmed nothing)."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        [_seg(0.0, 3.98, "hello"), _seg(3.98, 4.0, "t")],
+        [_seg(0.0, 4.0, "hello"), _seg(4.0, 7.9, "more"), _seg(7.9, 8.0, "t")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=4.0)
+    out = list(st.feed(np.zeros(4 * 16_000, np.float32)))
+    out += list(st.feed(np.zeros(4 * 16_000, np.float32)))
+    assert [s["text"] for s in out] == ["hello"]
+    assert out[0]["end"] == 4.0  # times from the latest decode
+
+
+def test_flush_tiny_tail_resets_window_state():
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        [_seg(0.0, 1.0, "a"), _seg(1.0, 2.0, "t")],
+        [_seg(0.0, 1.0, "a"), _seg(1.0, 2.2, "b"), _seg(2.2, 2.4, "t")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=1.0)
+    list(st.feed(np.zeros(16_000, np.float32)))
+    out = list(st.feed(np.zeros(int(1.4 * 16_000), np.float32)))
+    assert [s["text"] for s in out] == ["a"]
+    st._buffer = np.zeros(100, np.float32)  # sub-0.5 s tail
+    list(st.flush())
+    assert st._emitted_words == [] and st._prev_words == []
+    assert st._partial_mark == 0
