@@ -40,6 +40,10 @@ def cmd_transcribe(args) -> None:
         kw["length_penalty"] = args.length_penalty
     if args.word_timestamps:
         kw["word_timestamps"] = True
+    if args.prepend_punctuations is not None:
+        kw["prepend_punctuations"] = args.prepend_punctuations
+    if args.append_punctuations is not None:
+        kw["append_punctuations"] = args.append_punctuations
     if args.hallucination_silence_threshold is not None:
         if not args.word_timestamps:
             raise SystemExit(
@@ -54,6 +58,8 @@ def cmd_transcribe(args) -> None:
         kw["task"] = args.task
     if args.initial_prompt:
         kw["initial_prompt"] = args.initial_prompt
+    if args.carry_initial_prompt:
+        kw["carry_initial_prompt"] = True
     if args.model_path:
         t = Transcriber.from_npz(
             args.model_path, tokenizer_path=args.tokenizer, **kw
@@ -77,7 +83,16 @@ def cmd_transcribe(args) -> None:
     elif fmt in ("srt", "vtt", "tsv", "txt"):
         from .utils import writers
 
-        print(writers.format_segments(out["segments"], fmt), end="")
+        wopt = {}
+        if fmt in ("srt", "vtt"):
+            # openai's word-level subtitle options (need word timings)
+            wopt = dict(
+                highlight_words=args.highlight_words,
+                max_line_width=args.max_line_width,
+                max_line_count=args.max_line_count,
+                max_words_per_line=args.max_words_per_line,
+            )
+        print(writers.format_segments(out["segments"], fmt, **wopt), end="")
         print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
               file=sys.stderr)
     else:
@@ -524,6 +539,31 @@ def main(argv: list[str] | None = None) -> None:
                    help="independent sampling candidates on T>0 fallback "
                    "rungs, best by avg logprob (openai's best_of; default 5)")
     t.add_argument("--word-timestamps", action="store_true")
+    t.add_argument("--prepend-punctuations", dest="prepend_punctuations",
+                   default=None,
+                   help="characters merged into the FOLLOWING word "
+                   "(openai's prepend_punctuations)")
+    t.add_argument("--append-punctuations", dest="append_punctuations",
+                   default=None,
+                   help="characters merged into the PRECEDING word "
+                   "(openai's append_punctuations)")
+    t.add_argument("--highlight-words", dest="highlight_words",
+                   action="store_true",
+                   help="srt/vtt: one cue per word with the word "
+                   "<u>underlined</u> (openai's highlight_words; needs "
+                   "--word-timestamps)")
+    t.add_argument("--max-line-width", dest="max_line_width", type=int,
+                   default=None,
+                   help="srt/vtt: max characters per subtitle line "
+                   "(openai's max_line_width; needs --word-timestamps)")
+    t.add_argument("--max-line-count", dest="max_line_count", type=int,
+                   default=None,
+                   help="srt/vtt: max lines per subtitle cue "
+                   "(openai's max_line_count; needs --word-timestamps)")
+    t.add_argument("--max-words-per-line", dest="max_words_per_line", type=int,
+                   default=None,
+                   help="srt/vtt: max words per line (openai's "
+                   "max_words_per_line; no effect with --max-line-width)")
     t.add_argument(
         "--hallucination-silence-threshold", type=float, default=None,
         dest="hallucination_silence_threshold", metavar="SECONDS",
@@ -537,6 +577,10 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--initial-prompt", dest="initial_prompt",
                    help="text context for the first window "
                    "(openai-whisper's initial_prompt)")
+    t.add_argument("--carry-initial-prompt", dest="carry_initial_prompt",
+                   action="store_true",
+                   help="re-prepend --initial-prompt to EVERY window's "
+                   "context (openai-whisper's carry_initial_prompt)")
     t.add_argument("--output-format", dest="output_format",
                    choices=("text", "txt", "json", "srt", "vtt", "tsv"),
                    default="text", help="stdout format (default: readable text)")

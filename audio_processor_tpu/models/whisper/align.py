@@ -34,6 +34,100 @@ from .model import (
 
 AUDIO_FRAME_S = 0.02  # one encoder position = 20 ms
 
+# openai-whisper's word-merge defaults (whisper/transcribe.py
+# prepend_punctuations / append_punctuations): opening quotes/brackets
+# attach to the FOLLOWING word, closing marks to the PRECEDING one
+PREPEND_PUNCTUATIONS = "\"'“¿([{-"
+APPEND_PUNCTUATIONS = "\"'.。,，!！?？:：”)]}、"
+# languages written without spaces: words = unicode codepoints, exactly
+# openai's split_tokens_on_unicode path (whisper/tokenizer.py
+# split_to_word_tokens) — critical for the reference's Chinese meetings
+# (zh prompts throughout app/services/audio_processor.py)
+_SPACELESS_LANGUAGES = frozenset({"zh", "ja", "th", "lo", "my", "yue"})
+_ASCII_PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+def _split_tokens_on_unicode(
+    toks: list[int], decode_text
+) -> tuple[list[str], list[list[int]]]:
+    """Group BPE tokens into complete unicode units.
+
+    A multi-byte codepoint (every CJK character) spans several byte-level
+    BPE tokens; decoding a partial group yields U+FFFD.  Tokens accumulate
+    until the decoded string carries no replacement char — unless the FULL
+    decode really contains U+FFFD at that offset (openai's
+    split_tokens_on_unicode disambiguation).  Returns (subwords,
+    index-groups into ``toks``)."""
+    decoded_full = decode_text(toks)
+    rc = "�"
+    subwords: list[str] = []
+    sub_idx: list[list[int]] = []
+    cur: list[int] = []
+    cur_idx: list[int] = []
+    unicode_offset = 0
+    for k, tok in enumerate(toks):
+        cur.append(tok)
+        cur_idx.append(k)
+        decoded = decode_text(cur)
+        complete = rc not in decoded
+        if not complete:
+            at = unicode_offset + decoded.index(rc)
+            complete = at < len(decoded_full) and decoded_full[at] == rc
+        if complete:
+            subwords.append(decoded)
+            sub_idx.append(cur_idx)
+            cur, cur_idx = [], []
+            unicode_offset += len(decoded)
+    return subwords, sub_idx
+
+
+def _split_words(
+    toks: list[int], decode_text, language: str | None
+) -> tuple[list[str], list[list[int]]]:
+    """openai's split_to_word_tokens: unicode units for spaceless
+    languages, else space/punctuation-boundary grouping."""
+    subwords, sub_idx = _split_tokens_on_unicode(toks, decode_text)
+    if language in _SPACELESS_LANGUAGES:
+        return subwords, sub_idx
+    words: list[str] = []
+    word_idx: list[list[int]] = []
+    for sw, si in zip(subwords, sub_idx):
+        if not words or sw.startswith(" ") or sw.strip() in _ASCII_PUNCTUATION:
+            words.append(sw)
+            word_idx.append(list(si))
+        else:
+            words[-1] += sw
+            word_idx[-1].extend(si)
+    return words, word_idx
+
+
+def _merge_punctuations(
+    words: list[dict], prepended: str, appended: str
+) -> list[dict]:
+    """openai's merge_punctuations (whisper/timing.py): opening marks fold
+    into the next word, closing marks into the previous one.  The base
+    word keeps its own start/end/probability (the punctuation's timing is
+    dropped) — identical to openai, which merges only word+tokens."""
+    i, j = len(words) - 2, len(words) - 1
+    while i >= 0:
+        prev, following = words[i], words[j]
+        if prev["word"].startswith(" ") and prev["word"].strip() in prepended:
+            following["word"] = prev["word"] + following["word"]
+            prev["word"] = ""
+        else:
+            j = i
+        i -= 1
+    i, j = 0, 1
+    while j < len(words):
+        prev, following = words[i], words[j]
+        if not prev["word"].endswith(" ") and following["word"] in appended:
+            prev["word"] = prev["word"] + following["word"]
+            following["word"] = ""
+        else:
+            i = j
+        j += 1
+    return [w for w in words if w["word"]]
+
 
 def _teacher_forced_scan(
     params: Params,
@@ -283,8 +377,18 @@ def word_timestamps(
     decode_text,
     chunk_offsets_s: np.ndarray,
     with_probabilities: bool = False,
+    language: str | None = None,
+    prepend_punctuations: str = PREPEND_PUNCTUATIONS,
+    append_punctuations: str = APPEND_PUNCTUATIONS,
 ) -> list[list[dict]]:
     """Per chunk: [{"word", "start", "end"}] in the global timeline.
+
+    Word boundaries follow openai-whisper exactly: tokens group into
+    complete unicode units, then into space-delimited words — except for
+    spaceless languages (zh/ja/th/lo/my/yue, selected via ``language``),
+    where each codepoint is a word — and punctuation merges into its
+    neighbour per prepend/append_punctuations.  As in openai, the emitted
+    ``word`` text keeps its leading space for space-delimited languages.
 
     with_probabilities=True adds "probability" (mean per-token probability
     from the same teacher-forced pass) — the signal openai's
@@ -312,42 +416,30 @@ def word_timestamps(
         # smooth + normalise per token
         m = m / np.maximum(m.sum(-1, keepdims=True), 1e-9)
         starts = dtw_path(m)
-        # split tokens into words on decoded-space boundaries
-        words: list[dict] = []
-        cur_ids: list[int] = []
-        cur_pos: list[int] = []
-        cur_start = starts[0]
         offset = float(chunk_offsets_s[row_i])
-
-        def emit(word: str, start_f: float, end_f: float, positions: list[int]):
+        # openai's split: unicode units -> (language-dependent) words;
+        # indices in word_idx are positions into text_pos/starts
+        word_strs, word_idx = _split_words(
+            [int(toks[p]) for p in text_pos], decode_text, language
+        )
+        words: list[dict] = []
+        for wi, (wstr, kidx) in enumerate(zip(word_strs, word_idx)):
+            start_f = float(starts[kidx[0]])
+            if wi + 1 < len(word_idx):
+                end_f = float(starts[word_idx[wi + 1][0]])
+            else:
+                end_f = float(starts[-1]) + 10  # ~200 ms tail for the last word
             w = {
-                "word": word,
+                "word": wstr,
                 "start": round(offset + start_f * AUDIO_FRAME_S, 3),
                 "end": round(offset + end_f * AUDIO_FRAME_S, 3),
             }
             if tok_probs is not None:
                 w["probability"] = float(
-                    np.mean(tok_probs[row_i][positions])
+                    np.mean(tok_probs[row_i][[text_pos[k] for k in kidx]])
                 )
             words.append(w)
-
-        for k, pos in enumerate(text_pos):
-            tok = int(toks[pos])
-            piece = decode_text([tok])
-            if piece.startswith(" ") and cur_ids:
-                word = decode_text(cur_ids).strip()
-                if word:
-                    emit(word, cur_start, starts[k], cur_pos)
-                cur_ids = [tok]
-                cur_pos = [pos]
-                cur_start = starts[k]
-            else:
-                cur_ids.append(tok)
-                cur_pos.append(pos)
-        if cur_ids:
-            word = decode_text(cur_ids).strip()
-            end_frame = starts[-1] + 10  # ~200 ms tail for the last word
-            if word:
-                emit(word, cur_start, end_frame, cur_pos)
-        out.append(words)
+        out.append(
+            _merge_punctuations(words, prepend_punctuations, append_punctuations)
+        )
     return out

@@ -227,8 +227,14 @@ class Transcriber:
     # non-speech set; a list of ids = exactly those ids (include -1 to add
     # the default set on top) — whisper.DecodingOptions semantics
     suppress_tokens: list[int] | None = None
-    # cross-attention DTW word alignment (openai word_timestamps=True)
+    # cross-attention DTW word alignment (openai word_timestamps=True).
+    # Word boundaries are language-aware exactly as openai's: spaceless
+    # languages (zh/ja/th/lo/my/yue) split per unicode codepoint, others
+    # on spaces, with punctuation merged into its neighbour via the two
+    # option strings below (openai's prepend/append_punctuations).
     word_timestamps: bool = False
+    prepend_punctuations: str = "\"'“¿([{-"
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、"
     # openai's hallucination_silence_threshold (seconds): drop anomalous
     # segments (low word probability / implausible word durations) that sit
     # next to silence longer than this.  Requires word_timestamps=True,
@@ -251,6 +257,13 @@ class Transcriber:
     # retries (as openai does); with condition_on_previous_text it also
     # seeds the first group's rolling context and persists naturally.
     initial_prompt: str | None = None
+    # openai-whisper's carry_initial_prompt: re-prepend the initial_prompt
+    # tokens to EVERY window's <|startofprev|> context (not just the
+    # first), trimming the rolling history to what still fits — openai's
+    # `initial_prompt_tokens + all_tokens[nignored:]` window prompt.  The
+    # carried part survives prompt_reset_on_temperature, exactly as
+    # openai's nignored = max(len(initial_prompt_tokens), ...) does.
+    carry_initial_prompt: bool = False
     # auto language detection on the first chunk (multilingual models with
     # no pinned language — whisper's detect_language behaviour)
     auto_language: bool = True
@@ -522,6 +535,17 @@ class Transcriber:
             **kw,
         )
 
+    def _carry_hists(self, hists: list[list[int]]) -> list[list[int]]:
+        """carry_initial_prompt under conditioning: prepend the initial
+        prompt to each row's rolling context, trimming the context tail to
+        what fits in condition_ctx_tokens (openai clips all_tokens the
+        same way against n_text_ctx // 2 - 1)."""
+        ipt = self._initial_prompt_tokens
+        if not (self.carry_initial_prompt and ipt):
+            return hists
+        budget = max(0, self.condition_ctx_tokens - len(ipt))
+        return [ipt + (h[-budget:] if budget else []) for h in hists]
+
     def _run_decode(
         self,
         audio_states,
@@ -541,10 +565,19 @@ class Transcriber:
             temperature = self.temperature
         lang = self._active_language if self._active_language is not None else self.language
         sot_seq = tuple(self.special.sot_sequence(language=lang, task=self.task))
-        if first_row_prompt and self._initial_prompt_tokens:
+        carry = self.carry_initial_prompt and bool(self._initial_prompt_tokens)
+        if (first_row_prompt or carry) and self._initial_prompt_tokens:
             b = audio_states.shape[0]
+            # carry_initial_prompt: EVERY window gets the prompt (openai
+            # re-prepends it per decode call); else only the meeting's
+            # first window (row 0 of the first slab)
+            per_row = (
+                [self._initial_prompt_tokens] * b
+                if carry
+                else [self._initial_prompt_tokens] + [[]] * (b - 1)
+            )
             rows, lens = decode_lib.build_prompt_rows(
-                [self._initial_prompt_tokens] + [[]] * (b - 1),
+                per_row,
                 sot_seq,
                 self.special,
                 len(self._initial_prompt_tokens),
@@ -833,8 +866,12 @@ class Transcriber:
         )
         histories: list[list[int]] = [[] for _ in range(n_groups)]
         # initial_prompt seeds the first group's rolling context (openai
-        # keeps it in all_tokens, so it persists under conditioning)
-        histories[0] = list(self._initial_prompt_tokens)
+        # keeps it in all_tokens, so it persists under conditioning) —
+        # except under carry_initial_prompt, where _carry_hists prepends it
+        # to every prompt instead (openai skips the initial tokens from
+        # all_tokens via nignored to avoid doubling them)
+        if not self.carry_initial_prompt:
+            histories[0] = list(self._initial_prompt_tokens)
         # word_timestamps: rounds visit chunks in scattered order, so the
         # encoder states are RETAINED on device per sub-batch and
         # re-ordered into chunk order at the end for the alignment pass
@@ -877,9 +914,13 @@ class Transcriber:
 
                 def run_prompted(sub_states, sub_hists, temp, seed):
                     n_pad = sub_states.shape[0] - len(sub_hists)
+                    sub_hists = self._carry_hists(sub_hists)
+                    max_ctx = self.condition_ctx_tokens
+                    if self.carry_initial_prompt:
+                        max_ctx = max(max_ctx, len(self._initial_prompt_tokens))
                     rows, lens = decode_lib.build_prompt_rows(
                         sub_hists + [[]] * n_pad, sot_seq, self.special,
-                        self.condition_ctx_tokens,
+                        max_ctx,
                     )
                     if self.beam_size > 0 and temp == 0:
                         return self._beam_decode(sub_states, sot_seq, rows, lens)
@@ -1198,6 +1239,12 @@ class Transcriber:
             from ..models.whisper import align
 
             with_probs = self.hallucination_silence_threshold is not None
+            word_kw = dict(
+                with_probabilities=with_probs,
+                language=self._language_code(),
+                prepend_punctuations=self.prepend_punctuations,
+                append_punctuations=self.append_punctuations,
+            )
             per_chunk = []
             for si, slab_states in enumerate(states_per_slab):
                 lo = si * slab
@@ -1211,7 +1258,7 @@ class Transcriber:
                         self.special,
                         self.tokenizer.decode,
                         offsets[lo : lo + real],
-                        with_probabilities=with_probs,
+                        **word_kw,
                     )
                 )
             if patches is not None and "states" in patches:
@@ -1224,7 +1271,7 @@ class Transcriber:
                         self.special,
                         self.tokenizer.decode,
                         patches["offsets"],
-                        with_probabilities=with_probs,
+                        **word_kw,
                     )
                 )
             words = [
@@ -1242,6 +1289,22 @@ class Transcriber:
                     segments, words,
                     self.hallucination_silence_threshold, duration_s,
                 )
+            # openai attaches words per segment (segment["words"]) — the
+            # subtitle writers' word modes consume that shape; each word
+            # goes to the first segment containing its midpoint
+            wi = 0
+            for seg in segments:
+                seg_words: list[dict] = []
+                while wi < len(words):
+                    mid = (words[wi]["start"] + words[wi]["end"]) / 2
+                    if mid < seg["start"] - 0.05:
+                        wi += 1  # orphan (before this segment): flat list only
+                    elif mid <= seg["end"] + 0.05:
+                        seg_words.append(words[wi])
+                        wi += 1
+                    else:
+                        break
+                seg["words"] = seg_words
 
         elapsed = _time.perf_counter() - t0
         if progress:
@@ -1252,17 +1315,27 @@ class Transcriber:
             "duration": duration_s,
             "rtf_x": duration_s / max(elapsed, 1e-9),
         }
-        lang = self._active_language if self._active_language is not None else self.language
-        if lang is not None and self.cfg.is_multilingual:
-            from ..models.whisper.tokenizer import WHISPER_LANGUAGES, WHISPER_LANGUAGES_V3
-
-            langs = (
-                WHISPER_LANGUAGES_V3
-                if self.special.num_languages >= 100
-                else WHISPER_LANGUAGES
-            )
-            if 0 <= lang < len(langs):
-                out["language"] = langs[lang]
+        lang_code = self._language_code()
+        if lang_code is not None:
+            out["language"] = lang_code
         if words is not None:
             out["words"] = words
         return out
+
+    def _language_code(self) -> str | None:
+        """ISO code of the active (detected or pinned) language, if any."""
+        lang = (
+            self._active_language
+            if self._active_language is not None
+            else self.language
+        )
+        if lang is None or not self.cfg.is_multilingual:
+            return None
+        from ..models.whisper.tokenizer import WHISPER_LANGUAGES, WHISPER_LANGUAGES_V3
+
+        langs = (
+            WHISPER_LANGUAGES_V3
+            if self.special.num_languages >= 100
+            else WHISPER_LANGUAGES
+        )
+        return langs[lang] if 0 <= lang < len(langs) else None

@@ -147,6 +147,10 @@ def build_services(
         tkw["temperature"] = float(os.environ["APTPU_TEMPERATURE"])
     if os.environ.get("APTPU_LENGTH_PENALTY"):
         tkw["length_penalty"] = float(os.environ["APTPU_LENGTH_PENALTY"])
+    if os.environ.get("APTPU_INITIAL_PROMPT"):
+        tkw["initial_prompt"] = os.environ["APTPU_INITIAL_PROMPT"]
+    if os.environ.get("APTPU_CARRY_INITIAL_PROMPT") == "1":
+        tkw["carry_initial_prompt"] = True
     if os.environ.get("APTPU_CONDITION") == "1":
         tkw["condition_on_previous_text"] = True
     if os.environ.get("APTPU_WORD_TIMESTAMPS") == "1":

@@ -11,11 +11,19 @@ same behavioural contracts re-implemented first-party:
   * tsv: integer-millisecond `start\tend\ttext` rows with a header line
   * txt: one segment's text per line
 
+When segments carry per-word timings (``segment["words"]``, from
+word_timestamps=True), srt/vtt support openai's word-level options —
+``highlight_words`` (a <u>-underlined cue per word), ``max_line_width``,
+``max_line_count`` and ``max_words_per_line`` line-wrapping — with the
+same cue-splitting rules as whisper/utils.py SubtitlesWriter.
+
 Segments are the pipeline's `{"start": s, "end": s, "text": str}` dicts
 (the same schema the fusion stage consumes, reference:
 app/services/audio_processor.py:1114-1119).
 """
 from __future__ import annotations
+
+import re
 
 
 def _timestamp(seconds: float, *, always_hours: bool, decimal: str) -> str:
@@ -27,29 +35,119 @@ def _timestamp(seconds: float, *, always_hours: bool, decimal: str) -> str:
     return f"{hours_part}{minutes:02d}:{secs:02d}{decimal}{ms:03d}"
 
 
-def to_txt(segments: list[dict]) -> str:
+def _iterate_subtitles(
+    segments: list[dict],
+    max_line_width: int | None,
+    max_line_count: int | None,
+    max_words_per_line: int | None,
+):
+    """openai's SubtitlesWriter.iterate_subtitles: group word timings into
+    display lines/cues.  Yields lists of word dicts whose "word" text may
+    gain a leading newline (line break within one cue)."""
+    preserve_segments = max_line_count is None or max_line_width is None
+    line_width = max_line_width or 1000
+    words_per_line = max_words_per_line or 1000
+    line_len = 0
+    line_count = 1
+    subtitle: list[dict] = []
+    last = segments[0]["words"][0]["start"] if segments[0].get("words") else 0.0
+    for segment in segments:
+        chunk_index = 0
+        seg_words = segment.get("words") or []
+        while chunk_index < len(seg_words):
+            count = min(words_per_line, len(seg_words) - chunk_index)
+            for i, original in enumerate(seg_words[chunk_index : chunk_index + count]):
+                timing = dict(original)
+                long_pause = not preserve_segments and timing["start"] - last > 3.0
+                has_room = line_len + len(timing["word"]) <= line_width
+                seg_break = i == 0 and subtitle and preserve_segments
+                if line_len > 0 and has_room and not long_pause and not seg_break:
+                    line_len += len(timing["word"])
+                else:
+                    timing["word"] = timing["word"].strip()
+                    if (
+                        subtitle
+                        and max_line_count is not None
+                        and (long_pause or line_count >= max_line_count)
+                    ) or seg_break:
+                        yield subtitle
+                        subtitle = []
+                        line_count = 1
+                    elif line_len > 0:
+                        line_count += 1
+                        timing["word"] = "\n" + timing["word"]
+                    line_len = len(timing["word"].strip())
+                subtitle.append(timing)
+                last = timing["start"]
+            chunk_index += count
+    if subtitle:
+        yield subtitle
+
+
+def _iterate_cues(
+    segments: list[dict],
+    *,
+    highlight_words: bool = False,
+    max_line_width: int | None = None,
+    max_line_count: int | None = None,
+    max_words_per_line: int | None = None,
+):
+    """Yield (start_s, end_s, text) display cues.
+
+    Word-timed segments follow openai's SubtitlesWriter.iterate_result;
+    plain segments yield one cue each."""
+    word_mode = bool(segments) and bool(segments[0].get("words"))
+    if not word_mode:
+        for seg in segments:
+            yield seg["start"], seg["end"], seg["text"].strip().replace("-->", "->")
+        return
+    for subtitle in _iterate_subtitles(
+        segments, max_line_width, max_line_count, max_words_per_line
+    ):
+        start, end = subtitle[0]["start"], subtitle[-1]["end"]
+        text = "".join(w["word"] for w in subtitle)
+        if highlight_words:
+            last = start
+            all_words = [w["word"] for w in subtitle]
+            for i, this_word in enumerate(subtitle):
+                if last != this_word["start"]:
+                    yield last, this_word["start"], text
+                yield this_word["start"], this_word["end"], "".join(
+                    re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", w, flags=re.DOTALL)
+                    if j == i
+                    else w
+                    for j, w in enumerate(all_words)
+                )
+                last = this_word["end"]
+        else:
+            yield start, end, text
+
+
+def to_txt(segments: list[dict], **_unused) -> str:
     return "\n".join(seg["text"].strip() for seg in segments) + "\n"
 
 
-def to_srt(segments: list[dict]) -> str:
+def to_srt(segments: list[dict], **options) -> str:
     out = []
-    for i, seg in enumerate(segments, start=1):
-        start = _timestamp(seg["start"], always_hours=True, decimal=",")
-        end = _timestamp(seg["end"], always_hours=True, decimal=",")
-        out.append(f"{i}\n{start} --> {end}\n{seg['text'].strip()}\n")
+    for i, (start_s, end_s, text) in enumerate(
+        _iterate_cues(segments, **options), start=1
+    ):
+        start = _timestamp(start_s, always_hours=True, decimal=",")
+        end = _timestamp(end_s, always_hours=True, decimal=",")
+        out.append(f"{i}\n{start} --> {end}\n{text}\n")
     return "\n".join(out)
 
 
-def to_vtt(segments: list[dict]) -> str:
+def to_vtt(segments: list[dict], **options) -> str:
     out = ["WEBVTT\n"]
-    for seg in segments:
-        start = _timestamp(seg["start"], always_hours=False, decimal=".")
-        end = _timestamp(seg["end"], always_hours=False, decimal=".")
-        out.append(f"{start} --> {end}\n{seg['text'].strip()}\n")
+    for start_s, end_s, text in _iterate_cues(segments, **options):
+        start = _timestamp(start_s, always_hours=False, decimal=".")
+        end = _timestamp(end_s, always_hours=False, decimal=".")
+        out.append(f"{start} --> {end}\n{text}\n")
     return "\n".join(out)
 
 
-def to_tsv(segments: list[dict]) -> str:
+def to_tsv(segments: list[dict], **_unused) -> str:
     rows = ["start\tend\ttext"]
     for seg in segments:
         rows.append(
@@ -62,10 +160,11 @@ def to_tsv(segments: list[dict]) -> str:
 FORMATTERS = {"txt": to_txt, "srt": to_srt, "vtt": to_vtt, "tsv": to_tsv}
 
 
-def format_segments(segments: list[dict], fmt: str) -> str:
+def format_segments(segments: list[dict], fmt: str, **options) -> str:
     try:
-        return FORMATTERS[fmt](segments)
+        writer = FORMATTERS[fmt]
     except KeyError:
         raise ValueError(
             f"unknown format {fmt!r}; expected one of {sorted(FORMATTERS)}"
         ) from None
+    return writer(segments, **options)

@@ -89,7 +89,7 @@ def test_calibrate_alignment_heads():
     words = align.word_timestamps(
         params, cfg_h, audio, rows, st, tok.decode, np.array([0.0])
     )
-    assert [w["word"] for w in words[0]] == ["calibrate", "these", "heads"]
+    assert [w["word"] for w in words[0]] == ["calibrate", " these", " heads"]
 
 
 def test_alignment_heads_roundtrip_npz(tmp_path):
@@ -131,10 +131,75 @@ def test_word_timestamps_end_to_end():
     )
     assert len(words) == 1
     ws = words[0]
-    assert [w["word"] for w in ws] == ["hello", "world", "again"]
+    # openai-whisper keeps the leading space on space-delimited words
+    assert [w["word"] for w in ws] == ["hello", " world", " again"]
     for w in ws:
         assert 30.0 <= w["start"] <= w["end"]
     starts = [w["start"] for w in ws]
+    assert starts == sorted(starts)
+
+
+def test_split_words_unicode_cjk():
+    """Spaceless languages split per unicode codepoint: a CJK character's
+    multi-byte token group must come out as ONE word (openai's
+    split_tokens_on_unicode — byte-level tokens decode to U+FFFD until the
+    codepoint completes)."""
+    tok = ByteTokenizer()
+    ids = list(tok.encode("你好世界"))
+    words, idx = align._split_words(ids, tok.decode, "zh")
+    assert words == ["你", "好", "世", "界"]
+    # 3 UTF-8 bytes per character, indices partition the token list
+    assert [len(g) for g in idx] == [3, 3, 3, 3]
+    assert [k for g in idx for k in g] == list(range(len(ids)))
+
+
+def test_split_words_space_language_and_punctuation_merge():
+    tok = ByteTokenizer()
+    ids = list(tok.encode("hello, world."))
+    words, idx = align._split_words(ids, tok.decode, "en")
+    # punctuation starts its own split-word (openai's split_tokens_on_spaces)
+    assert words == ["hello", ",", " world", "."]
+    merged = align._merge_punctuations(
+        [{"word": w, "start": float(i), "end": float(i + 1)}
+         for i, w in enumerate(words)],
+        align.PREPEND_PUNCTUATIONS, align.APPEND_PUNCTUATIONS,
+    )
+    # appended punctuation folds into the previous word, keeping its timing
+    assert [w["word"] for w in merged] == ["hello,", " world."]
+    assert merged[0]["start"] == 0.0 and merged[0]["end"] == 1.0
+
+
+def test_merge_punctuations_prepend():
+    # opening quote attaches to the FOLLOWING word (openai's prepended set)
+    words = [
+        {"word": "so", "start": 0.0, "end": 1.0},
+        {"word": ' "', "start": 1.0, "end": 2.0},
+        {"word": "quoted", "start": 2.0, "end": 3.0},
+    ]
+    merged = align._merge_punctuations(
+        words, align.PREPEND_PUNCTUATIONS, align.APPEND_PUNCTUATIONS
+    )
+    assert [w["word"] for w in merged] == ["so", ' "quoted']
+    # base word keeps its own timing/probability fields
+    assert merged[1]["start"] == 2.0
+
+
+def test_word_timestamps_cjk_language():
+    """End-to-end: language='zh' yields per-codepoint words with monotone
+    timings and full-sentence punctuation merged."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    tok = ByteTokenizer()
+    ids = tok.encode("你好世界。")
+    rows = np.full((1, len(ids)), st.eot, np.int64)
+    rows[0, : len(ids)] = ids
+    words = align.word_timestamps(
+        params, CFG, audio_states=jnp.zeros((1, CFG.n_audio_ctx, 64), jnp.float32),
+        token_rows=rows, st=st, decode_text=tok.decode,
+        chunk_offsets_s=np.array([0.0]), language="zh",
+    )[0]
+    assert [w["word"] for w in words] == ["你", "好", "世", "界。"]
+    starts = [w["start"] for w in words]
     assert starts == sorted(starts)
 
 

@@ -82,6 +82,9 @@ def test_transcribe_word_timestamps(speech_like_audio):
     for w in out["words"]:
         assert set(w) == {"word", "start", "end"}
         assert 0.0 <= w["start"] <= w["end"] <= 30.5
+    # openai shape: every segment carries its own "words" slice
+    seg_words = [w for seg in out["segments"] for w in seg["words"]]
+    assert all(w in out["words"] for w in seg_words)
 
 
 def test_transcribe_resamples(transcriber, rng):
@@ -347,6 +350,77 @@ def test_initial_prompt_routes_first_slab_through_prompted(
     assert list(row0[1:1 + len(t._initial_prompt_tokens)]) == t._initial_prompt_tokens
     # other rows: bare sot sequence (decode identical to plain greedy)
     assert (lens[1:] == sot_len).all()
+
+
+def test_carry_initial_prompt_prompts_every_row(speech_like_audio, monkeypatch):
+    """carry_initial_prompt=True re-prepends the prompt to EVERY window
+    (openai's per-decode `initial_prompt_tokens + ...` prompt), not just
+    the meeting's first window."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        initial_prompt="Glossary: JAX, Pallas", carry_initial_prompt=True,
+        no_speech_threshold=None, enable_fallback=False,
+    )
+    captured = {}
+    orig = decode_lib.prompted_greedy_decode
+
+    def spy(params, cfg, states, rows, lens, **kw):
+        captured["rows"] = np.asarray(rows)
+        captured["lens"] = np.asarray(lens)
+        return orig(params, cfg, states, rows, lens, **kw)
+
+    monkeypatch.setattr(decode_lib, "prompted_greedy_decode", spy)
+    out = t.transcribe(speech_like_audio, remove_silence=False)
+    assert "segments" in out
+    rows, lens = captured["rows"], captured["lens"]
+    sot_len = len(t.special.sot_sequence())
+    ipt = t._initial_prompt_tokens
+    assert (lens == 1 + len(ipt) + sot_len).all()
+    for row, ln in zip(rows, lens):
+        tail = row[-ln:]
+        assert tail[0] == t.special.startofprev
+        assert list(tail[1 : 1 + len(ipt)]) == ipt
+
+
+def test_carry_initial_prompt_conditioned(monkeypatch):
+    """Under conditioning, every round's prompt is the initial tokens +
+    the rolling history trimmed to what still fits (openai's nignored /
+    remaining-length clip); the history itself is NOT seeded with the
+    prompt (no doubling)."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=6,
+        initial_prompt="context words", carry_initial_prompt=True,
+        condition_on_previous_text=True, condition_ctx_tokens=16,
+        enable_fallback=False, no_speech_threshold=None,
+    )
+    ipt = t._initial_prompt_tokens
+    assert ipt
+    rounds = []
+    orig = decode_lib.prompted_greedy_decode
+
+    def spy(params, cfg, states, rows, lens, **kw):
+        rounds.append((np.asarray(rows).copy(), np.asarray(lens).copy()))
+        return orig(params, cfg, states, rows, lens, **kw)
+
+    monkeypatch.setattr(decode_lib, "prompted_greedy_decode", spy)
+    rng_ = np.random.default_rng(0)
+    audio = rng_.normal(0, 0.15, 16000 * 65).astype(np.float32)  # 3 windows
+    out = t.transcribe(audio, remove_silence=False)
+    assert "segments" in out
+    assert len(rounds) >= 2
+    budget = t.condition_ctx_tokens - len(ipt)
+    for rows, lens in rounds:
+        tail = rows[0][-lens[0]:]
+        assert tail[0] == t.special.startofprev
+        # prompt starts with the carried initial tokens every round
+        assert list(tail[1 : 1 + len(ipt)]) == ipt
+        # and never exceeds initial + trimmed-history budget + sot
+        sot_len = len(t.special.sot_sequence())
+        assert lens[0] <= 1 + len(ipt) + budget + sot_len
 
 
 def test_initial_prompt_seeds_conditioned_history():
