@@ -67,6 +67,11 @@ class Diarizer:
     # app/services/audio_processor.py:885).
     seg_trained: bool = False
     emb_trained: bool = False
+    # weight provenance, surfaced in job results when fully trained:
+    # "trained" (caller-supplied checkpoints), "converted" (from_npz pack),
+    # or "bundled-synthetic" (the in-repo synthetic-pretrained default —
+    # real speech but far from pyannote parity; see assets/README)
+    provenance: str = "trained"
 
     def __post_init__(self):
         if self.seg_fn is None:
@@ -122,6 +127,9 @@ class Diarizer:
         from ..training import diarization_trainer as dt
 
         seg_params, seg_cfg = dt.load_params(seg_path)
+        onset = dt.load_onset(seg_path)
+        if onset is not None:
+            kw.setdefault("onset", onset)
         emb_cfg = emb_lib.EmbeddingConfig()
         if "emb_params" in kw:
             kw.setdefault("emb_trained", True)
@@ -138,6 +146,38 @@ class Diarizer:
             **kw,
         )
 
+    BUNDLED_SEG = "diarizer_seg.npz"
+    BUNDLED_EMB = "diarizer_emb.npz"
+
+    @classmethod
+    def bundled(cls, **kw) -> "Diarizer | None":
+        """The in-repo synthetic-pretrained diarizer, or None if absent.
+
+        Both nets are trained on randomized synthetic voices
+        (tools/make_bundled_diarizer.py) — a working default far better
+        than random weights, but NOT pyannote parity: job results carry
+        provenance "bundled-synthetic" and serving logs say so.  Configure
+        APTPU_DIARIZER_PATH / APTPU_EMBEDDING_PATH for production weights
+        (the reference's pyannote role, app/services/audio_processor.py:885).
+        """
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), os.pardir, "assets")
+        seg_path = os.path.join(base, cls.BUNDLED_SEG)
+        emb_path = os.path.join(base, cls.BUNDLED_EMB)
+        if not (os.path.exists(seg_path) and os.path.exists(emb_path)):
+            return None
+        from ..training import embedding_trainer as et
+
+        emb_params, emb_cfg = et.load_params(emb_path)
+        kw.setdefault("emb_params", emb_params)
+        kw.setdefault("emb_cfg", emb_cfg)
+        thr = et.load_cluster_threshold(emb_path)
+        if thr is not None:
+            kw.setdefault("cluster_threshold", thr)
+        kw.setdefault("provenance", "bundled-synthetic")
+        return cls.from_tpu_segmentation(seg_path, **kw)
+
     @classmethod
     def from_npz(cls, path: str, **kw) -> "Diarizer":
         """Load converted pyannote/ResNet weights saved by
@@ -147,6 +187,7 @@ class Diarizer:
         seg_params, emb_params = dconvert.load_diarizer_params(path)
         kw.setdefault("emb_params", emb_params)  # trained override wins
         kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
+        kw.setdefault("provenance", "converted")
         return cls(
             seg_params=seg_params,
             seg_cfg=seg_lib.SegmentationConfig(),

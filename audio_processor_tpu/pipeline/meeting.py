@@ -200,7 +200,9 @@ class MeetingProcessor:
             if self.diarizer is not None:
                 untrained = getattr(self.diarizer, "untrained_parts", [])
                 diarizer_status = (
-                    "untrained:" + ",".join(untrained) if untrained else "trained"
+                    "untrained:" + ",".join(untrained)
+                    if untrained
+                    else getattr(self.diarizer, "provenance", "trained")
                 )
                 if untrained:
                     logger.warning(

@@ -202,8 +202,18 @@ def labels_to_turns(
 # Checkpoint save/load (consumed by pipeline.diarize.Diarizer)
 # ---------------------------------------------------------------------------
 
-def save_params(path: str, params: Params, cfg: seg.TpuSegmentationConfig) -> None:
-    """Trained segmentation params + config -> one .npz."""
+def save_params(
+    path: str,
+    params: Params,
+    cfg: seg.TpuSegmentationConfig,
+    onset: float | None = None,
+) -> None:
+    """Trained segmentation params + config -> one .npz.
+
+    ``onset`` (from calibrate_onset) rides the checkpoint as metadata so
+    the serving Diarizer binarises at the calibrated threshold instead of
+    the 0.5 default (pyannote ships its thresholds inside the pipeline
+    config the same way)."""
     from .pytree_io import flatten_tree
 
     flat = {f"p.{k}": v for k, v in flatten_tree(params).items()}
@@ -213,7 +223,17 @@ def save_params(path: str, params: Params, cfg: seg.TpuSegmentationConfig) -> No
     ):
         flat[f"cfg.{field}"] = np.asarray(getattr(cfg, field))
     flat["cfg.window_s"] = np.asarray(cfg.window_s)
+    if onset is not None:
+        flat["meta.onset"] = np.asarray(float(onset))
     np.savez(path, **flat)
+
+
+def load_onset(path: str) -> float | None:
+    """Calibrated binarisation threshold stored by save_params, if any."""
+    with np.load(path) as data:
+        if "meta.onset" in data.files:
+            return float(data["meta.onset"])
+    return None
 
 
 def load_params(path: str) -> tuple[Params, seg.TpuSegmentationConfig]:

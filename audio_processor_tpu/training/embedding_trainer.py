@@ -158,8 +158,18 @@ def embedding_separation(
 # Serialisation (serve with pipeline/diarize.Diarizer(emb_params=..., ...))
 # ---------------------------------------------------------------------------
 
-def save_params(path: str, params: Any, cfg: emb.EmbeddingConfig) -> None:
-    """Trained embedding params + config -> one .npz."""
+def save_params(
+    path: str,
+    params: Any,
+    cfg: emb.EmbeddingConfig,
+    cluster_threshold: float | None = None,
+) -> None:
+    """Trained embedding params + config -> one .npz.
+
+    ``cluster_threshold`` (an AHC cosine-distance cut calibrated against
+    THIS embedding space, e.g. by tools/make_bundled_diarizer.py) rides
+    the checkpoint as metadata — pyannote ships its clustering threshold
+    inside the pipeline config the same way."""
     from .pytree_io import flatten_tree
 
     flat = {f"p.{k}": v for k, v in flatten_tree(params).items()}
@@ -167,7 +177,17 @@ def save_params(path: str, params: Any, cfg: emb.EmbeddingConfig) -> None:
         flat[f"cfg.{field}"] = np.asarray(getattr(cfg, field))
     flat["cfg.blocks"] = np.asarray(cfg.blocks)
     flat["cfg.crop_s"] = np.asarray(cfg.crop_s)
+    if cluster_threshold is not None:
+        flat["meta.cluster_threshold"] = np.asarray(float(cluster_threshold))
     np.savez(path, **flat)
+
+
+def load_cluster_threshold(path: str) -> float | None:
+    """Calibrated AHC threshold stored by save_params, if any."""
+    with np.load(path) as data:
+        if "meta.cluster_threshold" in data.files:
+            return float(data["meta.cluster_threshold"])
+    return None
 
 
 def load_params(path: str) -> tuple[Any, emb.EmbeddingConfig]:

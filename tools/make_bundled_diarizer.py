@@ -1,0 +1,207 @@
+"""Train, validate, and save the BUNDLED synthetic-pretrained diarizer.
+
+Produces audio_processor_tpu/assets/{diarizer_seg.npz, diarizer_emb.npz},
+the checkpoints `Diarizer.bundled()` serves when APTPU_DIARIZER_PATH is
+unset — a working out-of-the-box default in place of random weights
+(round-2 review: random diarizer serving should be replaced or loud; the
+reference always serves trained pyannote weights,
+/root/reference/app/services/audio_processor.py:885).
+
+Both nets train on RANDOMIZED synthetic voices (log-uniform pitch,
+harmonic stacks with wobble + syllabic modulation — the same generative
+model as the hermetic DER gate, tests/test_diarizer_e2e_der.py, but with
+pitches resampled every batch so nothing is tuned to fixed speakers).
+The script then validates end-to-end DER on held-out meetings with
+UNSEEN pitches and refuses to save above the gate.
+
+Run:  python tools/make_bundled_diarizer.py            (TPU or CPU)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from audio_processor_tpu.models.diarization import embedding as emb_lib  # noqa: E402
+from audio_processor_tpu.models.diarization import segmentation_tpu as seg_tpu  # noqa: E402
+from audio_processor_tpu.models.diarization.segmentation import powerset_matrix  # noqa: E402
+from audio_processor_tpu.pipeline.diarize import Diarizer  # noqa: E402
+from audio_processor_tpu.training import diarization_trainer as dt  # noqa: E402
+from audio_processor_tpu.training import embedding_trainer as et  # noqa: E402
+from audio_processor_tpu.utils.metrics import diarization_error_rate  # noqa: E402
+
+# compact bundled configs: ~2 MB + ~3 MB on disk — big enough to separate
+# voices, small enough to commit
+SEG_CFG = seg_tpu.TpuSegmentationConfig(
+    window_s=6.0, d_model=128, n_head=4, n_layer=3
+)
+EMB_CFG = emb_lib.EmbeddingConfig(
+    base_channels=16, blocks=(2, 2, 2, 2), embed_dim=128, crop_s=2.0
+)
+F0_LO, F0_HI = 85.0, 380.0  # human-ish fundamental range
+
+
+def sample_f0s(rng, n=3, min_ratio=1.22):
+    """n speaker pitches, log-uniform, pairwise-separated."""
+    while True:
+        f = np.sort(np.exp(rng.uniform(np.log(F0_LO), np.log(F0_HI), n)))
+        if np.all(f[1:] / f[:-1] >= min_ratio):
+            return tuple(float(x) for x in f)
+
+
+def make_meeting(rng, f0s, duration_s=24.0, sr=16_000):
+    """Held-out meeting: non-overlapping turns with gaps + reference turns."""
+    audio = rng.normal(0, 0.003, int(duration_s * sr)).astype(np.float32)
+    ref = []
+    t, i = 0.3, 0
+    while t < duration_s - 2.0:
+        spk = i % len(f0s)
+        dur = float(rng.uniform(1.2, 2.0))
+        a, b = int(t * sr), int(min(t + dur, duration_s) * sr)
+        audio[a:b] += dt.synth_voice(rng, f0s[spk], b - a, sr)
+        ref.append({"start": round(t, 3), "end": round(t + dur, 3),
+                    "speaker": f"REF_{spk}"})
+        t += dur + float(rng.uniform(0.3, 0.6))
+        i += 1
+    return audio, ref
+
+
+def train_segmentation(rng, steps, batch, lr=1e-3):
+    member = powerset_matrix(SEG_CFG)
+    lut = dt.powerset_lookup(member)
+    member_j, lut_j = jnp.asarray(member), jnp.asarray(lut)
+    state = dt.init_train_state(SEG_CFG, jax.random.PRNGKey(0), lr=lr)
+    t0 = time.time()
+    for step in range(steps):
+        f0s = sample_f0s(rng)  # fresh voices every batch
+        xs, ys = zip(*(dt.synth_mixture(rng, SEG_CFG, f0s=f0s)
+                       for _ in range(batch)))
+        state, loss = dt.train_step(
+            state, SEG_CFG, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
+            member_j, lut_j, lr=lr,
+        )
+        if step % max(1, steps // 20) == 0 or step == steps - 1:
+            print(f"seg step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    # calibrate the binarisation threshold on fresh held-out mixtures
+    xs, ys = zip(*(dt.synth_mixture(rng, SEG_CFG, f0s=sample_f0s(rng))
+                   for _ in range(16)))
+    probs = np.asarray(seg_tpu.segment_windows(
+        state.params, SEG_CFG, jnp.asarray(np.stack(xs))))
+    onset, err = dt.calibrate_onset(probs, np.stack(ys))
+    print(f"calibrated onset {onset:.2f} (frame err {err:.3f})")
+    return state.params, float(onset)
+
+
+def train_embedding(rng, steps, batch, n_bank=24, lr=1e-3):
+    # a bank of pitches spanning the speaking range; AAM-softmax classes
+    f0_bank = np.exp(np.linspace(np.log(F0_LO), np.log(F0_HI), n_bank))
+    state = et.init_train_state(EMB_CFG, n_bank, jax.random.PRNGKey(1), lr=lr)
+    t0 = time.time()
+    for step in range(steps):
+        labels = rng.integers(0, n_bank, batch)
+        crops = np.stack([
+            et.synth_speaker_crop(rng, float(f0_bank[s]), EMB_CFG)
+            for s in labels
+        ])
+        state, loss = et.train_step(
+            state, EMB_CFG, jnp.asarray(crops),
+            jnp.asarray(labels, jnp.int32), lr=lr,
+        )
+        if step % max(1, steps // 20) == 0 or step == steps - 1:
+            print(f"emb step {step:5d}  loss {float(loss):.4f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return state.params
+
+
+def _diarizer(seg_params, onset, emb_params, thr):
+    return Diarizer(
+        seg_params=seg_params, seg_cfg=SEG_CFG, seg_fn=seg_tpu.segment_windows,
+        emb_params=emb_params, emb_cfg=EMB_CFG,
+        window_step_s=2.0, onset=onset, cluster_threshold=thr,
+        seg_trained=True, emb_trained=True,
+    )
+
+
+def calibrate_threshold(seg_params, onset, emb_params, meetings=6):
+    """Sweep the AHC cosine-distance cut on held-out meetings — the
+    threshold is a property of THIS embedding space (pyannote calibrates
+    its pipeline threshold per-embedding-model the same way)."""
+    rng = np.random.default_rng(424243)
+    cases = [make_meeting(rng, sample_f0s(rng)) for _ in range(meetings)]
+    best_thr, best_der = 0.7, float("inf")
+    for thr in np.arange(0.25, 0.95, 0.05):
+        d = _diarizer(seg_params, onset, emb_params, float(thr))
+        ders = []
+        for audio, ref in cases:
+            turns = d.diarize(audio)
+            ders.append(
+                diarization_error_rate(ref, turns, collar_s=0.25)
+                if turns else 1.0
+            )
+        med = float(np.median(ders))
+        print(f"  threshold {thr:.2f}: median DER {med:.3f}")
+        if med < best_der:
+            best_thr, best_der = float(thr), med
+    print(f"calibrated cluster_threshold {best_thr:.2f} (DER {best_der:.3f})")
+    return best_thr
+
+
+def validate(seg_params, onset, emb_params, thr, trials=5, gate=0.20):
+    d = _diarizer(seg_params, onset, emb_params, thr)
+    rng = np.random.default_rng(987654)  # held out from training rngs
+    ders = []
+    for trial in range(trials):
+        audio, ref = make_meeting(rng, sample_f0s(rng))
+        turns = d.diarize(audio)
+        der = diarization_error_rate(ref, turns, collar_s=0.25) if turns else 1.0
+        n_spk = len({t["speaker"] for t in turns})
+        print(f"validation trial {trial}: DER {der:.3f}, {n_spk} speakers")
+        ders.append(der)
+    med = float(np.median(ders))
+    print(f"median held-out DER {med:.3f} (gate {gate})")
+    if med > gate:
+        raise SystemExit(f"DER {med:.3f} exceeds the {gate} gate — not saving")
+    return med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seg-steps", type=int, default=3000)
+    ap.add_argument("--emb-steps", type=int, default=2400)
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "audio_processor_tpu", "assets"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (default: whatever jax.devices() gives)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"devices: {jax.devices()}")
+
+    rng = np.random.default_rng(20260817)
+    seg_params, onset = train_segmentation(rng, args.seg_steps, args.batch)
+    emb_params = train_embedding(rng, args.emb_steps, max(args.batch, 32))
+    thr = calibrate_threshold(seg_params, onset, emb_params)
+    validate(seg_params, onset, emb_params, thr)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    seg_path = os.path.join(args.out_dir, Diarizer.BUNDLED_SEG)
+    emb_path = os.path.join(args.out_dir, Diarizer.BUNDLED_EMB)
+    dt.save_params(seg_path, seg_params, SEG_CFG, onset=onset)
+    et.save_params(emb_path, emb_params, EMB_CFG, cluster_threshold=thr)
+    for p in (seg_path, emb_path):
+        print(f"saved {p} ({os.path.getsize(p) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
