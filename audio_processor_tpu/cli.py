@@ -60,6 +60,8 @@ def cmd_transcribe(args) -> None:
         kw["initial_prompt"] = args.initial_prompt
     if args.carry_initial_prompt:
         kw["carry_initial_prompt"] = True
+    if args.prefix:
+        kw["prefix"] = args.prefix
     if args.model_path:
         t = Transcriber.from_npz(
             args.model_path, tokenizer_path=args.tokenizer, **kw
@@ -581,6 +583,10 @@ def main(argv: list[str] | None = None) -> None:
                    action="store_true",
                    help="re-prepend --initial-prompt to EVERY window's "
                    "context (openai-whisper's carry_initial_prompt)")
+    t.add_argument("--prefix",
+                   help="text the decode continues FROM (appended after "
+                   "the sot sequence, excluded from the output — "
+                   "openai-whisper's DecodingOptions.prefix)")
     t.add_argument("--output-format", dest="output_format",
                    choices=("text", "txt", "json", "srt", "vtt", "tsv"),
                    default="text", help="stdout format (default: readable text)")

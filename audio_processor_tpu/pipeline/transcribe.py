@@ -264,6 +264,15 @@ class Transcriber:
     # carried part survives prompt_reset_on_temperature, exactly as
     # openai's nignored = max(len(initial_prompt_tokens), ...) does.
     carry_initial_prompt: bool = False
+    # openai-whisper's DecodingOptions.prefix: text appended AFTER the sot
+    # sequence in the prefill, so the decode CONTINUES from it (vs the
+    # prompt, which precedes the sot as <|startofprev|> context).  Like
+    # openai, the prefix tokens sit before sample_begin and never reach
+    # the output, the first sampled token is still forced to a timestamp,
+    # and the token count is capped at openai's max_prefix_len =
+    # n_text_ctx // 2 - sample_len.  Applies to every window (whisper's
+    # transcribe loop passes its DecodingOptions unchanged per window).
+    prefix: str | None = None
     # auto language detection on the first chunk (multilingual models with
     # no pinned language — whisper's detect_language behaviour)
     auto_language: bool = True
@@ -356,6 +365,32 @@ class Transcriber:
                     "replicated-only)"
                 )
                 self.cross_kv_bits = 8
+        # DecodingOptions.prefix -> token ids once (static across windows);
+        # openai's cap: max_prefix_len = n_ctx // 2 - sample_len
+        self._prefix_tokens: list[int] = []
+        if self.prefix:
+            toks = [
+                int(t)
+                for t in self.tokenizer.encode(" " + self.prefix.strip())
+                if int(t) < self.special.eot
+            ]
+            max_prefix_len = self.cfg.n_text_ctx // 2 - self.max_new_tokens
+            if max_prefix_len > 0:
+                # openai's cap — at the default sample_len (n_ctx//2) it is
+                # 0 and openai's `prefix_tokens[-0:]` keeps EVERYTHING (the
+                # -0 == 0 slice quirk), so a non-positive cap must not trim
+                toks = toks[-max_prefix_len:]
+            # hard safety openai lacks: positions past n_text_ctx silently
+            # clamp to the last positional embedding here (jnp.take clips),
+            # so the prefill + generation budget must fit
+            sot_len = len(self.special.sot_sequence(language=0))
+            hard = self.cfg.n_text_ctx - self.max_new_tokens - sot_len - 1
+            if hard <= 0:
+                raise ValueError(
+                    f"max_new_tokens={self.max_new_tokens} leaves no room "
+                    f"for a prefix within n_text_ctx={self.cfg.n_text_ctx}"
+                )
+            self._prefix_tokens = toks[-hard:]
         # openai prepends a space and keeps the last n_text_ctx//2 - 1
         # tokens; additionally cap so prompt + sot + max_new_tokens fits
         # n_text_ctx (positions past it would silently clamp to the last
@@ -363,7 +398,9 @@ class Transcriber:
         self._initial_prompt_tokens: list[int] = []
         if self.initial_prompt:
             toks = self.tokenizer.encode(" " + self.initial_prompt.strip())
-            sot_len = len(self.special.sot_sequence(language=0))
+            sot_len = len(self.special.sot_sequence(language=0)) + len(
+                self._prefix_tokens
+            )
             cap = min(
                 self.cfg.n_text_ctx // 2 - 1,
                 self.cfg.n_text_ctx - self.max_new_tokens - sot_len - 1,
@@ -428,6 +465,16 @@ class Transcriber:
             )
 
         self._frontend_encode = jax.jit(_fe)
+
+    def _sot_seq(self, lang: int | None) -> tuple[int, ...]:
+        """Static prefill sequence: sot tokens + DecodingOptions.prefix
+        tokens (openai's _get_initial_tokens layout — sample_begin sits
+        past the prefix, so prefix text never reaches the output; prompt
+        rows built around this sequence keep the openai ordering
+        <|startofprev|> + prompt + sot + prefix)."""
+        return tuple(
+            self.special.sot_sequence(language=lang, task=self.task)
+        ) + tuple(self._prefix_tokens)
 
     @property
     def _active_language(self) -> int | None:
@@ -564,7 +611,7 @@ class Transcriber:
         if temperature is None:
             temperature = self.temperature
         lang = self._active_language if self._active_language is not None else self.language
-        sot_seq = tuple(self.special.sot_sequence(language=lang, task=self.task))
+        sot_seq = self._sot_seq(lang)
         carry = self.carry_initial_prompt and bool(self._initial_prompt_tokens)
         if (first_row_prompt or carry) and self._initial_prompt_tokens:
             b = audio_states.shape[0]
@@ -907,9 +954,7 @@ class Transcriber:
                     if self._active_language is not None
                     else self.language
                 )
-                sot_seq = tuple(
-                    self.special.sot_sequence(language=lang, task=self.task)
-                )
+                sot_seq = self._sot_seq(lang)
                 hists = [histories[ci // g_size] for ci in ids]
 
                 def run_prompted(sub_states, sub_hists, temp, seed):

@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 
+from audio_processor_tpu.models.whisper.config import get_config
 from audio_processor_tpu.pipeline.transcribe import Transcriber, _bucket
 
 
@@ -699,3 +700,93 @@ def test_beam_failures_retry_through_sampling_ladder(rng, monkeypatch):
     assert set(out) >= {"text", "segments"}
     assert ("beam",) in kinds                      # T=0 rung used beam
     assert ("greedy", 0.5) in kinds                # the retry sampled at T>0
+
+
+# ---------------------------------------------------------------------------
+# DecodingOptions.prefix (openai-whisper API parity)
+# ---------------------------------------------------------------------------
+
+def test_prefix_extends_sot_sequence(speech_like_audio, monkeypatch):
+    """prefix tokens ride the static prefill AFTER the sot sequence
+    (openai's _get_initial_tokens layout: sot_sequence + prefix, with
+    sample_begin past the prefix so it never reaches the output)."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        prefix="He said", no_speech_threshold=None, enable_fallback=False,
+    )
+    assert t._prefix_tokens == [
+        int(x) for x in t.tokenizer.encode(" He said")
+    ]
+    captured = {}
+    orig = decode_lib.greedy_decode
+
+    def spy(params, cfg, states, **kw):
+        captured["sot"] = kw["sot_sequence"]
+        return orig(params, cfg, states, **kw)
+
+    monkeypatch.setattr(decode_lib, "greedy_decode", spy)
+    out = t.transcribe(speech_like_audio[: 16000 * 2], remove_silence=False)
+    sot = captured["sot"]
+    bare = tuple(t.special.sot_sequence())
+    assert sot[: len(bare)] == bare
+    assert list(sot[len(bare):]) == t._prefix_tokens
+    # the prefix text is prefill, not output (sample_begin past it)
+    assert "He said" not in out["text"]
+
+
+def test_prefix_composes_with_initial_prompt(speech_like_audio, monkeypatch):
+    """prompt rows keep openai's ordering: <|startofprev|> + prompt tokens
+    + sot sequence + prefix tokens."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        initial_prompt="Glossary: JAX", prefix="He said",
+        no_speech_threshold=None, enable_fallback=False,
+    )
+    captured = {}
+    orig = decode_lib.prompted_greedy_decode
+
+    def spy(params, cfg, states, rows, lens, **kw):
+        captured["rows"] = np.asarray(rows)
+        captured["lens"] = np.asarray(lens)
+        captured["sot_len"] = kw["sot_len"]
+        return orig(params, cfg, states, rows, lens, **kw)
+
+    monkeypatch.setattr(decode_lib, "prompted_greedy_decode", spy)
+    t.transcribe(speech_like_audio, remove_silence=False)
+    rows, lens = captured["rows"], captured["lens"]
+    bare = list(t.special.sot_sequence())
+    assert captured["sot_len"] == len(bare) + len(t._prefix_tokens)
+    row0 = list(rows[0][-lens[0]:])
+    assert row0[0] == t.special.startofprev
+    assert row0[1:1 + len(t._initial_prompt_tokens)] == t._initial_prompt_tokens
+    # suffix: sot sequence then the prefix tokens (openai's layout)
+    assert row0[-len(t._prefix_tokens):] == t._prefix_tokens
+    sot_at = len(row0) - captured["sot_len"]
+    assert row0[sot_at] == t.special.sot
+
+
+def test_prefix_trimmed_to_openai_cap():
+    """openai keeps the LAST n_text_ctx//2 - sample_len prefix tokens."""
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        prefix="a b c d e f g h i j k l m n o p q r s t u v w x y z " * 20,
+    )
+    cap = t.cfg.n_text_ctx // 2 - t.max_new_tokens
+    full = [
+        int(x) for x in t.tokenizer.encode(" " + t.prefix.strip())
+        if int(x) < t.special.eot
+    ]
+    assert len(full) > cap  # the case actually exercises trimming
+    assert t._prefix_tokens == full[-cap:]
+
+
+def test_prefix_rejects_impossible_budget():
+    with pytest.raises(ValueError, match="prefix"):
+        Transcriber.random_init(
+            "test", prefix="hi",
+            max_new_tokens=get_config("test").n_text_ctx,
+        )
