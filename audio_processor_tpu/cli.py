@@ -62,6 +62,13 @@ def cmd_transcribe(args) -> None:
         kw["carry_initial_prompt"] = True
     if args.prefix:
         kw["prefix"] = args.prefix
+    if args.without_timestamps:
+        kw["without_timestamps"] = True
+    if args.max_initial_timestamp is not None:
+        kw["max_initial_timestamp"] = (
+            None if args.max_initial_timestamp < 0
+            else args.max_initial_timestamp
+        )
     if args.model_path:
         t = Transcriber.from_npz(
             args.model_path, tokenizer_path=args.tokenizer, **kw
@@ -119,7 +126,9 @@ def cmd_diarize(args) -> None:
     if args.segmentation_path:
         d = Diarizer.from_tpu_segmentation(args.segmentation_path, **kw)
     else:
-        d = Diarizer.random_init(**kw)
+        # same default ladder as serving: bundled synthetic-pretrained
+        # checkpoints before random weights (runtime/services.py)
+        d = Diarizer.bundled(**kw) or Diarizer.random_init(**kw)
     audio = ingest.load_audio(args.audio)
     turns = d.diarize(audio)
     if args.json:
@@ -142,10 +151,10 @@ def cmd_process(args) -> None:
         if args.model_path
         else Transcriber.random_init(args.model)
     )
-    proc = MeetingProcessor(
-        transcriber=transcriber,
-        diarizer=Diarizer.random_init() if not args.no_diarization else None,
-    )
+    diarizer = None
+    if not args.no_diarization:
+        diarizer = Diarizer.bundled() or Diarizer.random_init()
+    proc = MeetingProcessor(transcriber=transcriber, diarizer=diarizer)
     engine = JobEngine(max_workers=1)
     engine.create_job("cli", file_id=args.audio)
     engine.submit("cli", lambda ctx: proc.process(ctx, args.audio),
@@ -587,6 +596,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="text the decode continues FROM (appended after "
                    "the sot sequence, excluded from the output — "
                    "openai-whisper's DecodingOptions.prefix)")
+    t.add_argument("--without-timestamps", dest="without_timestamps",
+                   action="store_true",
+                   help="decode with <|notimestamps|>; each 30 s window "
+                   "becomes one segment (openai's without_timestamps)")
+    t.add_argument("--max-initial-timestamp", dest="max_initial_timestamp",
+                   type=float, default=None, metavar="S",
+                   help="cap on the first timestamp per window in seconds "
+                   "(openai's max_initial_timestamp; default 1.0; -1 = "
+                   "no cap)")
     t.add_argument("--output-format", dest="output_format",
                    choices=("text", "txt", "json", "srt", "vtt", "tsv"),
                    default="text", help="stdout format (default: readable text)")

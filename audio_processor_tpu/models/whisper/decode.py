@@ -535,10 +535,15 @@ def apply_logit_rules(
     max_ts_token: jnp.ndarray,  # (B,) highest timestamp sampled so far (or tb-1)
     suppress_mask: jnp.ndarray | None,  # (V,) bool — True = suppress
     use_timestamps: bool,
-    max_initial_timestamp_index: int = 50,
+    max_initial_timestamp_index: int | None = 50,
     space_blank_id: int | None = None,
 ) -> jnp.ndarray:
-    """All Whisper sampling constraints as one vectorised mask pass."""
+    """All Whisper sampling constraints as one vectorised mask pass.
+
+    max_initial_timestamp_index: openai's max_initial_timestamp option in
+    index form (seconds / 0.02 precision; the default 50 = 1.0 s).  None
+    disables the cap, as openai's DecodingOptions allows.
+    """
     v = logits.shape[-1]
     vocab_ids = jnp.arange(v)
     tb = st.timestamp_begin
@@ -584,8 +589,9 @@ def apply_logit_rules(
     # 5. first sample must be a timestamp, capped at max_initial_timestamp
     first = step == 0
     logits = jnp.where(first & ~is_ts[None, :], NEG_INF, logits)
-    too_late = vocab_ids > tb + max_initial_timestamp_index
-    logits = jnp.where(first & too_late[None, :], NEG_INF, logits)
+    if max_initial_timestamp_index is not None:
+        too_late = vocab_ids > tb + max_initial_timestamp_index
+        logits = jnp.where(first & too_late[None, :], NEG_INF, logits)
 
     # 6. if total timestamp probability beats the best text token, force ts
     logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -627,6 +633,7 @@ def _sample_loop(
     min_valid: jnp.ndarray | None = None,
     kv_bits: int = 8,
     compute_dtype=None,
+    max_initial_ts_index: int | None = 50,
 ):
     """The greedy/sampling while_loop shared by plain and prompted decode.
 
@@ -685,6 +692,7 @@ def _sample_loop(
             max_ts_token=s.max_ts,
             suppress_mask=suppress_mask,
             use_timestamps=use_timestamps,
+            max_initial_timestamp_index=max_initial_ts_index,
             space_blank_id=space_blank_id,
         )
         if temperature > 0:
@@ -742,7 +750,7 @@ def _sample_loop(
 _GREEDY_STATIC_ARGNAMES = (
     "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
     "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
-    "kv_bits", "quantize_self_kv", "best_of",
+    "kv_bits", "quantize_self_kv", "best_of", "max_initial_ts_index",
 )
 
 
@@ -786,6 +794,7 @@ def _greedy_decode_impl(
     temperature: float = 0.0,
     rng_seed: int = 0,
     best_of: int = 1,
+    max_initial_ts_index: int | None = 50,
 ) -> DecodeResult:
     """Batched greedy/sampling decode with Whisper rules, one jit region.
 
@@ -844,6 +853,7 @@ def _greedy_decode_impl(
         penult_init=jnp.full((b,), sot_sequence[0], jnp.int32),
         kv_bits=kv_bits_eff,
         compute_dtype=dtype,
+        max_initial_ts_index=max_initial_ts_index,
     )
     if group > 1:
         return _rank_groups(
@@ -893,6 +903,7 @@ def _prompted_greedy_impl(
     temperature: float = 0.0,
     rng_seed: int = 0,
     best_of: int = 1,
+    max_initial_ts_index: int | None = 50,
 ) -> DecodeResult:
     """Greedy decode with PER-ROW prompts: openai-whisper's
     condition_on_previous_text mechanism (<|startofprev|> + previous-window
@@ -958,6 +969,7 @@ def _prompted_greedy_impl(
         min_valid=pad_len,
         kv_bits=kv_bits_eff,
         compute_dtype=dtype,
+        max_initial_ts_index=max_initial_ts_index,
     )
     if group > 1:
         return _rank_groups(
@@ -977,6 +989,7 @@ prompted_greedy_decode = jax.jit(
         "cfg", "sot_len", "max_new_tokens", "use_timestamps", "dtype_name",
         "space_blank_id", "quantize_cross_kv", "use_pallas_kernel",
         "kv_bits", "quantize_self_kv", "temperature", "best_of",
+        "max_initial_ts_index",
     ),
 )
 
@@ -1016,7 +1029,7 @@ def build_prompt_rows(
     static_argnames=(
         "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
         "use_timestamps", "quantize_cross_kv", "use_pallas_kernel", "kv_bits",
-        "patience",
+        "patience", "max_initial_ts_index",
     ),
 )
 def beam_decode(
@@ -1037,6 +1050,7 @@ def beam_decode(
     kv_bits: int = 8,
     prompt_tokens: jnp.ndarray | None = None,  # (B, P) LEFT-padded rows
     prompt_lens: jnp.ndarray | None = None,  # (B,) real tokens per row
+    max_initial_ts_index: int | None = 50,
 ) -> DecodeResult:
     """Batched beam search with openai-whisper's BeamSearchDecoder
     semantics, fully on-device (one jit region).
@@ -1179,6 +1193,7 @@ def beam_decode(
             max_ts_token=s.max_ts.reshape(-1),
             suppress_mask=suppress_mask,
             use_timestamps=use_timestamps,
+            max_initial_timestamp_index=max_initial_ts_index,
         )
         logprobs = jax.nn.log_softmax(masked, axis=-1).reshape(b, k, v)
         cand = s.scores[:, :, None] + logprobs  # (B, K, V)

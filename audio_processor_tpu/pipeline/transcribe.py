@@ -302,6 +302,17 @@ class Transcriber:
     # i+1.  Cost is one additional bounded decode (only when straddles
     # exist), keeping the throughput of the grid decode.
     seek_repair: bool = True
+    # openai's without_timestamps: decode with <|notimestamps|> appended to
+    # the sot sequence and the timestamp rules off — each window comes out
+    # as ONE segment spanning its real audio (openai's segment_duration
+    # fallback, which tokens_to_segments already implements for
+    # timestamp-less rows).  Seek repair is moot: with no timestamps openai's
+    # own seek loop advances whole 30 s windows, exactly this batched grid.
+    without_timestamps: bool = False
+    # openai's max_initial_timestamp (seconds): cap on the first sampled
+    # timestamp token per window (DecodingOptions default 1.0); None
+    # removes the cap.
+    max_initial_timestamp: float | None = 1.0
 
     def __post_init__(self):
         if self.task not in ("transcribe", "translate"):
@@ -314,6 +325,11 @@ class Transcriber:
             )
         if self.temperature < 0:
             raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        # openai's index form: seconds / 0.02 timestamp precision
+        self._max_initial_ts_index = (
+            None if self.max_initial_timestamp is None
+            else int(round(self.max_initial_timestamp / 0.02))
+        )
         # effective fallback rungs: only temperatures ABOVE the base run
         # (openai builds its rung list from the temperature option the
         # same way — a base of 0.4 skips the 0.2 rung)
@@ -473,7 +489,10 @@ class Transcriber:
         rows built around this sequence keep the openai ordering
         <|startofprev|> + prompt + sot + prefix)."""
         return tuple(
-            self.special.sot_sequence(language=lang, task=self.task)
+            self.special.sot_sequence(
+                language=lang, task=self.task,
+                timestamps=not self.without_timestamps,
+            )
         ) + tuple(self._prefix_tokens)
 
     @property
@@ -574,7 +593,8 @@ class Transcriber:
             patience=self.patience,
             length_penalty=self.length_penalty,
             max_new_tokens=self.max_new_tokens,
-            use_timestamps=True,
+            use_timestamps=not self.without_timestamps,
+            max_initial_ts_index=self._max_initial_ts_index,
             suppress_mask=self._suppress_mask,
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
@@ -639,7 +659,8 @@ class Transcriber:
                 jnp.asarray(lens),
                 sot_len=len(sot_seq),
                 max_new_tokens=self.max_new_tokens,
-                use_timestamps=True,
+                use_timestamps=not self.without_timestamps,
+                max_initial_ts_index=self._max_initial_ts_index,
                 suppress_mask=self._suppress_mask,
                 space_blank_id=self._space_blank_id,
                 dtype_name=self.compute_dtype,
@@ -658,7 +679,8 @@ class Transcriber:
             audio_states,
             sot_sequence=sot_seq,
             max_new_tokens=self.max_new_tokens,
-            use_timestamps=True,
+            use_timestamps=not self.without_timestamps,
+            max_initial_ts_index=self._max_initial_ts_index,
             suppress_mask=self._suppress_mask,
             space_blank_id=self._space_blank_id,
             dtype_name=self.compute_dtype,
@@ -750,7 +772,7 @@ class Transcriber:
         patches is None or {"tokens","offsets","durations"[,"states"]}
         for _finalize to merge.
         """
-        if not self.seek_repair or n_chunks < 2:
+        if not self.seek_repair or self.without_timestamps or n_chunks < 2:
             return tokens, None
         bounds: list[tuple[int, float]] = []
         for i in range(n_chunks - 1):
@@ -977,7 +999,8 @@ class Transcriber:
                         jnp.asarray(lens),
                         sot_len=len(sot_seq),
                         max_new_tokens=self.max_new_tokens,
-                        use_timestamps=True,
+                        use_timestamps=not self.without_timestamps,
+                        max_initial_ts_index=self._max_initial_ts_index,
                         suppress_mask=self._suppress_mask,
                         space_blank_id=self._space_blank_id,
                         dtype_name=self.compute_dtype,

@@ -153,6 +153,11 @@ def build_services(
         tkw["carry_initial_prompt"] = True
     if os.environ.get("APTPU_PREFIX"):
         tkw["prefix"] = os.environ["APTPU_PREFIX"]
+    if os.environ.get("APTPU_WITHOUT_TIMESTAMPS") == "1":
+        tkw["without_timestamps"] = True
+    if os.environ.get("APTPU_MAX_INITIAL_TIMESTAMP"):
+        v = float(os.environ["APTPU_MAX_INITIAL_TIMESTAMP"])
+        tkw["max_initial_timestamp"] = None if v < 0 else v
     if os.environ.get("APTPU_CONDITION") == "1":
         tkw["condition_on_previous_text"] = True
     if os.environ.get("APTPU_WORD_TIMESTAMPS") == "1":

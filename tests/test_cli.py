@@ -151,3 +151,37 @@ def test_cli_stream_emits_segments(tmp_path, capsys):
     # zero or more "[start – end] text" lines, all within the recording
     for line in out.splitlines():
         assert line.startswith("["), line
+
+
+def test_cli_transcribe_new_decode_flags(wav, capsys):
+    """--prefix / --without-timestamps / --max-initial-timestamp flow
+    through to the Transcriber (openai DecodingOptions surface)."""
+    cli.main([
+        "transcribe", wav, "--model", "test", "--json", "--keep-silence",
+        "--prefix", "so then", "--without-timestamps",
+        "--max-initial-timestamp", "-1",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert "segments" in out
+    for seg in out["segments"]:
+        assert 0.0 <= seg["start"] <= seg["end"] <= 6.05
+
+
+def test_cli_diarize_defaults_to_bundled(wav, capsys, monkeypatch):
+    """No --segmentation-path -> the bundled synthetic-pretrained
+    checkpoints (same default ladder as serving), not random weights."""
+    from audio_processor_tpu.pipeline.diarize import Diarizer
+
+    seen = {}
+    orig = Diarizer.bundled.__func__
+
+    def spy(cls, **kw):
+        d = orig(cls, **kw)
+        seen["d"] = d
+        return d
+
+    monkeypatch.setattr(Diarizer, "bundled", classmethod(spy))
+    cli.main(["diarize", wav, "--json"])
+    json.loads(capsys.readouterr().out)
+    assert seen["d"] is not None
+    assert seen["d"].provenance == "bundled-synthetic"

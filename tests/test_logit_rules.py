@@ -214,3 +214,15 @@ def test_suppress_tokens_option_semantics():
     m2 = np.asarray(t_mix._suppress_mask)
     assert m2[7]
     assert (m2 | default_mask == m2).all()  # superset of the default set
+
+
+def test_max_initial_timestamp_index_custom_and_none():
+    """openai's max_initial_timestamp: a custom cap moves the boundary;
+    None removes it entirely (DecodingOptions allows both)."""
+    out = _apply(_flat(), step=jnp.int32(0), max_initial_timestamp_index=2)
+    assert np.isfinite(out[0, TB])
+    assert np.isfinite(out[0, TB + 2])
+    assert out[0, TB + 3] == -np.inf
+    out = _apply(_flat(), step=jnp.int32(0), max_initial_timestamp_index=None)
+    assert np.isfinite(out[0, TB:]).all()  # every timestamp legal
+    assert np.isinf(out[0, :TB]).all()  # text still forced off at step 0

@@ -790,3 +790,76 @@ def test_prefix_rejects_impossible_budget():
             "test", prefix="hi",
             max_new_tokens=get_config("test").n_text_ctx,
         )
+
+
+# ---------------------------------------------------------------------------
+# without_timestamps + max_initial_timestamp (openai-whisper API parity)
+# ---------------------------------------------------------------------------
+
+def test_without_timestamps_decodes_notimestamps_mode(speech_like_audio, monkeypatch):
+    """without_timestamps appends <|notimestamps|> to the sot sequence,
+    turns the timestamp rules off, and yields one window-spanning segment
+    per chunk (openai's segment_duration fallback)."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        without_timestamps=True, no_speech_threshold=None,
+        enable_fallback=False,
+    )
+    captured = {}
+    orig = decode_lib.greedy_decode
+
+    def spy(params, cfg, states, **kw):
+        captured["sot"] = kw["sot_sequence"]
+        captured["use_ts"] = kw["use_timestamps"]
+        return orig(params, cfg, states, **kw)
+
+    monkeypatch.setattr(decode_lib, "greedy_decode", spy)
+    dur = 2.0
+    out = t.transcribe(speech_like_audio[: int(16000 * dur)], remove_silence=False)
+    assert captured["use_ts"] is False
+    assert t.special.no_timestamps in captured["sot"]
+    for seg in out["segments"]:
+        assert 0.0 <= seg["start"] <= seg["end"] <= dur + 1e-6
+
+
+def test_without_timestamps_multi_chunk_segments_span_windows(rng):
+    """Each 30 s window becomes (at most) one segment bounded by its real
+    audio, and seek repair is skipped (nothing to re-cut without stamps)."""
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        without_timestamps=True, no_speech_threshold=None,
+        enable_fallback=False,
+    )
+    audio = rng.normal(0, 0.1, int(16000 * 40)).astype(np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    assert len(out["segments"]) <= 2  # one per 30 s window max
+    for seg in out["segments"]:
+        in_w0 = 0.0 <= seg["start"] and seg["end"] <= 30.0
+        in_w1 = 30.0 <= seg["start"] and seg["end"] <= 40.0 + 1e-6
+        assert in_w0 or in_w1, seg
+
+
+def test_max_initial_timestamp_reaches_decode(speech_like_audio, monkeypatch):
+    """The option rides to the decode in openai's index form
+    (seconds / 0.02), with None = uncapped."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    seen = []
+    orig = decode_lib.greedy_decode
+
+    def spy(params, cfg, states, **kw):
+        seen.append(kw["max_initial_ts_index"])
+        return orig(params, cfg, states, **kw)
+
+    monkeypatch.setattr(decode_lib, "greedy_decode", spy)
+    clip = speech_like_audio[: 16000]
+    for opt, want in ((0.4, 20), (None, None), (1.0, 50)):
+        t = Transcriber.random_init(
+            "test", compute_dtype="float32", max_new_tokens=4,
+            max_initial_timestamp=opt, no_speech_threshold=None,
+            enable_fallback=False,
+        )
+        t.transcribe(clip, remove_silence=False)
+    assert seen == [20, None, 50]

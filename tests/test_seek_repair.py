@@ -294,7 +294,7 @@ def test_word_timestamps_include_patch_windows(monkeypatch):
     t.word_timestamps = True
 
     def fake_word_timestamps(params, cfg, states, rows, st, dec, offsets,
-                             with_probabilities=False):
+                             with_probabilities=False, **_kw):
         out = []
         for r, off in zip(np.asarray(rows), np.asarray(offsets)):
             text = [int(x) for x in r if int(x) < st.eot]
