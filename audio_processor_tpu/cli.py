@@ -130,7 +130,12 @@ def cmd_diarize(args) -> None:
         # checkpoints before random weights (runtime/services.py)
         d = Diarizer.bundled(**kw) or Diarizer.random_init(**kw)
     audio = ingest.load_audio(args.audio)
-    turns = d.diarize(audio)
+    turns = d.diarize(
+        audio,
+        num_speakers=args.num_speakers,
+        min_speakers=args.min_speakers,
+        max_speakers=args.max_speakers,
+    )
     if args.json:
         print(json.dumps(turns, indent=2))
     else:
@@ -507,6 +512,28 @@ def cmd_calibrate_alignment_heads(args) -> None:
         print(f"wrote alignment heads into {args.checkpoint}", file=sys.stderr)
 
 
+def cmd_detect_language(args) -> None:
+    """openai's model.detect_language on the first 30 s of a file."""
+    from .pipeline import ingest
+    from .pipeline.transcribe import Transcriber
+
+    t = (
+        Transcriber.from_npz(args.model_path, tokenizer_path=args.tokenizer)
+        if args.model_path
+        else Transcriber.random_init(args.model)
+    )
+    audio = ingest.load_audio(args.audio)
+    out = t.detect_language(audio)
+    if args.json:
+        top = dict(list(out["probabilities"].items())[:10])
+        print(json.dumps({"language": out["language"],
+                          "probabilities": top}, indent=2))
+    else:
+        print(out["language"])
+        for code, prob in list(out["probabilities"].items())[:5]:
+            print(f"  {code}: {prob:.3f}", file=sys.stderr)
+
+
 def cmd_wer(args) -> None:
     from .utils.metrics import word_error_rate
 
@@ -635,6 +662,15 @@ def main(argv: list[str] | None = None) -> None:
         help="dissolve speaker clusters with fewer crops than this "
         "(pyannote-3.1's min_cluster_size; 0 = off)",
     )
+    d.add_argument(
+        "--num-speakers", dest="num_speakers", type=int,
+        help="exact speaker count (pyannote's num_speakers; "
+        "exclusive with --min/--max-speakers)",
+    )
+    d.add_argument("--min-speakers", dest="min_speakers", type=int,
+                   help="lower bound on the speaker count")
+    d.add_argument("--max-speakers", dest="max_speakers", type=int,
+                   help="upper bound on the speaker count")
     d.set_defaults(fn=cmd_diarize)
 
     p = sub.add_parser("process", help="full meeting pipeline on a local file")
@@ -741,6 +777,18 @@ def main(argv: list[str] | None = None) -> None:
         help="store the mask into the checkpoint's sidecar",
     )
     ch.set_defaults(fn=cmd_calibrate_alignment_heads)
+
+    dl = sub.add_parser(
+        "detect-language",
+        help="detect the spoken language of the first 30 s "
+        "(openai's model.detect_language)",
+    )
+    dl.add_argument("audio")
+    dl.add_argument("--model", default="tiny")
+    dl.add_argument("--model-path", dest="model_path")
+    dl.add_argument("--tokenizer")
+    dl.add_argument("--json", action="store_true")
+    dl.set_defaults(fn=cmd_detect_language)
 
     w = sub.add_parser("wer", help="word error rate between two text files")
     w.add_argument("reference")

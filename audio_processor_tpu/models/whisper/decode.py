@@ -1505,12 +1505,19 @@ def tokens_to_segments(
     decode_text,  # callable: list[int] -> str
     chunk_length_s: float = 30.0,
     chunk_durations_s: np.ndarray | None = None,  # (B,) actual audio seconds
+    row_meta: list[dict] | None = None,  # (B,) per-window decode metadata
 ) -> list[dict]:
     """Parse timestamp tokens into Whisper-schema segments.
 
-    Output rows are {"start","end","text"} dicts — exactly the shape the
-    reference's fusion loop consumes (reference:
-    app/services/audio_processor.py:1114-1119).
+    Output rows carry openai-whisper's full segment schema: "start",
+    "end", "text", "seek" (the window's offset in openai's 100 frames/s
+    units), "tokens" (the segment's token slice INCLUDING its timestamp
+    tokens, window-relative — exactly what openai's new_segment emits),
+    plus, when ``row_meta`` is given, the per-WINDOW decode metadata
+    openai attaches to every segment of the window: "temperature",
+    "avg_logprob", "compression_ratio", "no_speech_prob".  The "start" /
+    "end" / "text" subset is the shape the reference's fusion loop
+    consumes (reference: app/services/audio_processor.py:1114-1119).
 
     A trailing segment with no closing timestamp token ends at the chunk's
     ACTUAL audio duration (openai-whisper's segment_duration fallback), not
@@ -1519,36 +1526,46 @@ def tokens_to_segments(
     """
     if chunk_durations_s is None:
         chunk_durations_s = np.full(len(token_rows), chunk_length_s)
+    if row_meta is None:
+        row_meta = [{}] * len(token_rows)
     segments: list[dict] = []
-    for row, offset, chunk_dur in zip(
-        token_rows, chunk_offsets_s, chunk_durations_s
+    for row, offset, chunk_dur, meta in zip(
+        token_rows, chunk_offsets_s, chunk_durations_s, row_meta
     ):
         toks = [int(t) for t in row if int(t) != st.eot]
+        seek = int(round(float(offset) * 100.0))  # openai frame units
         cur_start = None
         cur_text: list[int] = []
+        cur_toks: list[int] = []
         last_end = 0.0
         for t in toks:
             if t >= st.timestamp_begin:
                 ts = (t - st.timestamp_begin) * 0.02
                 if cur_start is None:
                     cur_start = ts
+                    cur_toks = [t]
                 else:
                     text = decode_text(cur_text).strip()
                     if text:
                         segments.append(
                             {
+                                "seek": seek,
                                 "start": float(offset + cur_start),
                                 "end": float(offset + ts),
                                 "text": text,
+                                "tokens": cur_toks + [t],
+                                **meta,
                             }
                         )
                     last_end = ts
                     cur_start = None
                     cur_text = []
+                    cur_toks = []
             elif t < st.eot:
                 if cur_start is None:  # no-timestamp decode: one big segment
                     cur_start = last_end
                 cur_text.append(t)
+                cur_toks.append(t)
         if cur_text:
             text = decode_text(cur_text).strip()
             if text:
@@ -1556,9 +1573,12 @@ def tokens_to_segments(
                 end = min(max(float(chunk_dur), start + 0.02), chunk_length_s)
                 segments.append(
                     {
+                        "seek": seek,
                         "start": float(offset + start),
                         "end": float(offset + end),
                         "text": text,
+                        "tokens": list(cur_toks),
+                        **meta,
                     }
                 )
     return segments

@@ -246,8 +246,34 @@ class Diarizer:
 
     # ------------------------------------------------------------------
 
-    def diarize(self, audio: np.ndarray, sample_rate: int = 16_000) -> list[dict]:
-        """Mono float32 audio -> list of speaker turns (original timeline)."""
+    def diarize(
+        self,
+        audio: np.ndarray,
+        sample_rate: int = 16_000,
+        *,
+        num_speakers: int | None = None,
+        min_speakers: int | None = None,
+        max_speakers: int | None = None,
+    ) -> list[dict]:
+        """Mono float32 audio -> list of speaker turns (original timeline).
+
+        Call-time speaker-count constraints mirror pyannote's
+        ``pipeline(audio, num_speakers=..., min_speakers=...,
+        max_speakers=...)`` surface (the reference's diarization call,
+        app/services/audio_processor.py:1105): ``num_speakers`` pins the
+        exact count (best effort — fewer crops than speakers yields
+        fewer), min/max bound it; unset values fall back to the
+        instance's defaults.
+        """
+        if num_speakers is not None:
+            if min_speakers is not None or max_speakers is not None:
+                raise ValueError(
+                    "num_speakers is exclusive with min/max_speakers"
+                )
+            min_spk = max_spk = num_speakers
+        else:
+            min_spk = self.min_speakers if min_speakers is None else min_speakers
+            max_spk = self.max_speakers if max_speakers is None else max_speakers
         if sample_rate != self.seg_cfg.sample_rate:
             from ..ops import frontend
 
@@ -309,8 +335,8 @@ class Diarizer:
         labels = cluster_lib.agglomerative_cluster(
             embeddings,
             threshold=self.cluster_threshold,
-            min_clusters=self.min_speakers,
-            max_clusters=self.max_speakers,
+            min_clusters=min_spk,
+            max_clusters=max_spk,
             min_cluster_size=self.min_cluster_size,
         )
         n_clusters = int(labels.max()) + 1

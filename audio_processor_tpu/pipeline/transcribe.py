@@ -694,9 +694,22 @@ class Transcriber:
 
     def _collect_slab(
         self, result, audio_states, n_real: int, first_slab: bool = False
-    ) -> np.ndarray:
-        """Sync one slab's decode to host and apply the quality gates."""
+    ) -> tuple[np.ndarray, dict]:
+        """Sync one slab's decode to host and apply the quality gates.
+
+        Returns (tokens, meta) — meta holds the per-WINDOW decode stats
+        openai attaches to every segment (avg_logprob / no_speech_prob /
+        temperature), tracking the accepting decode through retries.
+        """
         tokens = np.array(result.tokens)[:n_real]  # writable copy
+        lengths0 = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+        meta = {
+            "avg_logprob": np.asarray(result.sum_logprob)[:n_real]
+            / (lengths0 + 1),
+            "no_speech_prob": np.asarray(result.no_speech_prob)[:n_real]
+            .astype(np.float64),
+            "temperature": np.full(n_real, self.temperature, np.float64),
+        }
         if self.enable_fallback:
             failed = self._failed_rows(result, tokens, n_real)
             for temp in self._ladder:
@@ -742,6 +755,16 @@ class Transcriber:
                     )
                     retry_tokens = np.array(retry.tokens)[: len(part)]
                     tokens[part] = retry_tokens
+                    r_len = np.maximum(
+                        np.asarray(retry.lengths)[: len(part)], 1
+                    )
+                    meta["avg_logprob"][part] = (
+                        np.asarray(retry.sum_logprob)[: len(part)] / (r_len + 1)
+                    )
+                    meta["no_speech_prob"][part] = np.asarray(
+                        retry.no_speech_prob
+                    )[: len(part)]
+                    meta["temperature"][part] = temp
                     refailed = self._failed_rows(retry, retry_tokens, len(part))
                     failed[part[refailed]] = True
 
@@ -754,7 +777,7 @@ class Transcriber:
                 np.asarray(result.no_speech_prob)[:n_real] > self.no_speech_threshold
             ) & (avg_lp < self.logprob_threshold)
             tokens[silent] = self.special.eot
-        return tokens
+        return tokens, meta
 
     # -- seek-based window advance (boundary-straddle repair) ----------------
 
@@ -790,6 +813,7 @@ class Transcriber:
         content_s = len(audio) / 16_000.0
         keep_states = self.word_timestamps
         patch_rows: list[np.ndarray] = []
+        patch_meta: list[dict] | dict = []
         patch_states: list[tuple[Any, int]] = []
         for lo in range(0, len(bounds), self.max_chunk_batch):
             batch = bounds[lo : lo + self.max_chunk_batch]
@@ -806,10 +830,16 @@ class Transcriber:
                 dev = jax.device_put(dev, mesh_lib.data_sharding(self.mesh))
             states = self._frontend_encode(self.params, dev)
             result = self._run_decode(states)
-            patch_rows.append(self._collect_slab(result, states, len(batch)))
+            ptoks, pmeta = self._collect_slab(result, states, len(batch))
+            patch_rows.append(ptoks)
+            patch_meta.append(pmeta)
             if keep_states:
                 patch_states.append((states, len(batch)))
         patch_tokens = np.concatenate(patch_rows, axis=0)
+        patch_meta = {
+            k: np.concatenate([m[k] for m in patch_meta])
+            for k in patch_meta[0]
+        }
 
         kept_rows, kept_offsets, kept_durations, kept_idx = [], [], [], []
         for j, (i, c) in enumerate(bounds):
@@ -848,10 +878,12 @@ class Transcriber:
             kept_idx.append(j)
         if not kept_rows:
             return tokens, None
+        kept = np.asarray(kept_idx)
         patches: dict[str, Any] = {
             "tokens": np.stack(kept_rows),
             "offsets": np.asarray(kept_offsets, np.float64),
             "durations": np.asarray(kept_durations, np.float64),
+            "meta": {k: v[kept] for k, v in patch_meta.items()},
         }
         if keep_states:
             all_states = jnp.concatenate(
@@ -933,6 +965,11 @@ class Transcriber:
         token_rows = np.full(
             (n_chunks, self.max_new_tokens), self.special.eot, np.int32
         )
+        chunk_meta = {
+            "avg_logprob": np.zeros(n_chunks, np.float64),
+            "no_speech_prob": np.zeros(n_chunks, np.float64),
+            "temperature": np.full(n_chunks, self.temperature, np.float64),
+        }
         histories: list[list[int]] = [[] for _ in range(n_groups)]
         # initial_prompt seeds the first group's rolling context (openai
         # keeps it in all_tokens, so it persists under conditioning) —
@@ -1022,6 +1059,10 @@ class Transcriber:
                 tokens = np.array(result.tokens)[:n_real]
                 lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
                 avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
+                nsp = np.asarray(result.no_speech_prob)[:n_real].astype(
+                    np.float64
+                )
+                row_temp = np.full(n_real, self.temperature, np.float64)
 
                 if self.enable_fallback:
                     # same quality gate + compacted retry as the parallel
@@ -1073,6 +1114,10 @@ class Transcriber:
                                 np.asarray(retry.sum_logprob)[: len(part)]
                                 / (r_len + 1)
                             )
+                            nsp[part] = np.asarray(
+                                retry.no_speech_prob
+                            )[: len(part)]
+                            row_temp[part] = temp
                             refailed = self._failed_rows(
                                 retry, retry_tokens, len(part)
                             )
@@ -1086,6 +1131,9 @@ class Transcriber:
                     tokens[silent] = self.special.eot
                 for j, ci in enumerate(ids):
                     token_rows[ci] = tokens[j]
+                    chunk_meta["avg_logprob"][ci] = avg_lp[j]
+                    chunk_meta["no_speech_prob"][ci] = nsp[j]
+                    chunk_meta["temperature"][ci] = row_temp[j]
                     text_toks = [
                         int(t) for t in tokens[j] if int(t) < self.special.eot
                     ]
@@ -1110,9 +1158,43 @@ class Transcriber:
             states_per_slab = [
                 all_states[lo : lo + slab] for lo in range(0, n_chunks, slab)
             ]
-        return token_rows, states_per_slab
+        return token_rows, states_per_slab, chunk_meta
 
     # -- main entry ---------------------------------------------------------
+
+    def detect_language(
+        self, audio: np.ndarray, sample_rate: int = 16_000
+    ) -> dict:
+        """openai's ``model.detect_language`` surface on the first 30 s.
+
+        Returns {"language": iso_code, "probabilities": {code: p, ...}}
+        sorted by probability (openai returns (tokens, prob-dict); the
+        reference never calls it directly but inherits auto-detection via
+        whisper.transcribe — app/services/audio_processor.py:1076).
+        """
+        if not self.cfg.is_multilingual:
+            raise ValueError(
+                "detect_language requires a multilingual model "
+                "(this config has no language tokens)"
+            )
+        audio = np.asarray(audio, np.float32)
+        if sample_rate != 16_000:
+            audio = np.asarray(
+                frontend.resample(jnp.asarray(audio), sample_rate)
+            )
+        chunk = np.zeros((1, CHUNK_SAMPLES), np.int16)
+        piece = audio[:CHUNK_SAMPLES]
+        chunk[0, : len(piece)] = _f32_to_i16(piece)
+        states = self._frontend_encode(self.params, jnp.asarray(chunk))
+        _, probs = decode_lib.detect_language(self.params, self.cfg, states)
+        probs = np.asarray(probs)[0]
+        from ..models.whisper.tokenizer import WHISPER_LANGUAGES
+
+        pairs = sorted(
+            zip(WHISPER_LANGUAGES[: len(probs)], probs.tolist()),
+            key=lambda kv: -kv[1],
+        )
+        return {"language": pairs[0][0], "probabilities": dict(pairs)}
 
     def transcribe(
         self,
@@ -1192,17 +1274,18 @@ class Transcriber:
             slab = mesh_lib.round_up_batch(slab, self.mesh)
 
         if self.condition_on_previous_text:
-            tokens, cond_states = self._transcribe_conditioned(
+            tokens, cond_states, chunk_meta = self._transcribe_conditioned(
                 audio, n_chunks, progress
             )
             tokens, patches = self._apply_seek_repair(tokens, n_chunks, audio)
             return self._finalize(
                 tokens, n_chunks, duration_s, time_map, t0, progress,
                 states_per_slab=cond_states, slab=slab, audio=audio,
-                patches=patches,
+                patches=patches, chunk_meta=chunk_meta,
             )
 
         token_rows: list[np.ndarray] = []
+        meta_rows: list[dict] = []
         states_per_slab: list[Any] = []  # kept only for word alignment
         n_slabs = math.ceil(n_chunks / slab)
         in_flight: list[tuple[Any, Any, int, bool]] = []  # (result, states, real, first)
@@ -1217,9 +1300,9 @@ class Transcriber:
 
         def drain_one():
             result, states, real, first = in_flight.pop(0)
-            token_rows.append(
-                self._collect_slab(result, states, real, first_slab=first)
-            )
+            toks, meta = self._collect_slab(result, states, real, first_slab=first)
+            token_rows.append(toks)
+            meta_rows.append(meta)
             if self.word_timestamps:
                 states_per_slab.append(states)
 
@@ -1265,19 +1348,24 @@ class Transcriber:
             drain_one()
 
         tokens = np.concatenate(token_rows, axis=0)
+        chunk_meta = {
+            k: np.concatenate([m[k] for m in meta_rows])
+            for k in meta_rows[0]
+        }
         tokens, patches = self._apply_seek_repair(tokens, n_chunks, audio)
         return self._finalize(
             tokens, n_chunks, duration_s, time_map, t0, progress,
             states_per_slab=states_per_slab, slab=slab, audio=audio,
-            patches=patches,
+            patches=patches, chunk_meta=chunk_meta,
         )
 
     def _finalize(
         self, tokens, n_chunks, duration_s, time_map, t0, progress,
-        *, states_per_slab, slab, audio, patches=None,
+        *, states_per_slab, slab, audio, patches=None, chunk_meta=None,
     ) -> dict:
         """Shared tail: tokens -> segments -> (words) -> result dict."""
         import time as _time
+        import zlib
 
         offsets = np.arange(n_chunks, dtype=np.float64) * 30.0
         # actual audio seconds per chunk (the last one is usually short) —
@@ -1285,16 +1373,46 @@ class Transcriber:
         content_s = len(audio) / 16_000.0
         durations = np.clip(content_s - offsets, 0.0, 30.0)
         all_rows, all_offsets, all_durations = tokens, offsets, durations
+        all_meta = chunk_meta
         if patches is not None:
             # seek-repair patch windows join the grid windows; segments
             # re-sort into time order below
             all_rows = np.concatenate([tokens[:n_chunks], patches["tokens"]])
             all_offsets = np.concatenate([offsets, patches["offsets"]])
             all_durations = np.concatenate([durations, patches["durations"]])
+            if chunk_meta is not None:
+                all_meta = {
+                    k: np.concatenate([chunk_meta[k][:n_chunks],
+                                       patches["meta"][k]])
+                    for k in chunk_meta
+                }
+
+        # per-window metadata rides every segment of the window (openai's
+        # new_segment attaches result.avg_logprob & co per window); the
+        # compression ratio is openai's zlib form over the window text
+        row_meta = None
+        if all_meta is not None:
+            row_meta = []
+            for i, row in enumerate(all_rows):
+                text = self.tokenizer.decode(
+                    [int(t) for t in row if int(t) < self.special.eot]
+                ).encode("utf-8")
+                ratio = (
+                    len(text) / max(len(zlib.compress(text)), 1)
+                    if text else 0.0
+                )
+                row_meta.append(
+                    {
+                        "temperature": float(all_meta["temperature"][i]),
+                        "avg_logprob": float(all_meta["avg_logprob"][i]),
+                        "compression_ratio": round(ratio, 4),
+                        "no_speech_prob": float(all_meta["no_speech_prob"][i]),
+                    }
+                )
 
         segments = decode_lib.tokens_to_segments(
             all_rows, self.special, all_offsets, self.tokenizer.decode,
-            chunk_durations_s=all_durations,
+            chunk_durations_s=all_durations, row_meta=row_meta,
         )
         segments.sort(key=lambda s: (s["start"], s["end"]))
         # map trimmed-timeline stamps back to the original recording
@@ -1373,6 +1491,11 @@ class Transcriber:
                     else:
                         break
                 seg["words"] = seg_words
+
+        # openai's running segment id, assigned on the FINAL list (after
+        # the hallucination filter, so ids stay contiguous)
+        for i, seg in enumerate(segments):
+            seg["id"] = i
 
         elapsed = _time.perf_counter() - t0
         if progress:

@@ -247,6 +247,15 @@ def build_services(
                     "checkpoint)" if emb_kw else " and RANDOM embedding weights",
                 )
                 diarizer = Diarizer.random_init(**emb_kw)
+        # speaker-count constraints (pyannote's num/min/max_speakers)
+        num_spk = os.environ.get("APTPU_NUM_SPEAKERS")
+        if num_spk:
+            diarizer.min_speakers = diarizer.max_speakers = int(num_spk)
+        else:
+            if os.environ.get("APTPU_MIN_SPEAKERS"):
+                diarizer.min_speakers = int(os.environ["APTPU_MIN_SPEAKERS"])
+            if os.environ.get("APTPU_MAX_SPEAKERS"):
+                diarizer.max_speakers = int(os.environ["APTPU_MAX_SPEAKERS"])
 
     drive = None
     if with_drive:

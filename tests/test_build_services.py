@@ -109,6 +109,38 @@ def test_build_services_serves_trained_embedding(tmp_path, monkeypatch):
         services.engine.shutdown(wait=False)
 
 
+def test_env_speaker_constraints_reach_diarizer(monkeypatch):
+    """APTPU_NUM_SPEAKERS pins the served diarizer's speaker count
+    (pyannote's num_speakers, fixed by deployment env here)."""
+    from audio_processor_tpu.runtime.services import build_services
+
+    monkeypatch.delenv("APTPU_DIARIZER_PATH", raising=False)
+    monkeypatch.delenv("APTPU_EMBEDDING_PATH", raising=False)
+    monkeypatch.setenv("APTPU_NUM_SPEAKERS", "4")
+    services = build_services(
+        model="test", diarization=True, with_drive=False, with_llm=False,
+        max_workers=1,
+    )
+    try:
+        d = services.processor.diarizer
+        assert d.min_speakers == 4 and d.max_speakers == 4
+    finally:
+        services.engine.shutdown(wait=False)
+
+    monkeypatch.delenv("APTPU_NUM_SPEAKERS", raising=False)
+    monkeypatch.setenv("APTPU_MIN_SPEAKERS", "2")
+    monkeypatch.setenv("APTPU_MAX_SPEAKERS", "6")
+    services = build_services(
+        model="test", diarization=True, with_drive=False, with_llm=False,
+        max_workers=1,
+    )
+    try:
+        d = services.processor.diarizer
+        assert d.min_speakers == 2 and d.max_speakers == 6
+    finally:
+        services.engine.shutdown(wait=False)
+
+
 def test_env_decode_options_reach_transcriber(monkeypatch):
     """Service-wide decode knobs (APTPU_BEAM_SIZE etc.) configure the
     served Transcriber — whisper.transcribe's per-call options, pinned by

@@ -185,3 +185,15 @@ def test_cli_diarize_defaults_to_bundled(wav, capsys, monkeypatch):
     json.loads(capsys.readouterr().out)
     assert seen["d"] is not None
     assert seen["d"].provenance == "bundled-synthetic"
+
+
+def test_cli_detect_language(wav, capsys):
+    """detect-language prints an ISO code from the language token set."""
+    cli.main(["detect-language", wav, "--model", "tiny", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    from audio_processor_tpu.models.whisper.tokenizer import WHISPER_LANGUAGES
+
+    assert out["language"] in WHISPER_LANGUAGES
+    probs = out["probabilities"]
+    assert 0 < len(probs) <= 10
+    assert abs(sum(probs.values())) <= 1.0 + 1e-6

@@ -162,6 +162,27 @@ def test_diarizer_empty_on_short_audio():
     assert d.diarize(np.zeros(1000, np.float32)) == []
 
 
+def test_diarizer_call_time_speaker_constraints(rng):
+    """pyannote's pipeline(audio, num_speakers=...) surface: call-time
+    constraints override the instance defaults for that call only."""
+    d = Diarizer.random_init(window_step_s=5.0)
+    d.emb_cfg = EMB_CFG
+    d.emb_params = emb_lib.init_params(EMB_CFG, jax.random.PRNGKey(1))
+    audio = rng.normal(0, 0.2, 12 * 16000).astype(np.float32)
+
+    turns = d.diarize(audio, num_speakers=1)
+    assert {t["speaker"] for t in turns} <= {"SPEAKER_00"}
+
+    turns = d.diarize(audio, max_speakers=2)
+    assert len({t["speaker"] for t in turns}) <= 2
+
+    # instance defaults untouched by the call-time override
+    assert d.min_speakers == 1 and d.max_speakers is None
+
+    with pytest.raises(ValueError):
+        d.diarize(audio, num_speakers=2, max_speakers=3)
+
+
 def test_runs_helper():
     m = np.array([0, 1, 1, 0, 1, 0, 0, 1, 1, 1], bool)
     assert list(_runs(m)) == [(1, 3), (4, 5), (7, 10)]

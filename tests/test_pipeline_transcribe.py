@@ -24,9 +24,23 @@ def test_transcribe_returns_schema(transcriber, speech_like_audio):
     out = transcriber.transcribe(speech_like_audio, remove_silence=False)
     assert set(out) >= {"text", "segments", "duration", "rtf_x"}
     assert out["duration"] == pytest.approx(10.0, abs=0.01)
-    for seg in out["segments"]:
-        assert set(seg) == {"start", "end", "text"}
+    # openai-whisper's full segment schema (id/seek/tokens + the
+    # per-window decode stats), shared by every segment of a window
+    for i, seg in enumerate(out["segments"]):
+        assert set(seg) == {
+            "id", "seek", "start", "end", "text", "tokens",
+            "temperature", "avg_logprob", "compression_ratio",
+            "no_speech_prob",
+        }
+        assert seg["id"] == i
         assert 0.0 <= seg["start"] <= seg["end"] <= 10.5
+        # one 10 s window -> every segment decoded from seek 0 (openai's
+        # 100 frames/s seek units)
+        assert seg["seek"] == 0
+        assert isinstance(seg["tokens"], list) and seg["tokens"]
+        assert seg["avg_logprob"] <= 0.0
+        assert 0.0 <= seg["no_speech_prob"] <= 1.0
+        assert seg["temperature"] == 0.0
 
 
 def test_transcribe_multi_chunk(transcriber, rng):
@@ -70,7 +84,8 @@ def test_transcribe_with_beam(speech_like_audio):
     )
     out = t.transcribe(speech_like_audio, remove_silence=False)
     for seg in out["segments"]:
-        assert set(seg) == {"start", "end", "text"}
+        assert set(seg) >= {"start", "end", "text", "avg_logprob",
+                            "no_speech_prob"}
 
 
 def test_transcribe_word_timestamps(speech_like_audio):
@@ -863,3 +878,32 @@ def test_max_initial_timestamp_reaches_decode(speech_like_audio, monkeypatch):
         )
         t.transcribe(clip, remove_silence=False)
     assert seen == [20, None, 50]
+
+
+def test_segment_meta_tracks_accepting_temperature(rng, monkeypatch):
+    """A window accepted on a fallback rung reports that rung's
+    temperature in its segments (openai's result.temperature)."""
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        enable_fallback=True, temperature_ladder=(0.5,),
+        no_speech_threshold=None,
+    )
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+
+    fail_once = {"n": 0}
+
+    def fake_failed(result, tokens, n_real):
+        out = np.zeros(n_real, bool)
+        if fail_once["n"] == 0 and n_real > 1:
+            out[1] = True  # window 1 fails the base gate once
+        fail_once["n"] += 1
+        return out
+
+    monkeypatch.setattr(t, "_failed_rows", fake_failed)
+    out = t.transcribe(audio, remove_silence=False)
+    temps = {}
+    for seg in out["segments"]:
+        temps.setdefault(seg["seek"] // 3000, seg["temperature"])
+    # window 1 was retried at 0.5; windows 0/2 accepted at the base 0.0
+    assert temps.get(1) == 0.5
+    assert all(v == 0.0 for k, v in temps.items() if k != 1)
