@@ -83,8 +83,20 @@ def cmd_transcribe(args) -> None:
         clips = parse_clip_timestamps(
             args.clip_timestamps, len(audio) / ingest.TARGET_SR
         )
+    on_segment = None
+    if args.verbose:
+        def _fmt(s: float) -> str:  # openai's verbose timestamp form
+            ms = int(round(s * 1000))
+            return (f"{ms // 3_600_000:02d}:{ms // 60_000 % 60:02d}:"
+                    f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
+
+        def on_segment(seg):
+            print(f"[{_fmt(seg['start'])} --> {_fmt(seg['end'])}] "
+                  f"{seg['text']}", file=sys.stderr, flush=True)
+
     out = t.transcribe(
-        audio, remove_silence=not args.keep_silence, clip_timestamps=clips
+        audio, remove_silence=not args.keep_silence, clip_timestamps=clips,
+        on_segment=on_segment,
     )
     fmt = "json" if args.json else args.output_format
     if fmt == "json":
@@ -556,6 +568,9 @@ def main(argv: list[str] | None = None) -> None:
                    "or HF vocab.json) overriding the checkpoint's embedded "
                    "vocab / APTPU_TOKENIZER_PATH")
     t.add_argument("--keep-silence", action="store_true")
+    t.add_argument("--verbose", action="store_true",
+                   help="stream segments to stderr as decode windows land "
+                   "(openai's verbose=True live print)")
     t.add_argument("--json", action="store_true")
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")

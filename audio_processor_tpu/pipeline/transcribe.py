@@ -950,7 +950,8 @@ class Transcriber:
         return chunks_dev
 
     def _transcribe_conditioned(
-        self, audio: np.ndarray, n_chunks: int, progress=None
+        self, audio: np.ndarray, n_chunks: int, progress=None,
+        on_segment=None, time_map=None,
     ) -> tuple[np.ndarray, list]:
         """Window-group conditioned decode (see condition_on_previous_text).
 
@@ -1138,6 +1139,12 @@ class Transcriber:
                         int(t) for t in tokens[j] if int(t) < self.special.eot
                     ]
                     histories[ci // g_size].extend(text_toks)
+                if on_segment is not None:
+                    self._emit_live_segments(
+                        on_segment, tokens[: len(ids)],
+                        np.asarray(ids, np.float64),
+                        len(audio) / 16_000.0, time_map,
+                    )
                 if self.word_timestamps:
                     kept_states.append((ids, states))
             if progress:
@@ -1161,6 +1168,26 @@ class Transcriber:
         return token_rows, states_per_slab, chunk_meta
 
     # -- main entry ---------------------------------------------------------
+
+    def _emit_live_segments(
+        self, on_segment, token_rows, window_idx, content_s, time_map
+    ) -> None:
+        """Parse the given windows' tokens and stream their segments to the
+        on_segment callback in original-timeline stamps (openai's verbose
+        print, emitted as each window's decode lands)."""
+        offs = np.asarray(window_idx, np.float64) * 30.0
+        durs = np.clip(content_s - offs, 0.0, 30.0)
+        for seg in decode_lib.tokens_to_segments(
+            token_rows, self.special, offs, self.tokenizer.decode,
+            chunk_durations_s=durs,
+        ):
+            on_segment(
+                {
+                    **seg,
+                    "start": round(time_map.to_original(seg["start"]), 3),
+                    "end": round(time_map.to_original(seg["end"]), 3),
+                }
+            )
 
     def detect_language(
         self, audio: np.ndarray, sample_rate: int = 16_000
@@ -1205,8 +1232,18 @@ class Transcriber:
         clip_timestamps: list[tuple[float, float]] | None = None,
         time_map: TimeMap | None = None,
         progress: Callable[[float], None] | None = None,
+        on_segment: Callable[[dict], None] | None = None,
     ) -> dict:
         """Full transcription of arbitrary-length mono audio.
+
+        on_segment: live segment stream (openai-whisper's verbose=True
+        printing, audio_processor.py:1076 inherits it) — called with each
+        {"start","end","text"} as its decode window drains, original-
+        timeline stamps, BEFORE seek repair / word alignment / the
+        hallucination filter touch the final list.  Windows arrive in
+        batch order (conditioned mode completes them round-by-round, so
+        late groups may emit earlier windows); the returned "segments"
+        list stays the canonical ordered result.
 
         Returns {"text", "segments": [{start, end, text}], "duration",
         "rtf_x"} with timestamps in the ORIGINAL timeline even when silence
@@ -1275,7 +1312,8 @@ class Transcriber:
 
         if self.condition_on_previous_text:
             tokens, cond_states, chunk_meta = self._transcribe_conditioned(
-                audio, n_chunks, progress
+                audio, n_chunks, progress,
+                on_segment=on_segment, time_map=time_map,
             )
             tokens, patches = self._apply_seek_repair(tokens, n_chunks, audio)
             return self._finalize(
@@ -1298,6 +1336,9 @@ class Transcriber:
             self.enable_fallback or self.word_timestamps or self.beam_size > 0
         )
 
+        content_s = len(audio) / 16_000.0
+        drained = [0]  # windows drained so far (live-segment offsets)
+
         def drain_one():
             result, states, real, first = in_flight.pop(0)
             toks, meta = self._collect_slab(result, states, real, first_slab=first)
@@ -1305,6 +1346,13 @@ class Transcriber:
             meta_rows.append(meta)
             if self.word_timestamps:
                 states_per_slab.append(states)
+            if on_segment is not None:
+                self._emit_live_segments(
+                    on_segment, toks,
+                    drained[0] + np.arange(real, dtype=np.float64),
+                    content_s, time_map,
+                )
+            drained[0] += real
 
         for si in range(n_slabs):
             lo = si * slab

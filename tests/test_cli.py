@@ -37,6 +37,20 @@ def test_cli_transcribe_json(wav, capsys):
     assert out["duration"] == pytest.approx(6.0, abs=0.05)
 
 
+def test_cli_transcribe_verbose_streams_segments(wav, capsys):
+    """--verbose streams openai-style [HH:MM:SS.mmm --> ...] lines to
+    stderr as windows land, alongside the normal stdout output."""
+    cli.main(["transcribe", wav, "--model", "test", "--json",
+              "--keep-silence", "--verbose"])
+    cap = capsys.readouterr()
+    out = json.loads(cap.out)
+    import re
+
+    lines = [l for l in cap.err.splitlines()
+             if re.match(r"\[\d\d:\d\d:\d\d\.\d\d\d --> ", l)]
+    assert len(lines) == len(out["segments"])
+
+
 def test_cli_unknown_command_fails():
     with pytest.raises(SystemExit):
         cli.main(["nope"])

@@ -880,6 +880,39 @@ def test_max_initial_timestamp_reaches_decode(speech_like_audio, monkeypatch):
     assert seen == [20, None, 50]
 
 
+def test_on_segment_live_stream(rng):
+    """on_segment (openai's verbose print) receives every window's
+    segments as it drains; the union matches the final pre-repair list's
+    (start, end, text) triples."""
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        enable_fallback=False, no_speech_threshold=None,
+    )
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    live = []
+    out = t.transcribe(audio, remove_silence=False, on_segment=live.append)
+    assert live, "no live segments emitted"
+    got = {(s["start"], s["end"], s["text"]) for s in live}
+    want = {(s["start"], s["end"], s["text"]) for s in out["segments"]}
+    assert got == want
+    for s in live:
+        assert set(s) >= {"start", "end", "text", "seek", "tokens"}
+
+
+def test_on_segment_conditioned_mode(rng):
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        enable_fallback=False, no_speech_threshold=None,
+        condition_on_previous_text=True,
+    )
+    audio = rng.normal(0, 0.2, 65 * 16_000).astype(np.float32)
+    live = []
+    out = t.transcribe(audio, remove_silence=False, on_segment=live.append)
+    got = {(s["start"], s["end"], s["text"]) for s in live}
+    want = {(s["start"], s["end"], s["text"]) for s in out["segments"]}
+    assert got == want
+
+
 def test_segment_meta_tracks_accepting_temperature(rng, monkeypatch):
     """A window accepted on a fallback rung reports that rung's
     temperature in its segments (openai's result.temperature)."""
