@@ -1472,9 +1472,11 @@ class Transcriber:
         if self.word_timestamps:
             from ..models.whisper import align
 
-            with_probs = self.hallucination_silence_threshold is not None
+            # openai's word dicts always carry "probability" (the same
+            # teacher-forced pass produces it; the hallucination filter
+            # merely consumes it)
             word_kw = dict(
-                with_probabilities=with_probs,
+                with_probabilities=True,
                 language=self._language_code(),
                 prepend_punctuations=self.prepend_punctuations,
                 append_punctuations=self.append_punctuations,

@@ -96,7 +96,8 @@ def test_transcribe_word_timestamps(speech_like_audio):
     out = t.transcribe(speech_like_audio, remove_silence=False)
     assert "words" in out
     for w in out["words"]:
-        assert set(w) == {"word", "start", "end"}
+        assert set(w) == {"word", "start", "end", "probability"}
+        assert 0.0 <= w["probability"] <= 1.0
         assert 0.0 <= w["start"] <= w["end"] <= 30.5
     # openai shape: every segment carries its own "words" slice
     seg_words = [w for seg in out["segments"] for w in seg["words"]]
@@ -608,7 +609,8 @@ def test_condition_with_word_timestamps(rng):
     out = t.transcribe(audio, remove_silence=False)
     assert "words" in out
     for w in out["words"]:
-        assert set(w) == {"word", "start", "end"}
+        assert set(w) == {"word", "start", "end", "probability"}
+        assert 0.0 <= w["probability"] <= 1.0
         assert 0.0 <= w["start"] <= w["end"] <= 95.0
 
 
