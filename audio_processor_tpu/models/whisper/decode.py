@@ -355,6 +355,7 @@ def decoder_forward_cached(
     min_valid: jnp.ndarray | None = None,  # (B,) first visible cache slot
     kv_bits: int = 8,  # cross-cache precision when kernel-layout quantized
     compute_dtype=None,  # activation dtype; required when self-KV is int8
+    tp_mesh=None,  # model-parallel Mesh: int4 kernel runs per-shard
 ) -> tuple[jnp.ndarray, Cache]:
     """Run the decoder over T new tokens, appending K/V to the cache at pos.
 
@@ -468,11 +469,21 @@ def decoder_forward_cached(
                 on_tpu = jax.default_backend() == "tpu"
                 if kv_bits == 4 and on_tpu:
                     # stacked-cache kernel: the layer id rides scalar
-                    # prefetch, so NO per-layer copy of K/V materialises
-                    ox = da.cross_attention_int4_stacked(
-                        qx, cache.cross_k, cache.cross_v, l,
-                        valid_len=cfg.n_audio_ctx,
-                    )
+                    # prefetch, so NO per-layer copy of K/V materialises.
+                    # On a model-parallel mesh the kernel runs per-shard
+                    # (heads on the model axis) via shard_map — GSPMD has
+                    # no partitioning rule for pallas_call and would
+                    # all-gather the head-sharded cache otherwise.
+                    if tp_mesh is not None:
+                        ox = da.cross_attention_int4_stacked_tp(
+                            tp_mesh, qx, cache.cross_k, cache.cross_v, l,
+                            valid_len=cfg.n_audio_ctx,
+                        )
+                    else:
+                        ox = da.cross_attention_int4_stacked(
+                            qx, cache.cross_k, cache.cross_v, l,
+                            valid_len=cfg.n_audio_ctx,
+                        )
                 else:
                     ck = jax.lax.dynamic_index_in_dim(
                         cache.cross_k, l, 0, keepdims=False
@@ -634,6 +645,7 @@ def _sample_loop(
     kv_bits: int = 8,
     compute_dtype=None,
     max_initial_ts_index: int | None = 50,
+    tp_mesh=None,
 ):
     """The greedy/sampling while_loop shared by plain and prompted decode.
 
@@ -724,7 +736,7 @@ def _sample_loop(
         logits, new_cache = decoder_forward_cached(
             params, cfg, next_tok[:, None], step_cache, start_pos + s.step,
             pos_offset=pos_offset, min_valid=min_valid, kv_bits=kv_bits,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, tp_mesh=tp_mesh,
         )
         return LoopState(
             step=s.step + 1,
@@ -751,6 +763,7 @@ _GREEDY_STATIC_ARGNAMES = (
     "cfg", "max_new_tokens", "use_timestamps", "sot_sequence", "dtype_name",
     "space_blank_id", "quantize_cross_kv", "temperature", "use_pallas_kernel",
     "kv_bits", "quantize_self_kv", "best_of", "max_initial_ts_index",
+    "tp_mesh",
 )
 
 
@@ -795,6 +808,7 @@ def _greedy_decode_impl(
     rng_seed: int = 0,
     best_of: int = 1,
     max_initial_ts_index: int | None = 50,
+    tp_mesh=None,
 ) -> DecodeResult:
     """Batched greedy/sampling decode with Whisper rules, one jit region.
 
@@ -834,7 +848,7 @@ def _greedy_decode_impl(
     prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b, 1))
     logits, cache = decoder_forward_cached(
         params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
-        compute_dtype=dtype,
+        compute_dtype=dtype, tp_mesh=tp_mesh,
     )
     sot_probs = jax.nn.softmax(logits[:, 0], axis=-1)
     no_speech_prob = sot_probs[:, st.no_speech] if st.no_speech < cfg.n_vocab else jnp.zeros((b,))
@@ -854,6 +868,7 @@ def _greedy_decode_impl(
         kv_bits=kv_bits_eff,
         compute_dtype=dtype,
         max_initial_ts_index=max_initial_ts_index,
+        tp_mesh=tp_mesh,
     )
     if group > 1:
         return _rank_groups(
@@ -904,6 +919,7 @@ def _prompted_greedy_impl(
     rng_seed: int = 0,
     best_of: int = 1,
     max_initial_ts_index: int | None = 50,
+    tp_mesh=None,
 ) -> DecodeResult:
     """Greedy decode with PER-ROW prompts: openai-whisper's
     condition_on_previous_text mechanism (<|startofprev|> + previous-window
@@ -943,7 +959,7 @@ def _prompted_greedy_impl(
     logits, cache = decoder_forward_cached(
         params, cfg, prompt_tokens.astype(jnp.int32), cache, jnp.int32(0),
         pos_offset=pad_len, min_valid=pad_len, kv_bits=kv_bits_eff,
-        compute_dtype=dtype,
+        compute_dtype=dtype, tp_mesh=tp_mesh,
     )
     # every row's suffix is the same sot sequence -> <|sot|> sits at a
     # fixed physical slot; no-speech prob reads the logits AT that slot
@@ -970,6 +986,7 @@ def _prompted_greedy_impl(
         kv_bits=kv_bits_eff,
         compute_dtype=dtype,
         max_initial_ts_index=max_initial_ts_index,
+        tp_mesh=tp_mesh,
     )
     if group > 1:
         return _rank_groups(
@@ -989,7 +1006,7 @@ prompted_greedy_decode = jax.jit(
         "cfg", "sot_len", "max_new_tokens", "use_timestamps", "dtype_name",
         "space_blank_id", "quantize_cross_kv", "use_pallas_kernel",
         "kv_bits", "quantize_self_kv", "temperature", "best_of",
-        "max_initial_ts_index",
+        "max_initial_ts_index", "tp_mesh",
     ),
 )
 
@@ -1029,7 +1046,7 @@ def build_prompt_rows(
     static_argnames=(
         "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
         "use_timestamps", "quantize_cross_kv", "use_pallas_kernel", "kv_bits",
-        "patience", "max_initial_ts_index",
+        "patience", "max_initial_ts_index", "tp_mesh",
     ),
 )
 def beam_decode(
@@ -1051,6 +1068,7 @@ def beam_decode(
     prompt_tokens: jnp.ndarray | None = None,  # (B, P) LEFT-padded rows
     prompt_lens: jnp.ndarray | None = None,  # (B,) real tokens per row
     max_initial_ts_index: int | None = 50,
+    tp_mesh=None,
 ) -> DecodeResult:
     """Batched beam search with openai-whisper's BeamSearchDecoder
     semantics, fully on-device (one jit region).
@@ -1119,7 +1137,7 @@ def beam_decode(
         row_kw = {}
     logits, cache = decoder_forward_cached(
         params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
-        compute_dtype=dtype, **row_kw,
+        compute_dtype=dtype, tp_mesh=tp_mesh, **row_kw,
     )
     first_logits = logits[:, -1]  # (B*K, V)
     # P(<|nospeech|>) at the <|sot|> slot, exactly as the greedy paths
@@ -1270,7 +1288,8 @@ def beam_decode(
         step_tok = next_tok.reshape(b * k, 1)
         logits, cache = decoder_forward_cached(
             params, cfg, step_tok, cache, prompt_len + s.step,
-            kv_bits=kv_bits_eff, compute_dtype=dtype, **row_kw,
+            kv_bits=kv_bits_eff, compute_dtype=dtype, tp_mesh=tp_mesh,
+            **row_kw,
         )
         return BeamState(
             step=s.step + 1,

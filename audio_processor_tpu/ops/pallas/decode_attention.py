@@ -312,6 +312,49 @@ def cross_attention_int4_stacked(
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), q, k4_all, v4_all)
 
 
+def cross_attention_int4_stacked_tp(
+    mesh,
+    q: jnp.ndarray,  # (B, Tq, H, Dh) — int4 K-scale already folded in
+    k4_all: jnp.ndarray,  # (L, B, H, Dh, Tpad//2) nibble-packed int8
+    v4_all: jnp.ndarray,  # (L, B, H, Tpad//2, Dh) nibble-packed int8
+    layer: jnp.ndarray,
+    *,
+    valid_len: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The stacked int4 kernel under a (data, model) mesh via shard_map.
+
+    Megatron-style TP shards attention HEADS across the model axis (the
+    qkv projections are column-parallel, so q arrives head-sharded); the
+    batch rides the data axis.  Heads are independent in this kernel, so
+    each device runs the ordinary kernel on its local (B/dp, H/tp) slice —
+    no collective is needed here (the row-parallel output projection's
+    psum happens outside, inserted by XLA).  Requires H % tp == 0.
+    """
+    from ...parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    P = jax.sharding.PartitionSpec
+    n_head = q.shape[2]
+    tp = dict(mesh.shape).get(MODEL_AXIS, 1)
+    if n_head % tp:
+        raise ValueError(f"{n_head} heads do not shard over tp={tp}")
+    qspec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    cspec = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+
+    def body(q_l, k_l, v_l, layer_l):
+        return cross_attention_int4_stacked(
+            q_l, k_l, v_l, layer_l, valid_len=valid_len, interpret=interpret
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(qspec, cspec, cspec, P()),
+        out_specs=qspec,
+        check_vma=False,
+    )(q, k4_all, v4_all, layer)
+
+
 def cross_attention_int4_reference(
     q: jnp.ndarray, k4: jnp.ndarray, v4: jnp.ndarray, *, valid_len: int
 ) -> jnp.ndarray:

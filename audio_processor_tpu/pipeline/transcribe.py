@@ -363,10 +363,12 @@ class Transcriber:
         # model axis (Megatron specs, parallel/sharding.py) — without this
         # a model_parallel mesh silently ran data-parallel-only with
         # replicated weights.  Runs AFTER the storage-dtype cast so the
-        # host->device transfer ships bf16, not f32-then-cast.  The Pallas
-        # int4 cross-KV kernel is replicated-only by design, so TP decode
-        # rides the XLA int8 path (proven token-identical in
-        # tests/test_parallel.py).
+        # host->device transfer ships bf16, not f32-then-cast.  Under TP
+        # the int4 cross-KV Pallas kernel runs PER-SHARD (heads on the
+        # model axis) via shard_map — decode passes tp_mesh down so GSPMD
+        # never has to partition a pallas_call (it can't, and would
+        # all-gather the head-sharded cache).
+        self._tp_mesh = None
         if (
             self.mesh is not None
             and dict(self.mesh.shape).get(mesh_lib.MODEL_AXIS, 1) > 1
@@ -374,13 +376,17 @@ class Transcriber:
             from ..parallel import sharding as sharding_lib
 
             self.params = sharding_lib.shard_params(self.params, self.mesh)
+            tp = dict(self.mesh.shape)[mesh_lib.MODEL_AXIS]
             if self.cross_kv_bits == 4:
-                logger.info(
-                    "model-parallel mesh: falling back to the XLA int8 "
-                    "cross-KV path (the Pallas int4 kernel is "
-                    "replicated-only)"
-                )
-                self.cross_kv_bits = 8
+                if self.cfg.n_text_head % tp == 0:
+                    self._tp_mesh = self.mesh
+                else:
+                    logger.info(
+                        "model-parallel mesh: %d heads do not shard over "
+                        "tp=%d — falling back to the XLA int8 cross-KV "
+                        "path", self.cfg.n_text_head, tp,
+                    )
+                    self.cross_kv_bits = 8
         # DecodingOptions.prefix -> token ids once (static across windows);
         # openai's cap: max_prefix_len = n_ctx // 2 - sample_len
         self._prefix_tokens: list[int] = []
@@ -599,6 +605,7 @@ class Transcriber:
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
             kv_bits=self.cross_kv_bits,
+            tp_mesh=self._tp_mesh,
             **kw,
         )
 
@@ -666,6 +673,7 @@ class Transcriber:
                 dtype_name=self.compute_dtype,
                 quantize_cross_kv=self.quantize_cross_kv,
                 kv_bits=self.cross_kv_bits,
+                tp_mesh=self._tp_mesh,
                 quantize_self_kv=self.quantize_self_kv,
                 temperature=temperature,
                 rng_seed=seed,
@@ -686,6 +694,7 @@ class Transcriber:
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
             kv_bits=self.cross_kv_bits,
+            tp_mesh=self._tp_mesh,
             quantize_self_kv=self.quantize_self_kv,
             temperature=temperature,
             rng_seed=seed,
@@ -1044,6 +1053,7 @@ class Transcriber:
                         dtype_name=self.compute_dtype,
                         quantize_cross_kv=self.quantize_cross_kv,
                         kv_bits=self.cross_kv_bits,
+                        tp_mesh=self._tp_mesh,
                         quantize_self_kv=self.quantize_self_kv,
                         temperature=temp,
                         rng_seed=seed,

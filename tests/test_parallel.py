@@ -64,8 +64,8 @@ def test_tp_sharded_decode_matches_single_device():
     The mesh claim (parallel/mesh.py) is that decode-latency-sensitive
     large variants can run TP; this pins it: sharded-param decode must be
     token-identical to single-device decode.  Runs the XLA attention path
-    (quantize_cross_kv=False) — the Pallas int4/int8 kernels are
-    replicated-only by design (ops/pallas/decode_attention.py)."""
+    (quantize_cross_kv=False); the int4 kernel's own TP path is pinned by
+    test_int4_kernel_tp_shard_map_matches_reference below."""
     from audio_processor_tpu.models.whisper import decode
 
     params = whisper_model.init_params(CFG, jax.random.PRNGKey(0))
@@ -96,6 +96,44 @@ def test_tp_sharded_decode_matches_single_device():
         np.asarray(out_b.no_speech_prob), np.asarray(ref_b.no_speech_prob),
         atol=1e-5,
     )
+
+
+def test_int4_kernel_tp_shard_map_matches_reference():
+    """The stacked int4 decode kernel runs PER-SHARD under a dp x tp mesh
+    (heads on the model axis) and matches the unsharded jnp reference —
+    TP serving keeps the production kernel instead of falling back to the
+    XLA int8 path (interpret mode stands in for the TPU backend)."""
+    from audio_processor_tpu.ops.pallas import decode_attention as da
+
+    L, B, H, DH, TPAD, TA = 2, 8, 4, 8, 256, 250
+    rng_ = np.random.default_rng(3)
+    q = jnp.asarray(rng_.normal(0, 1, (B, 1, H, DH)).astype(np.float32))
+    k8 = jnp.asarray(rng_.integers(-7, 8, (L, B, H, DH, TPAD), dtype=np.int8))
+    v8 = jnp.asarray(rng_.integers(-7, 8, (L, B, H, TPAD, DH), dtype=np.int8))
+    k4, v4 = da.pack_int4_time(k8, v8)
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    for layer in (0, 1):
+        ref = np.asarray(
+            da.cross_attention_int4_reference(
+                q, k4[layer], v4[layer], valid_len=TA
+            )
+        )
+        out = np.asarray(
+            jax.jit(
+                lambda qq, kk, vv: da.cross_attention_int4_stacked_tp(
+                    mesh, qq, kk, vv, jnp.int32(layer), valid_len=TA,
+                    interpret=True,
+                )
+            )(q, k4, v4)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    with pytest.raises(ValueError, match="heads do not shard"):
+        da.cross_attention_int4_stacked_tp(
+            mesh_lib.make_mesh(model_parallel=8), q, k4, v4,
+            jnp.int32(0), valid_len=TA, interpret=True,
+        )
 
 
 def test_transcriber_data_parallel_over_mesh(rng):
