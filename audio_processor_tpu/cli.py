@@ -85,14 +85,12 @@ def cmd_transcribe(args) -> None:
         )
     on_segment = None
     if args.verbose:
-        def _fmt(s: float) -> str:  # openai's verbose timestamp form
-            ms = int(round(s * 1000))
-            return (f"{ms // 3_600_000:02d}:{ms // 60_000 % 60:02d}:"
-                    f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
+        from .utils.writers import _timestamp as _fmt_ts
 
-        def on_segment(seg):
-            print(f"[{_fmt(seg['start'])} --> {_fmt(seg['end'])}] "
-                  f"{seg['text']}", file=sys.stderr, flush=True)
+        def on_segment(seg):  # openai's verbose timestamp form
+            s = _fmt_ts(seg["start"], always_hours=True, decimal=".")
+            e = _fmt_ts(seg["end"], always_hours=True, decimal=".")
+            print(f"[{s} --> {e}] {seg['text']}", file=sys.stderr, flush=True)
 
     out = t.transcribe(
         audio, remove_silence=not args.keep_silence, clip_timestamps=clips,

@@ -746,6 +746,11 @@ class Transcriber:
                 for lo in range(0, len(idx), retry_cap):
                     part = idx[lo : lo + retry_cap]
                     bucket = min(_bucket(len(part)), retry_cap)
+                    if self.mesh is not None:
+                        # shard_map'ed TP kernel + dp sharding need the
+                        # batch divisible by the data axis (main slabs are
+                        # rounded the same way)
+                        bucket = mesh_lib.round_up_batch(bucket, self.mesh)
                     pad_idx = np.zeros(bucket, np.int64)
                     pad_idx[: len(part)] = part
                     sub_states = jnp.take(
@@ -778,13 +783,15 @@ class Transcriber:
                     failed[part[refailed]] = True
 
         # no-speech gate: a chunk is silence iff nospeech prob is high AND
-        # the decode was low-confidence (both conditions, as openai-whisper)
+        # the decode was low-confidence (both conditions, as openai-whisper).
+        # Gate on the ACCEPTING decode's stats (meta tracks retries) — a
+        # window salvaged by a fallback rung must not be blanked for the
+        # base decode's bad logprob (openai gates on the final
+        # decode_result of decode_with_fallback).
         if self.no_speech_threshold is not None:
-            lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
-            avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
             silent = (
-                np.asarray(result.no_speech_prob)[:n_real] > self.no_speech_threshold
-            ) & (avg_lp < self.logprob_threshold)
+                meta["no_speech_prob"] > self.no_speech_threshold
+            ) & (meta["avg_logprob"] < self.logprob_threshold)
             tokens[silent] = self.special.eot
         return tokens, meta
 
@@ -961,7 +968,7 @@ class Transcriber:
     def _transcribe_conditioned(
         self, audio: np.ndarray, n_chunks: int, progress=None,
         on_segment=None, time_map=None,
-    ) -> tuple[np.ndarray, list]:
+    ) -> tuple[np.ndarray, list, dict]:
         """Window-group conditioned decode (see condition_on_previous_text).
 
         Round r decodes window r of EVERY group in one batch, prompted with
@@ -1105,6 +1112,8 @@ class Transcriber:
                         for lo2 in range(0, len(idx), retry_cap):
                             part = idx[lo2 : lo2 + retry_cap]
                             rb = min(_bucket(len(part)), retry_cap)
+                            if self.mesh is not None:
+                                rb = mesh_lib.round_up_batch(rb, self.mesh)
                             pad_idx = np.zeros(rb, np.int64)
                             pad_idx[: len(part)] = part
                             sub_states = jnp.take(
@@ -1135,10 +1144,11 @@ class Transcriber:
                             failed[part[refailed]] = True
 
                 if self.no_speech_threshold is not None:
-                    silent = (
-                        np.asarray(result.no_speech_prob)[:n_real]
-                        > self.no_speech_threshold
-                    ) & (avg_lp < self.logprob_threshold)
+                    # gate on the accepting decode's stats (nsp/avg_lp
+                    # track retries), as the parallel path does
+                    silent = (nsp > self.no_speech_threshold) & (
+                        avg_lp < self.logprob_threshold
+                    )
                     tokens[silent] = self.special.eot
                 for j, ci in enumerate(ids):
                     token_rows[ci] = tokens[j]
@@ -1225,10 +1235,20 @@ class Transcriber:
         states = self._frontend_encode(self.params, jnp.asarray(chunk))
         _, probs = decode_lib.detect_language(self.params, self.cfg, states)
         probs = np.asarray(probs)[0]
-        from ..models.whisper.tokenizer import WHISPER_LANGUAGES
+        from ..models.whisper.tokenizer import (
+            WHISPER_LANGUAGES,
+            WHISPER_LANGUAGES_V3,
+        )
 
+        # large-v3 models carry 100 language tokens (incl. "yue") — pick
+        # the table by the model's token count, as _language_code does
+        langs = (
+            WHISPER_LANGUAGES_V3
+            if self.special.num_languages >= 100
+            else WHISPER_LANGUAGES
+        )
         pairs = sorted(
-            zip(WHISPER_LANGUAGES[: len(probs)], probs.tolist()),
+            zip(langs[: len(probs)], probs.tolist()),
             key=lambda kv: -kv[1],
         )
         return {"language": pairs[0][0], "probabilities": dict(pairs)}
@@ -1452,9 +1472,13 @@ class Transcriber:
         if all_meta is not None:
             row_meta = []
             for i, row in enumerate(all_rows):
-                text = self.tokenizer.decode(
-                    [int(t) for t in row if int(t) < self.special.eot]
-                ).encode("utf-8")
+                text_toks = [int(t) for t in row if int(t) < self.special.eot]
+                # one extra host BPE decode per window (~100 tokens); the
+                # empty-window skip covers the silent-meeting bulk case
+                text = (
+                    self.tokenizer.decode(text_toks).encode("utf-8")
+                    if text_toks else b""
+                )
                 ratio = (
                     len(text) / max(len(zlib.compress(text)), 1)
                     if text else 0.0

@@ -915,6 +915,117 @@ def test_on_segment_conditioned_mode(rng):
     assert got == want
 
 
+def test_detect_language_uses_v3_table_for_100_language_models():
+    """A model with 100 language tokens (large-v3 vocab) must map ALL of
+    them — including "yue" — not truncate to the 99-entry v2 table."""
+    import dataclasses
+
+    import jax
+    from audio_processor_tpu.models.whisper import model as model_lib
+    from audio_processor_tpu.models.whisper.config import get_config
+
+    cfg = dataclasses.replace(
+        get_config("test"), name="v3-test", n_vocab=51866, n_text_layer=1,
+        n_audio_layer=1,
+    )
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    t = Transcriber(params=params, cfg=cfg, compute_dtype="float32",
+                    max_new_tokens=4, enable_fallback=False)
+    assert t.special.num_languages == 100
+    out = t.detect_language(np.zeros(16000, np.float32))
+    assert len(out["probabilities"]) == 100
+    assert "yue" in out["probabilities"]
+    assert sum(out["probabilities"].values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_no_speech_gate_uses_accepting_decode_stats(monkeypatch):
+    """A window salvaged by a fallback rung must be gated on the RETRY's
+    avg_logprob/no_speech_prob, not the discarded base decode's (openai
+    gates on decode_with_fallback's final result) — the old behavior
+    blanked successfully-retried windows."""
+    import jax.numpy as jnp
+    from audio_processor_tpu.models.whisper.decode import DecodeResult
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        enable_fallback=True, temperature_ladder=(0.5,),
+        no_speech_threshold=0.6, logprob_threshold=-1.0,
+    )
+    tb = t.special.timestamp_begin
+    base_tokens = np.full((2, 4), t.special.eot, np.int32)
+    base_tokens[:, 0] = tb
+    base = DecodeResult(
+        tokens=jnp.asarray(base_tokens),
+        lengths=jnp.asarray([3, 3]),
+        sum_logprob=jnp.asarray([-9.0, -0.8]),  # row 0: avg -2.25, fails
+        no_speech_prob=jnp.asarray([0.9, 0.1]),
+    )
+    retry_tokens = np.full((1, 4), t.special.eot, np.int32)
+    retry_tokens[:, 0] = tb + 1
+    retry = DecodeResult(
+        tokens=jnp.asarray(retry_tokens),
+        lengths=jnp.asarray([3]),
+        sum_logprob=jnp.asarray([-0.4]),  # avg -0.1: healthy
+        no_speech_prob=jnp.asarray([0.9]),
+    )
+    calls = {"n": 0}
+
+    def fake_failed(result, tokens, n_real):
+        calls["n"] += 1
+        out = np.zeros(n_real, bool)
+        if calls["n"] == 1:
+            out[0] = True
+        return out
+
+    monkeypatch.setattr(t, "_failed_rows", fake_failed)
+    monkeypatch.setattr(t, "_run_decode", lambda *a, **k: retry)
+    states = jnp.zeros((2, 8, t.cfg.n_audio_state), jnp.float32)
+    tokens, meta = t._collect_slab(base, states, 2)
+    # row 0 holds the retry's tokens — NOT blanked to EOT (the retry's
+    # avg_logprob -0.1 passes the gate even though no_speech_prob is 0.9)
+    assert tokens[0, 0] == tb + 1
+    assert meta["temperature"][0] == 0.5
+    assert meta["avg_logprob"][0] == pytest.approx(-0.1)
+
+
+def test_retry_bucket_rounds_to_mesh(rng, monkeypatch):
+    """Quality-fallback retry sub-batches must round up to the mesh's
+    data-axis size — a 1-row retry bucket under dp=8 crashes the
+    shard_map'ed TP kernel path and mis-shards dp decode."""
+    from audio_processor_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()  # data=8
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8, mesh=mesh,
+        enable_fallback=True, temperature_ladder=(0.5,),
+        no_speech_threshold=None,
+    )
+    audio = rng.normal(0, 0.2, 250 * 16_000).astype(np.float32)  # 9 windows
+
+    sizes = []
+    orig = t._run_decode
+
+    def spy(audio_states, temperature=0.0, seed=0, **kw):
+        sizes.append((audio_states.shape[0], temperature))
+        return orig(audio_states, temperature, seed, **kw)
+
+    monkeypatch.setattr(t, "_run_decode", spy)
+    first = {"n": 0}
+
+    def fake_failed(result, tokens, n_real):
+        out = np.zeros(n_real, bool)
+        if first["n"] == 0 and n_real > 1:
+            out[1] = True
+        first["n"] += 1
+        return out
+
+    monkeypatch.setattr(t, "_failed_rows", fake_failed)
+    t.transcribe(audio, remove_silence=False)
+    retries = [s for s, temp in sizes if temp > 0]
+    assert retries, "no retry dispatched"
+    assert all(s % 8 == 0 for s in retries), sizes
+
+
 def test_segment_meta_tracks_accepting_temperature(rng, monkeypatch):
     """A window accepted on a fallback rung reports that rung's
     temperature in its segments (openai's result.temperature)."""
