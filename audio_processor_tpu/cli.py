@@ -554,6 +554,17 @@ def cmd_wer(args) -> None:
     print(f"WER: {word_error_rate(ref, hyp):.4f}")
 
 
+def cmd_der(args) -> None:
+    """DER between two turn-list JSON files (`cli diarize --json` shape)."""
+    from .utils.metrics import diarization_error_rate
+
+    with open(args.reference) as f:
+        ref = json.load(f)
+    with open(args.hypothesis) as f:
+        hyp = json.load(f)
+    print(f"DER: {diarization_error_rate(ref, hyp, collar_s=args.collar):.4f}")
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="audio_processor_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -807,6 +818,17 @@ def main(argv: list[str] | None = None) -> None:
     w.add_argument("reference")
     w.add_argument("hypothesis")
     w.set_defaults(fn=cmd_wer)
+
+    de = sub.add_parser(
+        "der",
+        help="diarization error rate between two turn-list JSON files "
+        "(the `diarize --json` shape; NIST collar protocol)",
+    )
+    de.add_argument("reference")
+    de.add_argument("hypothesis")
+    de.add_argument("--collar", type=float, default=0.25,
+                    help="seconds excluded around reference boundaries")
+    de.set_defaults(fn=cmd_der)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -30,6 +30,20 @@ def test_cli_wer(tmp_path, capsys):
     assert "WER: 0.25" in out
 
 
+def test_cli_der(tmp_path, capsys):
+    ref = [{"start": 0.0, "end": 2.0, "speaker": "SPEAKER_00"},
+           {"start": 2.0, "end": 4.0, "speaker": "SPEAKER_01"}]
+    hyp = [{"start": 0.0, "end": 2.0, "speaker": "A"},
+           {"start": 2.0, "end": 4.0, "speaker": "B"}]
+    r = tmp_path / "ref.json"
+    h = tmp_path / "hyp.json"
+    r.write_text(json.dumps(ref))
+    h.write_text(json.dumps(hyp))
+    cli.main(["der", str(r), str(h)])
+    out = capsys.readouterr().out
+    assert "DER: 0.0000" in out
+
+
 def test_cli_transcribe_json(wav, capsys):
     cli.main(["transcribe", wav, "--model", "test", "--json", "--keep-silence"])
     out = json.loads(capsys.readouterr().out)
