@@ -16,6 +16,19 @@ import sys
 
 
 def cmd_transcribe(args) -> None:
+    if not args.word_timestamps:
+        # openai's CLI errors for word-level subtitle options without
+        # word_timestamps rather than silently emitting plain cues —
+        # validated BEFORE model init so the mistake surfaces instantly
+        for flag, val in (
+            ("--highlight-words", args.highlight_words),
+            ("--max-line-width", args.max_line_width),
+            ("--max-line-count", args.max_line_count),
+            ("--max-words-per-line", args.max_words_per_line),
+        ):
+            if val:
+                raise SystemExit(f"{flag} requires --word-timestamps")
+
     from .pipeline import ingest
     from .pipeline.transcribe import Transcriber
 
@@ -584,9 +597,9 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     t.add_argument("--temperature", type=float, default=0.0,
-                   help="base decode temperature (0 = deterministic; the "
-                   "fallback ladder's higher rungs still apply — openai's "
-                   "temperature option)")
+                   help="decode temperature (openai's float form: 0 = "
+                   "deterministic with the retry ladder; >0 = ONE decode "
+                   "at that temperature, no retries)")
     t.add_argument("--length-penalty", dest="length_penalty", type=float,
                    default=None,
                    help="beam ranking normalisation exponent (Google-NMT "

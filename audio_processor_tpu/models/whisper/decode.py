@@ -1403,7 +1403,17 @@ def seek_consumed(
     if not toks:
         return chunk_length_s, False
     if toks[-1] >= st.timestamp_begin:
-        return chunk_length_s, False  # single-timestamp / paired ending
+        if len(toks) >= 2 and toks[-2] >= st.timestamp_begin:
+            # CONSECUTIVE-timestamp ending: openai's loop rewinds seek to
+            # the pair's timestamp (single_timestamp_ending is False for a
+            # [True, True] tail, so the else-branch advances only to
+            # tokens[last_slice-1]) — the model closed a segment mid-window
+            # and stopped; the rest of the window must re-decode.
+            consumed = (toks[-1] - st.timestamp_begin) * 0.02
+            if consumed <= 0.0 or consumed >= chunk_length_s:
+                return chunk_length_s, False
+            return consumed, True
+        return chunk_length_s, False  # single-timestamp ending: clean
     last_closed_end = None
     cur_start = None
     trailing_text = False

@@ -207,8 +207,9 @@ class Transcriber:
     length_penalty: float | None = None
     # BASE decode temperature (openai's temperature option when given a
     # single float): 0 = deterministic; >0 samples from the start, with
-    # best_of candidates.  The fallback ladder still applies — only its
-    # rungs above the base run (openai builds its rung list the same way).
+    # best_of candidates.  openai's float form means ONE decode, no
+    # retries; pass an explicit temperature_ladder to keep rungs above a
+    # non-zero base (openai's tuple form).  See __post_init__.
     temperature: float = 0.0
     # (openai decode_with_fallback: the quality-gate ladder applies to
     # beam rungs too, and its T>0 retries always use sampling)
@@ -330,12 +331,23 @@ class Transcriber:
             None if self.max_initial_timestamp is None
             else int(round(self.max_initial_timestamp / 0.02))
         )
-        # effective fallback rungs: only temperatures ABOVE the base run
-        # (openai builds its rung list from the temperature option the
-        # same way — a base of 0.4 skips the 0.2 rung)
-        self._ladder = tuple(
-            t for t in self.temperature_ladder if t > self.temperature
+        # effective fallback rungs.  openai's temperature option: a single
+        # FLOAT means exactly one decode at that temperature (no retries —
+        # `[temperature] if isinstance(temperature, (int, float)) else
+        # temperature`), while the default tuple (0, .2, .4, .6, .8, 1)
+        # is the retry ladder.  So a non-zero base with the DEFAULT ladder
+        # disables fallback; an explicitly supplied ladder keeps its rungs
+        # above the base (the tuple form with a custom start).
+        default_ladder = (
+            tuple(self.temperature_ladder)
+            == type(self).__dataclass_fields__["temperature_ladder"].default
         )
+        if self.temperature > 0 and default_ladder:
+            self._ladder = ()
+        else:
+            self._ladder = tuple(
+                t for t in self.temperature_ladder if t > self.temperature
+            )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
         if self.max_chunk_batch is None:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
@@ -701,6 +713,18 @@ class Transcriber:
             best_of=self.best_of,
         )
 
+    def _row_compression_ratio(self, tokens_row) -> float:
+        """openai's zlib compression_ratio over one window's decoded text."""
+        import zlib
+
+        text_toks = [int(t) for t in tokens_row if int(t) < self.special.eot]
+        if not text_toks:
+            return 0.0
+        raw = self.tokenizer.decode(text_toks).encode("utf-8")
+        return (
+            round(len(raw) / max(len(zlib.compress(raw)), 1), 4) if raw else 0.0
+        )
+
     def _collect_slab(
         self, result, audio_states, n_real: int, first_slab: bool = False
     ) -> tuple[np.ndarray, dict]:
@@ -708,7 +732,8 @@ class Transcriber:
 
         Returns (tokens, meta) — meta holds the per-WINDOW decode stats
         openai attaches to every segment (avg_logprob / no_speech_prob /
-        temperature), tracking the accepting decode through retries.
+        compression_ratio / temperature), tracking the accepting decode
+        through retries.
         """
         tokens = np.array(result.tokens)[:n_real]  # writable copy
         lengths0 = np.maximum(np.asarray(result.lengths)[:n_real], 1)
@@ -793,6 +818,11 @@ class Transcriber:
                 meta["no_speech_prob"] > self.no_speech_threshold
             ) & (meta["avg_logprob"] < self.logprob_threshold)
             tokens[silent] = self.special.eot
+        # ratio of the ACCEPTING decode's text, computed once here (the
+        # finalize pass reads it from meta instead of re-decoding rows)
+        meta["compression_ratio"] = np.asarray(
+            [self._row_compression_ratio(r) for r in tokens], np.float64
+        )
         return tokens, meta
 
     # -- seek-based window advance (boundary-straddle repair) ----------------
@@ -985,6 +1015,7 @@ class Transcriber:
         chunk_meta = {
             "avg_logprob": np.zeros(n_chunks, np.float64),
             "no_speech_prob": np.zeros(n_chunks, np.float64),
+            "compression_ratio": np.zeros(n_chunks, np.float64),
             "temperature": np.full(n_chunks, self.temperature, np.float64),
         }
         histories: list[list[int]] = [[] for _ in range(n_groups)]
@@ -1154,6 +1185,9 @@ class Transcriber:
                     token_rows[ci] = tokens[j]
                     chunk_meta["avg_logprob"][ci] = avg_lp[j]
                     chunk_meta["no_speech_prob"][ci] = nsp[j]
+                    chunk_meta["compression_ratio"][ci] = (
+                        self._row_compression_ratio(tokens[j])
+                    )
                     chunk_meta["temperature"][ci] = row_temp[j]
                     text_toks = [
                         int(t) for t in tokens[j] if int(t) < self.special.eot
@@ -1443,7 +1477,6 @@ class Transcriber:
     ) -> dict:
         """Shared tail: tokens -> segments -> (words) -> result dict."""
         import time as _time
-        import zlib
 
         offsets = np.arange(n_chunks, dtype=np.float64) * 30.0
         # actual audio seconds per chunk (the last one is usually short) —
@@ -1467,30 +1500,20 @@ class Transcriber:
 
         # per-window metadata rides every segment of the window (openai's
         # new_segment attaches result.avg_logprob & co per window); the
-        # compression ratio is openai's zlib form over the window text
+        # compression ratio was computed once at collection time
         row_meta = None
         if all_meta is not None:
-            row_meta = []
-            for i, row in enumerate(all_rows):
-                text_toks = [int(t) for t in row if int(t) < self.special.eot]
-                # one extra host BPE decode per window (~100 tokens); the
-                # empty-window skip covers the silent-meeting bulk case
-                text = (
-                    self.tokenizer.decode(text_toks).encode("utf-8")
-                    if text_toks else b""
-                )
-                ratio = (
-                    len(text) / max(len(zlib.compress(text)), 1)
-                    if text else 0.0
-                )
-                row_meta.append(
-                    {
-                        "temperature": float(all_meta["temperature"][i]),
-                        "avg_logprob": float(all_meta["avg_logprob"][i]),
-                        "compression_ratio": round(ratio, 4),
-                        "no_speech_prob": float(all_meta["no_speech_prob"][i]),
-                    }
-                )
+            row_meta = [
+                {
+                    "temperature": float(all_meta["temperature"][i]),
+                    "avg_logprob": float(all_meta["avg_logprob"][i]),
+                    "compression_ratio": float(
+                        all_meta["compression_ratio"][i]
+                    ),
+                    "no_speech_prob": float(all_meta["no_speech_prob"][i]),
+                }
+                for i in range(len(all_rows))
+            ]
 
         segments = decode_lib.tokens_to_segments(
             all_rows, self.special, all_offsets, self.tokenizer.decode,

@@ -46,6 +46,20 @@ def test_seek_consumed_trailing_text_rewinds_to_last_closed_pair():
     assert r and c == pytest.approx(10.0)
 
 
+def test_seek_consumed_pair_ending_rewinds():
+    """"<|0|> a <|12|><|12|>" then EOT — openai's loop rewinds to 12 s
+    (timestamp_tokens[-2:] == [True, True] is NOT single_timestamp_ending,
+    so seek advances only to the pair); treating it as a clean full-window
+    consume silently skipped the 12-30 s speech."""
+    c, r = decode_lib.seek_consumed(row(ts(0), A, ts(12), ts(12)), ST)
+    assert r and c == pytest.approx(12.0)
+    # degenerate pair at 0 s or at the window end never rewinds
+    c, r = decode_lib.seek_consumed(row(ts(0), ts(0)), ST)
+    assert (c, r) == (30.0, False)
+    c, r = decode_lib.seek_consumed(row(ts(0), A, ts(30), ts(30)), ST)
+    assert (c, r) == (30.0, False)
+
+
 def test_seek_consumed_no_closed_pair_never_rewinds():
     c, r = decode_lib.seek_consumed(row(ts(0), A, B), ST)
     assert (c, r) == (30.0, False)
@@ -157,13 +171,35 @@ def test_patch_overlap_drops_consumed_head_of_next_window():
 def test_no_straddle_means_no_patch_decode():
     grid = np.stack([
         row(ts(0), A, ts(10)),          # clean single-timestamp ending
-        row(ts(0), B, ts(5), ts(5)),    # clean paired ending
+        row(ts(0), B, ts(5)),           # clean single-timestamp ending
     ])
     t, calls = make_mock_transcriber([grid])
     audio = np.zeros(60 * 16_000, np.float32)
     out = t.transcribe(audio, remove_silence=False)
     assert len(calls) == 1
     assert [s["text"] for s in out["segments"]] == ["a", "b"]
+
+
+def test_pair_ending_triggers_patch_decode():
+    """A window ending on a CONSECUTIVE timestamp pair re-decodes from the
+    pair (openai's non-single_timestamp_ending rewind): speech between
+    the pair and the window edge is recovered instead of skipped."""
+    grid = np.stack([
+        # window 0: "a" [0,10], then a bare pair at 12 s — the model
+        # stopped mid-window; 12-30 s was never transcribed
+        row(ts(0), A, ts(10), ts(12), ts(12)),
+        row(ts(2.5), C, ts(5)),
+    ])
+    # patch at 12 s: "d" closed [0,20.5] local = [12,32.5] global
+    patch = row(ts(0), D, ts(20.5))[None, :]
+    t, calls = make_mock_transcriber([grid, patch])
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    segs = out["segments"]
+    assert [s["text"] for s in segs] == ["a", "d", "c"]
+    assert segs[1]["start"] == pytest.approx(12.0, abs=0.05)
+    assert segs[1]["end"] == pytest.approx(32.5, abs=0.05)
+    assert len(calls) == 2
 
 
 def test_silent_patch_just_drops_hallucinated_tail():
@@ -243,13 +279,20 @@ def test_retry_subbatches_capped_by_best_of():
 
 
 def test_base_temperature_samples_from_the_start():
-    """temperature=0.4 (openai's single-float temperature option): the
-    FIRST decode runs at 0.4 and only higher ladder rungs remain."""
+    """temperature=0.4 (openai's single-float temperature option): ONE
+    decode at 0.4 with NO retry rungs (openai wraps a float as
+    [temperature]); an explicit ladder keeps its rungs above the base
+    (openai's tuple form with a custom start)."""
     t = Transcriber.random_init(
         "tiny", language=0, no_speech_threshold=None, enable_fallback=False,
         temperature=0.4,
     )
-    assert t._ladder == (0.6, 0.8, 1.0)
+    assert t._ladder == ()
+    explicit = Transcriber.random_init(
+        "tiny", language=0, no_speech_threshold=None, enable_fallback=False,
+        temperature=0.4, temperature_ladder=(0.2, 0.6, 1.0),
+    )
+    assert explicit._ladder == (0.6, 1.0)
     calls = []
 
     def fake_run_decode(audio_states, temperature=None, seed=0,
