@@ -14,6 +14,15 @@ import argparse
 import json
 import sys
 
+# argparse default meaning "keep the Transcriber's own default" — needed
+# because None is itself meaningful for the threshold options (openai's
+# optional_float: the string "None" disables the check entirely)
+_KEEP = object()
+
+
+def _optional_float(s: str):
+    return None if s.lower() == "none" else float(s)
+
 
 def cmd_transcribe(args) -> None:
     if not args.word_timestamps:
@@ -49,6 +58,26 @@ def cmd_transcribe(args) -> None:
         ]
     if args.temperature:
         kw["temperature"] = args.temperature
+    for name in (
+        "compression_ratio_threshold",
+        "logprob_threshold",
+        "no_speech_threshold",
+    ):
+        v = getattr(args, name)
+        if v is not _KEEP:
+            kw[name] = v
+    if args.temperature_increment_on_fallback is not _KEEP:
+        inc = args.temperature_increment_on_fallback
+        if inc is None:
+            kw["temperature_ladder"] = ()  # openai: [temperature] only
+        else:
+            # openai: np.arange(temperature, 1.0 + 1e-6, increment); the
+            # Transcriber keeps the rungs above the base temperature
+            base, ladder = args.temperature, []
+            while base + inc <= 1.0 + 1e-6:
+                base += inc
+                ladder.append(round(base, 10))
+            kw["temperature_ladder"] = tuple(ladder)
     if args.length_penalty is not None:
         kw["length_penalty"] = args.length_penalty
     if args.word_timestamps:
@@ -604,6 +633,28 @@ def main(argv: list[str] | None = None) -> None:
                    default=None,
                    help="beam ranking normalisation exponent (Google-NMT "
                    "form; default: plain average logprob, as openai)")
+    t.add_argument("--temperature-increment-on-fallback",
+                   dest="temperature_increment_on_fallback",
+                   type=_optional_float, default=_KEEP, metavar="INC",
+                   help="retry-ladder step up to 1.0 (openai's "
+                   "temperature_increment_on_fallback; default 0.2; "
+                   "'None' = a single decode, no retries)")
+    t.add_argument("--compression-ratio-threshold",
+                   dest="compression_ratio_threshold",
+                   type=_optional_float, default=_KEEP, metavar="R",
+                   help="treat the decode as failed if the zlib compression "
+                   "ratio of its text exceeds this (openai's "
+                   "compression_ratio_threshold; default 2.4; 'None' = off)")
+    t.add_argument("--logprob-threshold", dest="logprob_threshold",
+                   type=_optional_float, default=_KEEP, metavar="LP",
+                   help="treat the decode as failed if its average logprob "
+                   "is below this (openai's logprob_threshold; default "
+                   "-1.0; 'None' = off)")
+    t.add_argument("--no-speech-threshold", dest="no_speech_threshold",
+                   type=_optional_float, default=_KEEP, metavar="P",
+                   help="mark a window silent when P(<|nospeech|>) exceeds "
+                   "this and the decode is unconfident (openai's "
+                   "no_speech_threshold; default 0.6; 'None' = off)")
     t.add_argument("--suppress-tokens", dest="suppress_tokens", default=None,
                    help="comma-separated token ids to suppress; '-1' = the "
                    "default non-speech set (openai's suppress_tokens)")

@@ -217,9 +217,10 @@ class Transcriber:
     # which the reference depends on implicitly via model.transcribe):
     # rows with avg logprob < logprob_threshold OR gzip compression ratio >
     # compression_ratio_threshold are re-decoded at increasing temperature.
+    # None disables either check (openai's optional_float thresholds)
     temperature_ladder: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8, 1.0)
-    logprob_threshold: float = -1.0
-    compression_ratio_threshold: float = 2.4
+    logprob_threshold: float | None = -1.0
+    compression_ratio_threshold: float | None = 2.4
     enable_fallback: bool = True
     # drop chunks Whisper itself flags as silence: P(<|nospeech|>) above the
     # threshold AND below-threshold avg logprob (openai-whisper's gate)
@@ -584,15 +585,29 @@ class Transcriber:
 
         lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
         avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
-        failed = avg_lp < self.logprob_threshold
-        for i in range(n_real):
-            text = self.tokenizer.decode(
-                [t for t in tokens[i] if t < self.special.eot]
-            ).encode("utf-8")
-            if len(text) > 16:
-                ratio = len(text) / max(len(zlib.compress(text)), 1)
-                failed[i] |= ratio > self.compression_ratio_threshold
+        # None disables either check (openai's optional thresholds)
+        if self.logprob_threshold is None:
+            failed = np.zeros(n_real, bool)
+        else:
+            failed = avg_lp < self.logprob_threshold
+        if self.compression_ratio_threshold is not None:
+            for i in range(n_real):
+                text = self.tokenizer.decode(
+                    [t for t in tokens[i] if t < self.special.eot]
+                ).encode("utf-8")
+                if len(text) > 16:
+                    ratio = len(text) / max(len(zlib.compress(text)), 1)
+                    failed[i] |= ratio > self.compression_ratio_threshold
         return failed
+
+    def _silent_rows(self, nsp: np.ndarray, avg_lp: np.ndarray) -> np.ndarray:
+        """openai's skip rule: silence iff no_speech_prob is high, UNLESS
+        the decode is confident (avg_logprob above logprob_threshold —
+        with logprob_threshold=None the confidence override is off)."""
+        silent = nsp > self.no_speech_threshold
+        if self.logprob_threshold is not None:
+            silent &= ~(avg_lp > self.logprob_threshold)
+        return silent
 
     def _beam_decode(self, audio_states, sot_seq, rows=None, lens=None):
         """One beam_decode invocation with the Transcriber-derived kwargs
@@ -814,9 +829,9 @@ class Transcriber:
         # base decode's bad logprob (openai gates on the final
         # decode_result of decode_with_fallback).
         if self.no_speech_threshold is not None:
-            silent = (
-                meta["no_speech_prob"] > self.no_speech_threshold
-            ) & (meta["avg_logprob"] < self.logprob_threshold)
+            silent = self._silent_rows(
+                meta["no_speech_prob"], meta["avg_logprob"]
+            )
             tokens[silent] = self.special.eot
         # ratio of the ACCEPTING decode's text, computed once here (the
         # finalize pass reads it from meta instead of re-decoding rows)
@@ -1177,9 +1192,7 @@ class Transcriber:
                 if self.no_speech_threshold is not None:
                     # gate on the accepting decode's stats (nsp/avg_lp
                     # track retries), as the parallel path does
-                    silent = (nsp > self.no_speech_threshold) & (
-                        avg_lp < self.logprob_threshold
-                    )
+                    silent = self._silent_rows(nsp, avg_lp)
                     tokens[silent] = self.special.eot
                 for j, ci in enumerate(ids):
                     token_rows[ci] = tokens[j]

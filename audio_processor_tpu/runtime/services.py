@@ -147,6 +147,16 @@ def build_services(
         tkw["temperature"] = float(os.environ["APTPU_TEMPERATURE"])
     if os.environ.get("APTPU_LENGTH_PENALTY"):
         tkw["length_penalty"] = float(os.environ["APTPU_LENGTH_PENALTY"])
+    # quality-gate thresholds — the literal string "None" disables a
+    # check, exactly as openai's optional_float CLI form
+    for env, field in (
+        ("APTPU_COMPRESSION_RATIO_THRESHOLD", "compression_ratio_threshold"),
+        ("APTPU_LOGPROB_THRESHOLD", "logprob_threshold"),
+        ("APTPU_NO_SPEECH_THRESHOLD", "no_speech_threshold"),
+    ):
+        raw = os.environ.get(env)
+        if raw:
+            tkw[field] = None if raw.lower() == "none" else float(raw)
     if os.environ.get("APTPU_INITIAL_PROMPT"):
         tkw["initial_prompt"] = os.environ["APTPU_INITIAL_PROMPT"]
     if os.environ.get("APTPU_CARRY_INITIAL_PROMPT") == "1":

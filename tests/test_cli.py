@@ -225,3 +225,62 @@ def test_cli_detect_language(wav, capsys):
     probs = out["probabilities"]
     assert 0 < len(probs) <= 10
     assert abs(sum(probs.values())) <= 1.0 + 1e-6
+
+
+class _Captured(Exception):
+    pass
+
+
+def _capture_transcriber_kwargs(monkeypatch, argv):
+    """Run `cli transcribe` just far enough to capture the Transcriber
+    construction kwargs (no model build, no decode)."""
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    seen = {}
+
+    def spy(cls, *a, **kw):
+        seen.update(kw)
+        raise _Captured
+
+    monkeypatch.setattr(
+        Transcriber, "random_init", classmethod(spy), raising=True
+    )
+    with pytest.raises(_Captured):
+        cli.main(["transcribe", "/nonexistent.wav", "--model", "test", *argv])
+    return seen
+
+
+def test_cli_threshold_flags_reach_transcriber(monkeypatch):
+    """--compression-ratio-threshold / --logprob-threshold /
+    --no-speech-threshold: floats pass through, the literal 'None'
+    disables the check (openai's optional_float CLI form)."""
+    kw = _capture_transcriber_kwargs(monkeypatch, [
+        "--compression-ratio-threshold", "3.0",
+        "--logprob-threshold", "None",
+        "--no-speech-threshold", "0.5",
+    ])
+    assert kw["compression_ratio_threshold"] == 3.0
+    assert kw["logprob_threshold"] is None
+    assert kw["no_speech_threshold"] == 0.5
+    # unset flags keep the Transcriber defaults (no key at all)
+    kw = _capture_transcriber_kwargs(monkeypatch, [])
+    for name in ("compression_ratio_threshold", "logprob_threshold",
+                 "no_speech_threshold", "temperature_ladder"):
+        assert name not in kw
+
+
+def test_cli_temperature_increment_on_fallback(monkeypatch):
+    """openai's temperature_increment_on_fallback builds the retry ladder
+    (arange(temperature, 1.0, inc)); 'None' means a single decode."""
+    kw = _capture_transcriber_kwargs(
+        monkeypatch, ["--temperature-increment-on-fallback", "0.5"]
+    )
+    assert kw["temperature_ladder"] == (0.5, 1.0)
+    kw = _capture_transcriber_kwargs(monkeypatch, [
+        "--temperature", "0.4", "--temperature-increment-on-fallback", "0.3",
+    ])
+    assert kw["temperature_ladder"] == (0.7, 1.0)
+    kw = _capture_transcriber_kwargs(
+        monkeypatch, ["--temperature-increment-on-fallback", "None"]
+    )
+    assert kw["temperature_ladder"] == ()

@@ -1053,3 +1053,38 @@ def test_segment_meta_tracks_accepting_temperature(rng, monkeypatch):
     # window 1 was retried at 0.5; windows 0/2 accepted at the base 0.0
     assert temps.get(1) == 0.5
     assert all(v == 0.0 for k, v in temps.items() if k != 1)
+
+
+def test_optional_thresholds_disable_gates():
+    """logprob_threshold / compression_ratio_threshold accept None (openai's
+    optional_float): None disables the retry check; with
+    logprob_threshold=None the no-speech gate loses its confidence
+    override and skips on no_speech_prob alone."""
+    import jax.numpy as jnp
+    from audio_processor_tpu.models.whisper.decode import DecodeResult
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        enable_fallback=False, logprob_threshold=None,
+        compression_ratio_threshold=None, no_speech_threshold=0.6,
+    )
+    # terrible logprob + repetitive text would normally fail: None = pass
+    toks = np.full((2, 4), t.special.eot, np.int32)
+    res = DecodeResult(
+        tokens=jnp.asarray(toks),
+        lengths=jnp.asarray([3, 3]),
+        sum_logprob=jnp.asarray([-99.0, -99.0]),
+        no_speech_prob=jnp.asarray([0.0, 0.0]),
+    )
+    assert not t._failed_rows(res, toks, 2).any()
+    # confidence override off: high nsp alone marks the row silent even
+    # with a perfect avg logprob
+    silent = t._silent_rows(np.array([0.9, 0.1]), np.array([0.0, -9.0]))
+    assert silent.tolist() == [True, False]
+    # with a threshold set, a confident decode overrides the nsp skip
+    t2 = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4,
+        enable_fallback=False, logprob_threshold=-1.0,
+    )
+    silent = t2._silent_rows(np.array([0.9, 0.9]), np.array([-0.2, -2.0]))
+    assert silent.tolist() == [False, True]
