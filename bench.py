@@ -71,6 +71,37 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    # Liveness watchdog: a dead axon relay makes every device op hang
+    # FOREVER (no error) — probe with a trivial op under a deadline and
+    # fail fast with a diagnostic JSON line rather than hanging the
+    # driver.  A cold TPU worker can take 1-3 min to initialise, so the
+    # default deadline is generous.
+    probe_s = float(_os.environ.get("APTPU_BENCH_PROBE_TIMEOUT", "600"))
+    import threading
+
+    alive: list[bool] = []
+
+    def _probe():
+        try:
+            np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
+            alive.append(True)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(probe_s)
+    if not alive:
+        print(json.dumps({
+            "metric": "transcribe_rtfx",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"device unresponsive after {probe_s:.0f}s "
+                     "(axon relay dead? every TPU op hangs)",
+        }))
+        _os._exit(1)  # the hung probe thread blocks a normal exit
+
     from audio_processor_tpu.models.whisper import decode as decode_lib
     from audio_processor_tpu.models.whisper import model as model_lib
     from audio_processor_tpu.models.whisper.config import get_config
