@@ -14,14 +14,12 @@ import argparse
 import json
 import sys
 
+from .utils.options import fallback_ladder, optional_float as _optional_float
+
 # argparse default meaning "keep the Transcriber's own default" — needed
 # because None is itself meaningful for the threshold options (openai's
 # optional_float: the string "None" disables the check entirely)
 _KEEP = object()
-
-
-def _optional_float(s: str):
-    return None if s.lower() == "none" else float(s)
 
 
 def cmd_transcribe(args) -> None:
@@ -66,18 +64,17 @@ def cmd_transcribe(args) -> None:
         v = getattr(args, name)
         if v is not _KEEP:
             kw[name] = v
-    if args.temperature_increment_on_fallback is not _KEEP:
-        inc = args.temperature_increment_on_fallback
-        if inc is None:
-            kw["temperature_ladder"] = ()  # openai: [temperature] only
-        else:
-            # openai: np.arange(temperature, 1.0 + 1e-6, increment); the
-            # Transcriber keeps the rungs above the base temperature
-            base, ladder = args.temperature, []
-            while base + inc <= 1.0 + 1e-6:
-                base += inc
-                ladder.append(round(base, 10))
-            kw["temperature_ladder"] = tuple(ladder)
+    inc = args.temperature_increment_on_fallback
+    if inc is _KEEP and args.temperature:
+        # openai's CLI defaults the increment to 0.2, so `--temperature
+        # 0.4` there decodes with rungs (0.6, 0.8, 1.0) — NOT the API's
+        # plain-float no-retry form.  Mirror the CLI default explicitly.
+        inc = 0.2
+    if inc is not _KEEP:
+        try:
+            kw["temperature_ladder"] = fallback_ladder(args.temperature, inc)
+        except ValueError as e:
+            raise SystemExit(f"--temperature-increment-on-fallback: {e}")
     if args.length_penalty is not None:
         kw["length_penalty"] = args.length_penalty
     if args.word_timestamps:
@@ -626,9 +623,10 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--language", help="ISO code (e.g. en, zh); default: auto-detect")
     t.add_argument("--beam", type=int, default=0, help="beam size (0 = greedy)")
     t.add_argument("--temperature", type=float, default=0.0,
-                   help="decode temperature (openai's float form: 0 = "
-                   "deterministic with the retry ladder; >0 = ONE decode "
-                   "at that temperature, no retries)")
+                   help="decode temperature (0 = deterministic; >0 samples "
+                   "from the start).  As in openai's CLI, the retry ladder "
+                   "climbs from here in --temperature-increment-on-fallback "
+                   "steps (default 0.2)")
     t.add_argument("--length-penalty", dest="length_penalty", type=float,
                    default=None,
                    help="beam ranking normalisation exponent (Google-NMT "
@@ -636,9 +634,9 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--temperature-increment-on-fallback",
                    dest="temperature_increment_on_fallback",
                    type=_optional_float, default=_KEEP, metavar="INC",
-                   help="retry-ladder step up to 1.0 (openai's "
-                   "temperature_increment_on_fallback; default 0.2; "
-                   "'None' = a single decode, no retries)")
+                   help="retry-ladder step from --temperature up to 1.0 "
+                   "(openai's temperature_increment_on_fallback; default "
+                   "0.2; 'None' = a single decode, no retries)")
     t.add_argument("--compression-ratio-threshold",
                    dest="compression_ratio_threshold",
                    type=_optional_float, default=_KEEP, metavar="R",

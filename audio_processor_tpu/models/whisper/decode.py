@@ -1405,11 +1405,13 @@ def seek_consumed(
     if toks[-1] >= st.timestamp_begin:
         if len(toks) >= 2 and toks[-2] >= st.timestamp_begin:
             # CONSECUTIVE-timestamp ending: openai's loop rewinds seek to
-            # the pair's timestamp (single_timestamp_ending is False for a
-            # [True, True] tail, so the else-branch advances only to
-            # tokens[last_slice-1]) — the model closed a segment mid-window
-            # and stopped; the rest of the window must re-decode.
-            consumed = (toks[-1] - st.timestamp_begin) * 0.02
+            # the FIRST timestamp of the pair (single_timestamp_ending is
+            # False for a [True, True] tail, so the else-branch advances
+            # only to tokens[last_slice - 1] — the close of the last
+            # emitted segment).  For a true pair both are equal; for a
+            # dangling next-start (<|12|><|14|>) the first is the one
+            # openai uses, so audio in [12, 14) is re-decoded, not skipped.
+            consumed = (toks[-2] - st.timestamp_begin) * 0.02
             if consumed <= 0.0 or consumed >= chunk_length_s:
                 return chunk_length_s, False
             return consumed, True

@@ -38,6 +38,9 @@ logger = logging.getLogger(__name__)
 
 CHUNK_SAMPLES = frontend.N_SAMPLES  # 480_000 = 30 s @ 16 kHz
 
+# openai's default retry rungs ((0, .2, .4, .6, .8, 1) minus the 0 base)
+DEFAULT_TEMPERATURE_LADDER = (0.2, 0.4, 0.6, 0.8, 1.0)
+
 
 # openai-whisper's punctuation set for the hallucination anomaly score
 # (whisper/transcribe.py `punctuation`): pure-punctuation "words" carry no
@@ -217,8 +220,12 @@ class Transcriber:
     # which the reference depends on implicitly via model.transcribe):
     # rows with avg logprob < logprob_threshold OR gzip compression ratio >
     # compression_ratio_threshold are re-decoded at increasing temperature.
-    # None disables either check (openai's optional_float thresholds)
-    temperature_ladder: tuple[float, ...] = (0.2, 0.4, 0.6, 0.8, 1.0)
+    # None disables either check (openai's optional_float thresholds).
+    # temperature_ladder None = openai's plain-float temperature form:
+    # the default (0.2 ... 1.0) retry ladder when temperature == 0, NO
+    # retries when it is non-zero.  An explicit tuple = openai's tuple
+    # form: its rungs above the base temperature run.
+    temperature_ladder: tuple[float, ...] | None = None
     logprob_threshold: float | None = -1.0
     compression_ratio_threshold: float | None = 2.4
     enable_fallback: bool = True
@@ -336,15 +343,13 @@ class Transcriber:
         # FLOAT means exactly one decode at that temperature (no retries —
         # `[temperature] if isinstance(temperature, (int, float)) else
         # temperature`), while the default tuple (0, .2, .4, .6, .8, 1)
-        # is the retry ladder.  So a non-zero base with the DEFAULT ladder
-        # disables fallback; an explicitly supplied ladder keeps its rungs
-        # above the base (the tuple form with a custom start).
-        default_ladder = (
-            tuple(self.temperature_ladder)
-            == type(self).__dataclass_fields__["temperature_ladder"].default
-        )
-        if self.temperature > 0 and default_ladder:
-            self._ladder = ()
+        # is the retry ladder.  The None sentinel (not passed) keeps the
+        # float semantics; an explicitly supplied ladder keeps its rungs
+        # above the base even when it happens to EQUAL the default.
+        if self.temperature_ladder is None:
+            self._ladder = (
+                () if self.temperature > 0 else DEFAULT_TEMPERATURE_LADDER
+            )
         else:
             self._ladder = tuple(
                 t for t in self.temperature_ladder if t > self.temperature
@@ -581,8 +586,6 @@ class Transcriber:
 
     def _failed_rows(self, result, tokens: np.ndarray, n_real: int) -> np.ndarray:
         """Quality gate per chunk: low avg logprob or repetitive output."""
-        import zlib
-
         lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
         avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
         # None disables either check (openai's optional thresholds)
@@ -592,12 +595,10 @@ class Transcriber:
             failed = avg_lp < self.logprob_threshold
         if self.compression_ratio_threshold is not None:
             for i in range(n_real):
-                text = self.tokenizer.decode(
-                    [t for t in tokens[i] if t < self.special.eot]
-                ).encode("utf-8")
-                if len(text) > 16:
-                    ratio = len(text) / max(len(zlib.compress(text)), 1)
-                    failed[i] |= ratio > self.compression_ratio_threshold
+                failed[i] |= (
+                    self._row_compression_ratio(tokens[i])
+                    > self.compression_ratio_threshold
+                )
         return failed
 
     def _silent_rows(self, nsp: np.ndarray, avg_lp: np.ndarray) -> np.ndarray:
@@ -856,22 +857,25 @@ class Transcriber:
         patches is None or {"tokens","offsets","durations"[,"states"]}
         for _finalize to merge.
         """
-        if not self.seek_repair or self.without_timestamps or n_chunks < 2:
+        if not self.seek_repair or self.without_timestamps or n_chunks < 1:
             return tokens, None
+        content_s = len(audio) / 16_000.0
         bounds: list[tuple[int, float]] = []
-        for i in range(n_chunks - 1):
+        for i in range(n_chunks):
             consumed, rewound = decode_lib.seek_consumed(
                 tokens[i], self.special
             )
-            if rewound and 1.0 <= consumed <= 29.0:
-                bounds.append((i, consumed))
+            if not (rewound and 1.0 <= consumed <= 29.0):
+                continue
+            if i == n_chunks - 1 and i * 30.0 + consumed >= content_s - 0.2:
+                continue  # final window: nothing left past the rewind point
+            bounds.append((i, consumed))
         if not bounds:
             return tokens, None
         logger.info(
             "seek repair: %d/%d windows straddle a 30 s boundary — "
             "re-decoding one patch slab", len(bounds), n_chunks,
         )
-        content_s = len(audio) / 16_000.0
         keep_states = self.word_timestamps
         patch_rows: list[np.ndarray] = []
         patch_meta: list[dict] | dict = []
@@ -905,7 +909,9 @@ class Transcriber:
         kept_rows, kept_offsets, kept_durations, kept_idx = [], [], [], []
         for j, (i, c) in enumerate(bounds):
             offset = i * 30.0 + c
-            boundary_local = 30.0 - c  # window i+1's start, patch-local
+            # window i+1's start, patch-local; the FINAL window has no
+            # successor, so every closed patch segment is kept
+            boundary_local = 30.0 - c if i + 1 < n_chunks else 30.0
             row = patch_tokens[j]
             trimmed, last_end_local = decode_lib.keep_closed_segments_before(
                 row, self.special, boundary_local
@@ -929,7 +935,7 @@ class Transcriber:
             )
             taken_end_global = offset + last_end_local
             next_start = (i + 1) * 30.0
-            if taken_end_global > next_start + 0.1:
+            if i + 1 < n_chunks and taken_end_global > next_start + 0.1:
                 tokens[i + 1] = decode_lib.drop_segments_before(
                     tokens[i + 1], self.special, taken_end_global - next_start
                 )

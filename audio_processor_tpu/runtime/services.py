@@ -149,6 +149,8 @@ def build_services(
         tkw["length_penalty"] = float(os.environ["APTPU_LENGTH_PENALTY"])
     # quality-gate thresholds — the literal string "None" disables a
     # check, exactly as openai's optional_float CLI form
+    from ..utils.options import optional_float
+
     for env, field in (
         ("APTPU_COMPRESSION_RATIO_THRESHOLD", "compression_ratio_threshold"),
         ("APTPU_LOGPROB_THRESHOLD", "logprob_threshold"),
@@ -156,7 +158,7 @@ def build_services(
     ):
         raw = os.environ.get(env)
         if raw:
-            tkw[field] = None if raw.lower() == "none" else float(raw)
+            tkw[field] = optional_float(raw)
     if os.environ.get("APTPU_INITIAL_PROMPT"):
         tkw["initial_prompt"] = os.environ["APTPU_INITIAL_PROMPT"]
     if os.environ.get("APTPU_CARRY_INITIAL_PROMPT") == "1":

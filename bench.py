@@ -79,27 +79,33 @@ def main() -> None:
     probe_s = float(_os.environ.get("APTPU_BENCH_PROBE_TIMEOUT", "600"))
     import threading
 
-    alive: list[bool] = []
+    outcome: list = []  # [True] on success, [Exception] on device error
 
     def _probe():
         try:
             np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
-            alive.append(True)
-        except Exception:
-            pass
+            outcome.append(True)
+        except Exception as e:  # real init errors beat a silent timeout
+            outcome.append(e)
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
-    th.join(probe_s)
-    if not alive:
+    deadline = time.monotonic() + probe_s
+    while not outcome and time.monotonic() < deadline:
+        th.join(1.0)
+    if not outcome or outcome[0] is not True:
+        err = (
+            f"device probe failed: {outcome[0]!r}" if outcome
+            else f"device unresponsive after {probe_s:.0f}s "
+                 "(axon relay dead? every TPU op hangs)"
+        )
         print(json.dumps({
             "metric": "transcribe_rtfx",
             "value": 0.0,
             "unit": "x_realtime",
             "vs_baseline": 0.0,
-            "error": f"device unresponsive after {probe_s:.0f}s "
-                     "(axon relay dead? every TPU op hangs)",
-        }))
+            "error": err,
+        }), flush=True)
         _os._exit(1)  # the hung probe thread blocks a normal exit
 
     from audio_processor_tpu.models.whisper import decode as decode_lib

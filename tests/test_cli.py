@@ -284,3 +284,11 @@ def test_cli_temperature_increment_on_fallback(monkeypatch):
         monkeypatch, ["--temperature-increment-on-fallback", "None"]
     )
     assert kw["temperature_ladder"] == ()
+    # openai's CLI defaults the increment to 0.2, so a bare nonzero
+    # --temperature still retries up the ladder (unlike the API float form)
+    kw = _capture_transcriber_kwargs(monkeypatch, ["--temperature", "0.4"])
+    assert kw["temperature_ladder"] == (0.6, 0.8, 1.0)
+    # a non-positive increment is an immediate CLI error, not a hang
+    with pytest.raises(SystemExit):
+        cli.main(["transcribe", "/nonexistent.wav", "--model", "test",
+                  "--temperature-increment-on-fallback", "0"])

@@ -53,6 +53,11 @@ def test_seek_consumed_pair_ending_rewinds():
     consume silently skipped the 12-30 s speech."""
     c, r = decode_lib.seek_consumed(row(ts(0), A, ts(12), ts(12)), ST)
     assert r and c == pytest.approx(12.0)
+    # dangling next-start ("<|12|><|14|>"): openai rewinds to the FIRST of
+    # the pair (tokens[last_slice - 1] — the close of the last segment),
+    # so [12, 14) is re-decoded rather than skipped
+    c, r = decode_lib.seek_consumed(row(ts(0), A, ts(12), ts(14)), ST)
+    assert r and c == pytest.approx(12.0)
     # degenerate pair at 0 s or at the window end never rewinds
     c, r = decode_lib.seek_consumed(row(ts(0), ts(0)), ST)
     assert (c, r) == (30.0, False)
@@ -202,6 +207,40 @@ def test_pair_ending_triggers_patch_decode():
     assert len(calls) == 2
 
 
+def test_final_window_pair_ending_repaired():
+    """The LAST window rewinds too (openai's loop has no special case for
+    it): a pair ending mid-final-window re-decodes the remaining audio
+    instead of silently dropping it."""
+    grid = np.stack([
+        row(ts(0), B, ts(10)),                     # clean window 0
+        row(ts(0), A, ts(10), ts(12), ts(12)),     # final: stopped at 42 s
+    ])
+    # patch from 42 s: "d" closed [0,15] local = [42,57] global
+    patch = row(ts(0), D, ts(15))[None, :]
+    t, calls = make_mock_transcriber([grid, patch])
+    audio = np.zeros(60 * 16_000, np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    segs = out["segments"]
+    assert [s["text"] for s in segs] == ["b", "a", "d"]
+    assert segs[2]["start"] == pytest.approx(42.0, abs=0.05)
+    assert segs[2]["end"] == pytest.approx(57.0, abs=0.05)
+    assert len(calls) == 2
+
+
+def test_final_window_pair_at_eof_not_patched():
+    """A final-window rewind point at/after the audio's real end has
+    nothing to recover — no patch decode runs."""
+    grid = np.stack([
+        row(ts(0), B, ts(10)),
+        row(ts(0), A, ts(5), ts(12), ts(12)),   # audio ends at 41.5 s
+    ])
+    t, calls = make_mock_transcriber([grid])
+    audio = np.zeros(int(41.5 * 16_000), np.float32)
+    out = t.transcribe(audio, remove_silence=False)
+    assert [s["text"] for s in out["segments"]] == ["b", "a"]
+    assert len(calls) == 1
+
+
 def test_silent_patch_just_drops_hallucinated_tail():
     grid = np.stack([
         row(ts(0), A, ts(10), ts(10), B),   # straddle candidate
@@ -293,6 +332,14 @@ def test_base_temperature_samples_from_the_start():
         temperature=0.4, temperature_ladder=(0.2, 0.6, 1.0),
     )
     assert explicit._ladder == (0.6, 1.0)
+    # an explicit ladder that happens to EQUAL the default is still the
+    # tuple form — its higher rungs run (the not-passed None sentinel is
+    # what selects the no-retry float semantics)
+    explicit_default = Transcriber.random_init(
+        "tiny", language=0, no_speech_threshold=None, enable_fallback=False,
+        temperature=0.4, temperature_ladder=(0.2, 0.4, 0.6, 0.8, 1.0),
+    )
+    assert explicit_default._ladder == (0.6, 0.8, 1.0)
     calls = []
 
     def fake_run_decode(audio_states, temperature=None, seed=0,
