@@ -15,6 +15,7 @@ from typing import Any
 
 from .api import make_api_blueprint
 from .auth import make_auth_blueprint
+from .openai_api import make_openai_blueprint
 from .web import App, Blueprint, Request, Response
 
 logger = logging.getLogger(__name__)
@@ -34,7 +35,9 @@ def render(name: str, **ctx) -> Response:
     return Response(html)
 
 
-_SKIP_RESTORE_PREFIXES = ("/static/", "/api/auth/", "/login", "/callback", "/api/health")
+_SKIP_RESTORE_PREFIXES = (
+    "/static/", "/api/auth/", "/login", "/callback", "/api/health", "/v1/"
+)
 
 
 def create_app(services: Any, secret_key: str | None = None) -> App:
@@ -74,4 +77,5 @@ def create_app(services: Any, secret_key: str | None = None) -> App:
     app.register_blueprint(make_auth_blueprint(services))
     app.register_blueprint(main_bp)
     app.register_blueprint(make_api_blueprint(services))
+    app.register_blueprint(make_openai_blueprint(services))
     return app

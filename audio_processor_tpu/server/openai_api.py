@@ -1,0 +1,215 @@
+"""OpenAI-compatible audio endpoints: /v1/audio/transcriptions|translations.
+
+A drop-in serving surface for OpenAI / whisper-server clients: multipart
+uploads, the same form fields (file, model, language, prompt,
+response_format, temperature, timestamp_granularities[]) and the same
+response shapes (json / text / srt / vtt / verbose_json, error envelope
+included).  The reference has no such surface — its engine is the same
+whisper.transcribe the OpenAI API wraps (reference:
+app/services/audio_processor.py:1076), so exposing the standard API makes
+this framework a drop-in replacement for hosted transcription too.
+
+Decode options are applied per request by dataclasses.replace on the
+shared Transcriber — params are shared JAX arrays, so a replaced copy is
+cheap (no weight copy, no re-jit; the compiled decode fns are module-level
+caches keyed by static shapes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import tempfile
+from typing import Any
+
+from .web import Blueprint, Request, Response, jsonify
+
+logger = logging.getLogger(__name__)
+
+_FORMATS = ("json", "text", "srt", "verbose_json", "vtt")
+_GRANULARITIES = ("word", "segment")
+
+
+def _error(message: str, param: str | None = None, status: int = 400):
+    """OpenAI's error envelope."""
+    return jsonify(
+        {
+            "error": {
+                "message": message,
+                "type": (
+                    "invalid_request_error" if status < 500 else "server_error"
+                ),
+                "param": param,
+                "code": None,
+            }
+        },
+        status=status,
+    )
+
+
+def _verbose_segment(seg: dict) -> dict:
+    """Segment dict in the OpenAI verbose_json field order/surface."""
+    out = {
+        "id": seg.get("id", 0),
+        "seek": seg.get("seek", 0),
+        "start": seg["start"],
+        "end": seg["end"],
+        "text": seg["text"],
+        "tokens": seg.get("tokens", []),
+        "temperature": seg.get("temperature", 0.0),
+        "avg_logprob": seg.get("avg_logprob", 0.0),
+        "compression_ratio": seg.get("compression_ratio", 0.0),
+        "no_speech_prob": seg.get("no_speech_prob", 0.0),
+    }
+    return out
+
+
+def make_openai_blueprint(services: Any) -> Blueprint:
+    bp = Blueprint("openai", url_prefix="/v1")
+
+    @bp.route("/audio/transcriptions", methods=("POST",))
+    def transcriptions(request: Request):
+        return _handle(request, services, task="transcribe")
+
+    @bp.route("/audio/translations", methods=("POST",))
+    def translations(request: Request):
+        return _handle(request, services, task="translate")
+
+    return bp
+
+
+def _handle(request: Request, services: Any, task: str):
+    from ..models.whisper.tokenizer import LANGUAGE_NAMES, language_index
+    from ..pipeline import ingest
+
+    try:
+        fields, files = request.form()
+    except ValueError as e:
+        return _error(str(e))
+    if "file" not in files:
+        return _error("'file' is a required property", param="file")
+    filename, payload = files["file"]
+    if not payload:
+        return _error("The uploaded file is empty.", param="file")
+
+    def field(name: str) -> str | None:
+        vals = fields.get(name)
+        return vals[0] if vals else None
+
+    fmt = field("response_format") or "json"
+    if fmt not in _FORMATS:
+        return _error(
+            f"response_format must be one of {_FORMATS}, got {fmt!r}",
+            param="response_format",
+        )
+    grans = fields.get("timestamp_granularities[]") or fields.get(
+        "timestamp_granularities", []
+    )
+    for g in grans:
+        if g not in _GRANULARITIES:
+            return _error(
+                f"timestamp_granularities entries must be one of "
+                f"{_GRANULARITIES}, got {g!r}",
+                param="timestamp_granularities",
+            )
+    if grans and fmt != "verbose_json":
+        return _error(
+            "timestamp_granularities requires response_format=verbose_json",
+            param="timestamp_granularities",
+        )
+
+    t = getattr(services.processor, "transcriber", None)
+    if t is None:
+        return _error("no transcription model is configured", status=503)
+    changes: dict[str, Any] = {}
+    if task != t.task:
+        changes["task"] = task
+    lang = field("language")
+    if lang:
+        if task == "translate":
+            return _error(
+                "language is not supported for translations",
+                param="language",
+            )
+        try:
+            changes["language"] = language_index(
+                lang, t.special.num_languages
+            )
+        except ValueError:
+            return _error(f"unsupported language {lang!r}", param="language")
+    prompt = field("prompt")
+    if prompt:
+        changes["initial_prompt"] = prompt
+    temp_raw = field("temperature")
+    if temp_raw is not None:
+        try:
+            temp = float(temp_raw)
+        except ValueError:
+            return _error(
+                f"temperature must be a number, got {temp_raw!r}",
+                param="temperature",
+            )
+        if not 0.0 <= temp <= 1.0:
+            return _error(
+                "temperature must be between 0 and 1", param="temperature"
+            )
+        if temp != t.temperature:
+            changes["temperature"] = temp
+    if "word" in grans and not t.word_timestamps:
+        changes["word_timestamps"] = True
+
+    if changes:
+        try:
+            t = dataclasses.replace(t, **changes)
+        except ValueError as e:
+            return _error(str(e))
+
+    suffix = os.path.splitext(filename or "")[1] or ".wav"
+    tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    try:
+        tmp.write(payload)
+        tmp.close()
+        try:
+            audio = ingest.load_audio(tmp.name)
+        except Exception as e:  # noqa: BLE001 — any decode failure is a 400
+            logger.info("openai api: undecodable upload %r: %s", filename, e)
+            return _error(
+                "The audio file could not be decoded or its format is "
+                "not supported.",
+                param="file",
+            )
+        result = t.transcribe(audio)
+    finally:
+        tmp.close()
+        os.unlink(tmp.name)
+
+    text = result["text"].strip()
+    if fmt == "json":
+        return jsonify({"text": text})
+    if fmt == "text":
+        return Response(text + "\n", content_type="text/plain; charset=utf-8")
+    if fmt in ("srt", "vtt"):
+        from ..utils import writers
+
+        return Response(
+            writers.format_segments(result["segments"], fmt),
+            content_type="text/plain; charset=utf-8",
+        )
+    # verbose_json.  Default granularity is segment; words appear only
+    # when requested, and segments disappear when ONLY word is requested.
+    code = result.get("language", "en")
+    out: dict[str, Any] = {
+        "task": task,
+        "language": LANGUAGE_NAMES.get(code, code),
+        "duration": result["duration"],
+        "text": text,
+    }
+    if "word" in grans:
+        out["words"] = [
+            {"word": w["word"], "start": w["start"], "end": w["end"]}
+            for seg in result["segments"]
+            for w in seg.get("words", [])
+        ]
+    if "segment" in grans or "word" not in grans:
+        out["segments"] = [_verbose_segment(s) for s in result["segments"]]
+    return jsonify(out)

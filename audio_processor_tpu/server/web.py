@@ -79,6 +79,56 @@ class Request:
                 return None
             raise
 
+    def form(self) -> tuple[dict[str, list[str]], dict[str, tuple[str, bytes]]]:
+        """Parse a multipart/form-data (or urlencoded) body.
+
+        Returns (fields, files): fields maps name -> list of values
+        (repeated fields like OpenAI's ``timestamp_granularities[]``
+        accumulate), files maps name -> (filename, bytes).  Raises
+        ValueError on a missing/garbled body — callers turn that into a
+        400.  Stdlib-only by design (the ``cgi`` module is gone in 3.13).
+        """
+        ctype = self.headers.get("Content-Type", "")
+        fields: dict[str, list[str]] = {}
+        files: dict[str, tuple[str, bytes]] = {}
+        if ctype.startswith("application/x-www-form-urlencoded"):
+            for k, vs in parse_qs(self.body.decode("utf-8")).items():
+                fields.setdefault(k, []).extend(vs)
+            return fields, files
+        if not ctype.startswith("multipart/form-data"):
+            raise ValueError(f"expected multipart/form-data, got {ctype!r}")
+        m = re.search(r'boundary="?([^";,]+)"?', ctype)
+        if not m:
+            raise ValueError("multipart body without a boundary parameter")
+        delim = b"--" + m.group(1).encode("latin-1")
+        # parts live between boundary delimiters; the closing delimiter is
+        # followed by "--", which marks the epilogue chunk to stop at
+        for raw in self.body.split(delim)[1:]:
+            if raw.startswith(b"--"):
+                break
+            raw = raw.removeprefix(b"\r\n")
+            head, sep, content = raw.partition(b"\r\n\r\n")
+            if not sep:
+                continue
+            content = content.removesuffix(b"\r\n")
+            disp = ""
+            for line in head.split(b"\r\n"):
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-disposition":
+                    disp = v.decode("utf-8", "replace")
+            name_m = re.search(r'name="([^"]*)"', disp)
+            if not name_m:
+                continue
+            name = name_m.group(1)
+            file_m = re.search(r'filename="([^"]*)"', disp)
+            if file_m:
+                files[name] = (file_m.group(1), content)
+            else:
+                fields.setdefault(name, []).append(
+                    content.decode("utf-8", "replace")
+                )
+        return fields, files
+
     @property
     def remote_addr(self) -> str:
         return self.environ.get("REMOTE_ADDR", "")

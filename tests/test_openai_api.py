@@ -1,0 +1,228 @@
+"""OpenAI-compatible /v1/audio endpoints (multipart upload -> transcript).
+
+The reference wraps the same engine the OpenAI transcription API does
+(whisper.transcribe via app/services/audio_processor.py:1076) but never
+exposes the standard API; this surface makes the framework a drop-in for
+OpenAI/whisper-server clients.  Hermetic: tiny random-weight model, WAV
+bytes built in-memory, WSGI called in-process.
+"""
+import io
+import json
+
+import numpy as np
+import pytest
+
+from audio_processor_tpu.pipeline.transcribe import Transcriber
+from audio_processor_tpu.runtime.job_engine import JobEngine
+from audio_processor_tpu.runtime.services import Services
+from audio_processor_tpu.server import openai_api
+from audio_processor_tpu.server.web import App
+from audio_processor_tpu.utils import wavio
+
+
+class _Processor:
+    def __init__(self, transcriber):
+        self.transcriber = transcriber
+
+
+@pytest.fixture(scope="module")
+def app():
+    t = Transcriber.random_init(
+        "test", language=0, no_speech_threshold=None, enable_fallback=False,
+        compute_dtype="float32", max_new_tokens=8,
+    )
+    engine = JobEngine(max_workers=1)
+    services = Services(engine=engine, processor=_Processor(t))
+    app = App(secret_key="k")
+    app.register_blueprint(openai_api.make_openai_blueprint(services))
+    yield app
+    engine.shutdown(wait=False)
+
+
+def wav_bytes(seconds: float = 2.0) -> bytes:
+    sr = 16_000
+    x = (0.3 * np.sin(2 * np.pi * 330 * np.arange(int(seconds * sr)) / sr))
+    buf = io.BytesIO()
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        wavio.write_wav(path, x.astype(np.float32), sr)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def multipart(fields: dict[str, list[str] | str], file: tuple | None):
+    """(body, content_type) for a multipart/form-data POST."""
+    boundary = "testboundary42"
+    out = io.BytesIO()
+    for name, vals in fields.items():
+        for v in [vals] if isinstance(vals, str) else vals:
+            out.write(f"--{boundary}\r\n".encode())
+            out.write(
+                f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode()
+            )
+            out.write(v.encode() + b"\r\n")
+    if file is not None:
+        fname, payload = file
+        out.write(f"--{boundary}\r\n".encode())
+        out.write(
+            b'Content-Disposition: form-data; name="file"; '
+            + f'filename="{fname}"\r\n'.encode()
+        )
+        out.write(b"Content-Type: application/octet-stream\r\n\r\n")
+        out.write(payload + b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def post(app, path, body: bytes, ctype: str):
+    environ = {
+        "REQUEST_METHOD": "POST",
+        "PATH_INFO": path,
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": str(len(body)),
+        "CONTENT_TYPE": ctype,
+        "wsgi.input": io.BytesIO(body),
+    }
+    captured = {}
+
+    def start_response(status, hdrs):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = dict(hdrs)
+
+    payload = b"".join(app(environ, start_response))
+    try:
+        data = json.loads(payload)
+    except ValueError:
+        data = payload
+    return captured["status"], data, captured["headers"]
+
+
+URL = "/v1/audio/transcriptions"
+
+
+def test_json_default(app):
+    body, ct = multipart({}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 200
+    assert set(data) == {"text"}
+    assert isinstance(data["text"], str)
+
+
+def test_text_format(app):
+    body, ct = multipart({"response_format": "text"}, ("a.wav", wav_bytes()))
+    status, data, headers = post(app, URL, body, ct)
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+    assert isinstance(data, bytes)
+
+
+def test_verbose_json_segments(app):
+    body, ct = multipart(
+        {"response_format": "verbose_json", "temperature": "0.0"},
+        ("a.wav", wav_bytes()),
+    )
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 200
+    assert data["task"] == "transcribe"
+    assert data["language"] == "english"
+    assert data["duration"] == pytest.approx(2.0, abs=0.1)
+    for seg in data["segments"]:
+        assert set(seg) == {
+            "id", "seek", "start", "end", "text", "tokens", "temperature",
+            "avg_logprob", "compression_ratio", "no_speech_prob",
+        }
+
+
+def test_word_granularity(app):
+    body, ct = multipart(
+        {
+            "response_format": "verbose_json",
+            "timestamp_granularities[]": ["word"],
+        },
+        ("a.wav", wav_bytes()),
+    )
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 200
+    assert "words" in data and "segments" not in data
+    for w in data["words"]:
+        assert set(w) == {"word", "start", "end"}
+    # both granularities -> words AND segments
+    body, ct = multipart(
+        {
+            "response_format": "verbose_json",
+            "timestamp_granularities[]": ["word", "segment"],
+        },
+        ("a.wav", wav_bytes()),
+    )
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 200
+    assert "words" in data and "segments" in data
+
+
+def test_translations_sets_task(app):
+    body, ct = multipart(
+        {"response_format": "verbose_json"}, ("a.wav", wav_bytes())
+    )
+    status, data, _ = post(app, "/v1/audio/translations", body, ct)
+    assert status == 200
+    assert data["task"] == "translate"
+    # language is rejected on translations, as OpenAI does
+    body, ct = multipart({"language": "de"}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, "/v1/audio/translations", body, ct)
+    assert status == 400
+    assert data["error"]["param"] == "language"
+
+
+def test_srt_format(app):
+    body, ct = multipart({"response_format": "srt"}, ("a.wav", wav_bytes()))
+    status, data, headers = post(app, URL, body, ct)
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+
+
+def test_error_envelopes(app):
+    # no file part
+    body, ct = multipart({"response_format": "json"}, None)
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400
+    assert data["error"]["type"] == "invalid_request_error"
+    assert data["error"]["param"] == "file"
+    # bad response_format
+    body, ct = multipart({"response_format": "yaml"}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400 and data["error"]["param"] == "response_format"
+    # granularities without verbose_json
+    body, ct = multipart(
+        {"timestamp_granularities[]": ["word"]}, ("a.wav", wav_bytes())
+    )
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400
+    assert data["error"]["param"] == "timestamp_granularities"
+    # out-of-range temperature
+    body, ct = multipart({"temperature": "1.5"}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400 and data["error"]["param"] == "temperature"
+    # unsupported language
+    body, ct = multipart({"language": "xx"}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400 and data["error"]["param"] == "language"
+    # undecodable payload
+    body, ct = multipart({}, ("a.mp3", b"\x00\x01notaudio"))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400 and data["error"]["param"] == "file"
+    # not multipart at all
+    status, data, _ = post(app, URL, b"{}", "application/json")
+    assert status == 400
+
+
+def test_prompt_and_language_accepted(app):
+    body, ct = multipart(
+        {"language": "en", "prompt": "Hello there.", "temperature": "0.3"},
+        ("a.wav", wav_bytes()),
+    )
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 200 and "text" in data
