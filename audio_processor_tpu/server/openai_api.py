@@ -22,12 +22,37 @@ import os
 import tempfile
 from typing import Any
 
-from .web import Blueprint, Request, Response, jsonify
+from .web import Blueprint, Request, Response, StreamingResponse, jsonify
 
 logger = logging.getLogger(__name__)
 
 _FORMATS = ("json", "text", "srt", "verbose_json", "vtt")
 _GRANULARITIES = ("word", "segment")
+
+# stream=true holds a worker thread for the whole decode; cap concurrency
+# so streams can't starve the request pool (same rationale as the job-SSE
+# cap in api.py)
+_stream_slots = {"active": 0}
+_stream_lock = None  # created lazily to keep import light
+
+
+def _acquire_stream_slot() -> bool:
+    global _stream_lock
+    import threading
+
+    if _stream_lock is None:
+        _stream_lock = threading.Lock()
+    limit = int(os.environ.get("APTPU_MAX_TRANSCRIBE_STREAMS", "4"))
+    with _stream_lock:
+        if _stream_slots["active"] >= limit:
+            return False
+        _stream_slots["active"] += 1
+        return True
+
+
+def _release_stream_slot() -> None:
+    with _stream_lock:
+        _stream_slots["active"] -= 1
 
 
 def _error(message: str, param: str | None = None, status: int = 400):
@@ -76,6 +101,55 @@ def make_openai_blueprint(services: Any) -> Blueprint:
         return _handle(request, services, task="translate")
 
     return bp
+
+
+def _sse(event: str, obj: dict) -> str:
+    import json
+
+    return f"event: {event}\ndata: {json.dumps(obj)}\n\n"
+
+
+def _stream_transcription(t, audio) -> StreamingResponse:
+    """OpenAI's streaming transcription events: one transcript.text.delta
+    per decoded segment, then transcript.text.done with the full text.
+    The decode runs in a worker thread; segments flow through a queue as
+    their windows drain (Transcriber's on_segment callback)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue()
+
+    def run():
+        try:
+            result = t.transcribe(audio, on_segment=lambda seg: q.put(
+                ("transcript.text.delta",
+                 {"type": "transcript.text.delta", "delta": seg["text"]})
+            ))
+            q.put((
+                "transcript.text.done",
+                {"type": "transcript.text.done",
+                 "text": result["text"].strip()},
+            ))
+        except Exception as e:  # noqa: BLE001 — surfaced as an SSE error
+            logger.exception("streaming transcription failed")
+            q.put(("error", {"type": "error",
+                             "error": {"message": str(e)}}))
+        finally:
+            q.put(None)
+
+    threading.Thread(target=run, daemon=True).start()
+
+    def gen():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield _sse(*item)
+        finally:
+            _release_stream_slot()
+
+    return StreamingResponse(gen())
 
 
 def _handle(request: Request, services: Any, task: str):
@@ -164,6 +238,13 @@ def _handle(request: Request, services: Any, task: str):
         except ValueError as e:
             return _error(str(e))
 
+    stream = (field("stream") or "").lower() in ("true", "1")
+    if stream and fmt not in ("json", "text"):
+        return _error(
+            "stream=true supports response_format json or text only",
+            param="stream",
+        )
+
     suffix = os.path.splitext(filename or "")[1] or ".wav"
     tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
     try:
@@ -178,10 +259,21 @@ def _handle(request: Request, services: Any, task: str):
                 "not supported.",
                 param="file",
             )
-        result = t.transcribe(audio)
     finally:
         tmp.close()
         os.unlink(tmp.name)
+
+    if stream:
+        if not _acquire_stream_slot():
+            return _error(
+                "too many concurrent transcription streams; retry without "
+                "stream or later",
+                param="stream",
+                status=503,
+            )
+        return _stream_transcription(t, audio)
+
+    result = t.transcribe(audio)
 
     text = result["text"].strip()
     if fmt == "json":

@@ -226,3 +226,41 @@ def test_prompt_and_language_accepted(app):
     )
     status, data, _ = post(app, URL, body, ct)
     assert status == 200 and "text" in data
+
+
+def test_streaming_sse(app):
+    """stream=true emits transcript.text.delta events then a
+    transcript.text.done with the full text (OpenAI's streaming form)."""
+    body, ct = multipart({"stream": "true"}, ("a.wav", wav_bytes()))
+    status, data, headers = post(app, URL, body, ct)
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/event-stream")
+    frames = [f for f in data.decode().split("\n\n") if f.strip()]
+    events = []
+    for frame in frames:
+        lines = dict(
+            l.split(": ", 1) for l in frame.split("\n") if ": " in l
+        )
+        events.append((lines["event"], json.loads(lines["data"])))
+    kinds = [e[0] for e in events]
+    assert kinds[-1] == "transcript.text.done"
+    assert all(k == "transcript.text.delta" for k in kinds[:-1])
+    done = events[-1][1]
+    assert done["type"] == "transcript.text.done"
+    joined = "".join(e[1]["delta"] for e in events[:-1]).strip()
+    assert done["text"] == joined.strip() or done["text"] in joined
+
+
+def test_streaming_rejects_non_json_formats(app):
+    body, ct = multipart(
+        {"stream": "true", "response_format": "srt"}, ("a.wav", wav_bytes())
+    )
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 400 and data["error"]["param"] == "stream"
+
+
+def test_streaming_slot_cap(app, monkeypatch):
+    monkeypatch.setenv("APTPU_MAX_TRANSCRIBE_STREAMS", "0")
+    body, ct = multipart({"stream": "true"}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 503 and data["error"]["type"] == "server_error"
