@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .utils.options import fallback_ladder, optional_float as _optional_float
@@ -108,20 +109,37 @@ def cmd_transcribe(args) -> None:
             None if args.max_initial_timestamp < 0
             else args.max_initial_timestamp
         )
+    fmt = "json" if args.json else args.output_format
+    if fmt == "all" and not args.output_dir:
+        raise SystemExit("--output-format all requires --output-dir")
+    if len(args.audio) > 1 and not args.output_dir:
+        # openai's CLI writes one output file per input; interleaving
+        # several transcripts on stdout helps nobody
+        raise SystemExit("multiple audio inputs require --output-dir")
+
     if args.model_path:
         t = Transcriber.from_npz(
             args.model_path, tokenizer_path=args.tokenizer, **kw
         )
     else:
         t = Transcriber.random_init(args.model, **kw)
-    audio = ingest.load_audio(args.audio)
-    clips = None
-    if args.clip_timestamps:
-        from .utils.timestamps import parse_clip_timestamps
 
-        clips = parse_clip_timestamps(
-            args.clip_timestamps, len(audio) / ingest.TARGET_SR
+    from .utils import writers
+
+    wopt = dict(  # openai's word-level subtitle options (srt/vtt only)
+        highlight_words=args.highlight_words,
+        max_line_width=args.max_line_width,
+        max_line_count=args.max_line_count,
+        max_words_per_line=args.max_words_per_line,
+    )
+
+    def render(out: dict, f: str) -> str:
+        if f == "json":
+            return json.dumps(out, indent=2) + "\n"
+        return writers.format_segments(
+            out["segments"], f, **(wopt if f in ("srt", "vtt") else {})
         )
+
     on_segment = None
     if args.verbose:
         from .utils.writers import _timestamp as _fmt_ts
@@ -131,33 +149,52 @@ def cmd_transcribe(args) -> None:
             e = _fmt_ts(seg["end"], always_hours=True, decimal=".")
             print(f"[{s} --> {e}] {seg['text']}", file=sys.stderr, flush=True)
 
-    out = t.transcribe(
-        audio, remove_silence=not args.keep_silence, clip_timestamps=clips,
-        on_segment=on_segment,
-    )
-    fmt = "json" if args.json else args.output_format
-    if fmt == "json":
-        print(json.dumps(out, indent=2))
-    elif fmt in ("srt", "vtt", "tsv", "txt"):
-        from .utils import writers
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+    for path in args.audio:
+        audio = ingest.load_audio(path)
+        clips = None
+        if args.clip_timestamps:
+            from .utils.timestamps import parse_clip_timestamps
 
-        wopt = {}
-        if fmt in ("srt", "vtt"):
-            # openai's word-level subtitle options (need word timings)
-            wopt = dict(
-                highlight_words=args.highlight_words,
-                max_line_width=args.max_line_width,
-                max_line_count=args.max_line_count,
-                max_words_per_line=args.max_words_per_line,
+            clips = parse_clip_timestamps(
+                args.clip_timestamps, len(audio) / ingest.TARGET_SR
             )
-        print(writers.format_segments(out["segments"], fmt, **wopt), end="")
-        print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
-              file=sys.stderr)
-    else:
-        for seg in out["segments"]:
-            print(f"[{seg['start']:8.2f} – {seg['end']:8.2f}] {seg['text']}")
-        print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
-              file=sys.stderr)
+        out = t.transcribe(
+            audio, remove_silence=not args.keep_silence,
+            clip_timestamps=clips, on_segment=on_segment,
+        )
+        if args.output_dir:
+            # openai's CLI file-writing mode: <output_dir>/<stem>.<fmt>,
+            # every known format when --output-format all
+            stem = os.path.splitext(os.path.basename(path))[0]
+            targets = (
+                ("txt", "srt", "vtt", "tsv", "json") if fmt == "all"
+                else (("txt" if fmt == "text" else fmt),)
+            )
+            for f in targets:
+                dest = os.path.join(args.output_dir, f"{stem}.{f}")
+                with open(dest, "w", encoding="utf-8") as fh:
+                    fh.write(render(out, f))
+            print(
+                f"{path}: {out['duration']:.1f}s -> "
+                f"{args.output_dir}/{stem}.{{{','.join(targets)}}} "
+                f"({out['rtf_x']:.1f}x realtime)",
+                file=sys.stderr,
+            )
+        elif fmt in ("json", "srt", "vtt", "tsv", "txt"):
+            print(render(out, fmt), end="")
+            if fmt != "json":
+                print(
+                    f"-- {out['duration']:.1f}s audio, "
+                    f"{out['rtf_x']:.1f}x realtime",
+                    file=sys.stderr,
+                )
+        else:
+            for seg in out["segments"]:
+                print(f"[{seg['start']:8.2f} – {seg['end']:8.2f}] {seg['text']}")
+            print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
+                  file=sys.stderr)
 
 
 def cmd_diarize(args) -> None:
@@ -609,7 +646,12 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("transcribe", help="transcribe an audio file")
-    t.add_argument("audio")
+    t.add_argument("audio", nargs="+",
+                   help="audio file(s); several inputs need --output-dir "
+                   "(openai's multi-file CLI form)")
+    t.add_argument("--output-dir", dest="output_dir",
+                   help="write <stem>.<fmt> files here instead of stdout "
+                   "(openai's output_dir)")
     t.add_argument("--model", default="tiny")
     t.add_argument("--model-path", help=".npz converted checkpoint")
     t.add_argument("--tokenizer", help="tokenizer asset (tiktoken rank file "
@@ -719,8 +761,10 @@ def main(argv: list[str] | None = None) -> None:
                    "(openai's max_initial_timestamp; default 1.0; -1 = "
                    "no cap)")
     t.add_argument("--output-format", dest="output_format",
-                   choices=("text", "txt", "json", "srt", "vtt", "tsv"),
-                   default="text", help="stdout format (default: readable text)")
+                   choices=("text", "txt", "json", "srt", "vtt", "tsv", "all"),
+                   default="text", help="output format (default: readable "
+                   "text on stdout; 'all' writes every format, needs "
+                   "--output-dir — openai's output_format)")
     t.add_argument("--clip-timestamps", dest="clip_timestamps",
                    help="comma-separated start,end second pairs to "
                    "transcribe within (openai-whisper's clip_timestamps; "

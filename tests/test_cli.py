@@ -292,3 +292,26 @@ def test_cli_temperature_increment_on_fallback(monkeypatch):
     with pytest.raises(SystemExit):
         cli.main(["transcribe", "/nonexistent.wav", "--model", "test",
                   "--temperature-increment-on-fallback", "0"])
+
+
+def test_cli_multi_file_output_dir(wav, tmp_path, capsys):
+    """openai CLI form: several inputs + --output-dir writes
+    <stem>.<fmt> per file; --output-format all emits every format."""
+    out_dir = tmp_path / "outs"
+    cli.main([
+        "transcribe", wav, wav, "--model", "test", "--keep-silence",
+        "--output-dir", str(out_dir), "--output-format", "all",
+    ])
+    stem = "c"  # wav fixture is c.wav
+    for ext in ("txt", "srt", "vtt", "tsv", "json"):
+        p = out_dir / f"{stem}.{ext}"
+        assert p.exists() and p.stat().st_size >= 0
+    data = json.loads((out_dir / f"{stem}.json").read_text())
+    assert "segments" in data
+    # multiple inputs without --output-dir is an instant error
+    with pytest.raises(SystemExit):
+        cli.main(["transcribe", wav, wav, "--model", "test"])
+    # --output-format all without --output-dir too
+    with pytest.raises(SystemExit):
+        cli.main(["transcribe", wav, "--model", "test",
+                  "--output-format", "all"])
