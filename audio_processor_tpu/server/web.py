@@ -37,9 +37,22 @@ _STATUS_TEXT = {
     404: "404 Not Found",
     405: "405 Method Not Allowed",
     409: "409 Conflict",
+    413: "413 Content Too Large",
     500: "500 Internal Server Error",
     503: "503 Service Unavailable",
 }
+
+
+class RequestEntityTooLarge(Exception):
+    """Request body exceeds the configured cap (APTPU_MAX_BODY_MB)."""
+
+
+def _max_body_bytes() -> int:
+    # Uploads are buffered in memory (Request.body), so an unauthenticated
+    # POST could otherwise balloon the process; 512 MB covers ~80 min of
+    # 16 kHz float WAV with headroom.  Read per-request so tests and
+    # operators can retune without restarting.
+    return int(os.environ.get("APTPU_MAX_BODY_MB", "512")) * 1024 * 1024
 
 
 class Request:
@@ -68,6 +81,11 @@ class Request:
                 length = int(self.environ.get("CONTENT_LENGTH") or 0)
             except ValueError:
                 length = 0
+            if length > _max_body_bytes():
+                raise RequestEntityTooLarge(
+                    f"request body of {length} bytes exceeds the "
+                    f"{_max_body_bytes()}-byte cap (APTPU_MAX_BODY_MB)"
+                )
             self._body = self.environ["wsgi.input"].read(length) if length else b""
         return self._body
 
@@ -358,6 +376,8 @@ class App:
         request = Request(environ)
         try:
             response = self._dispatch(request)
+        except RequestEntityTooLarge as e:
+            response = jsonify({"error": str(e)}, 413)
         except Exception:  # noqa: BLE001 — server boundary
             logger.exception("unhandled error for %s %s", request.method, request.path)
             response = jsonify({"error": "Internal server error"}, 500)

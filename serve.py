@@ -35,7 +35,25 @@ def _enable_compile_cache():
         logging.getLogger(__name__).info("compilation cache unavailable: %s", exc)
 
 
+def _select_platform():
+    """Honor JAX_PLATFORMS=cpu (same escape hatch as bench.py).
+
+    On axon-tunnelled boxes a sitecustomize force-selects the TPU backend
+    via jax.config, which silently overrides the env var — so a CPU-only
+    deployment (or a box whose TPU relay is down) needs the config set
+    again in-process, before the first jax call initialises the backend.
+    """
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 — jax absent is its own error later
+            pass
+
+
 def build_app():
+    _select_platform()
     _enable_compile_cache()
     from audio_processor_tpu.runtime.services import build_services
     from audio_processor_tpu.server.app import create_app

@@ -148,3 +148,40 @@ def test_dev_server_thread_pool_is_bounded():
     # may linger microseconds between releasing its slot and thread exit,
     # so allow a small transient margin — the point is "bounded", not 40
     assert peak <= 6, f"{peak} http worker threads for a 4-slot bound"
+
+
+def test_oversize_body_rejected_413(monkeypatch):
+    """A Content-Length beyond APTPU_MAX_BODY_MB is refused up front —
+    the body is never buffered (wsgi.input stays unread)."""
+    import io
+
+    monkeypatch.setenv("APTPU_MAX_BODY_MB", "1")
+    app = App()
+
+    @app.route("/echo", methods=("POST",))
+    def echo(request):
+        return {"n": len(request.body)}
+
+    class Exploding(io.BytesIO):
+        def read(self, *a):
+            raise AssertionError("oversize body must not be read")
+
+    environ = {
+        "REQUEST_METHOD": "POST",
+        "PATH_INFO": "/echo",
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": str(2 * 1024 * 1024),
+        "CONTENT_TYPE": "application/octet-stream",
+        "wsgi.input": Exploding(),
+    }
+    captured = {}
+
+    def start_response(status, hdrs):
+        captured["status"] = int(status.split()[0])
+
+    body = b"".join(app(environ, start_response))
+    assert captured["status"] == 413
+    assert b"APTPU_MAX_BODY_MB" in body
+    # an in-cap body on the same app still flows
+    status, data, _ = call_app(app, "POST", "/echo", body={"a": 1})
+    assert status == 200 and data["n"] > 0
