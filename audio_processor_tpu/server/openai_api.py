@@ -89,6 +89,29 @@ def _verbose_segment(seg: dict) -> dict:
     return out
 
 
+# fixed "created" stamp for model listings (clients treat it as opaque)
+_MODELS_CREATED = 1677532384
+
+
+def _model_ids(services: Any) -> list[str]:
+    """Servable model ids: the OpenAI alias plus the configured variant."""
+    ids = ["whisper-1"]
+    t = getattr(services.processor, "transcriber", None)
+    name = getattr(getattr(t, "cfg", None), "name", None)
+    if name and name not in ids:
+        ids.append(name)
+    return ids
+
+
+def _model_obj(model_id: str) -> dict:
+    return {
+        "id": model_id,
+        "object": "model",
+        "created": _MODELS_CREATED,
+        "owned_by": "audio-processor-tpu",
+    }
+
+
 def make_openai_blueprint(services: Any) -> Blueprint:
     bp = Blueprint("openai", url_prefix="/v1")
 
@@ -99,6 +122,24 @@ def make_openai_blueprint(services: Any) -> Blueprint:
     @bp.route("/audio/translations", methods=("POST",))
     def translations(request: Request):
         return _handle(request, services, task="translate")
+
+    @bp.route("/models", methods=("GET",))
+    def models(request: Request):
+        # OpenAI clients probe this for connectivity/model discovery
+        return jsonify({
+            "object": "list",
+            "data": [_model_obj(i) for i in _model_ids(services)],
+        })
+
+    @bp.route("/models/<model_id>", methods=("GET",))
+    def model(request: Request, model_id: str):
+        if model_id not in _model_ids(services):
+            return _error(
+                f"The model {model_id!r} does not exist",
+                param="model",
+                status=404,
+            )
+        return jsonify(_model_obj(model_id))
 
     return bp
 

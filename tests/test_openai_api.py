@@ -264,3 +264,36 @@ def test_streaming_slot_cap(app, monkeypatch):
     body, ct = multipart({"stream": "true"}, ("a.wav", wav_bytes()))
     status, data, _ = post(app, URL, body, ct)
     assert status == 503 and data["error"]["type"] == "server_error"
+
+
+def _get(app, path):
+    environ = {
+        "REQUEST_METHOD": "GET",
+        "PATH_INFO": path,
+        "QUERY_STRING": "",
+        "wsgi.input": io.BytesIO(b""),
+    }
+    captured = {}
+
+    def start_response(status, hdrs):
+        captured["status"] = int(status.split()[0])
+
+    payload = b"".join(app(environ, start_response))
+    return captured["status"], json.loads(payload)
+
+
+def test_models_list_and_get(app):
+    """OpenAI clients probe /v1/models for discovery; both the whisper-1
+    alias and the configured variant resolve, unknown ids 404 with the
+    standard envelope."""
+    status, data = _get(app, "/v1/models")
+    assert status == 200 and data["object"] == "list"
+    ids = [m["id"] for m in data["data"]]
+    assert "whisper-1" in ids and "test" in ids
+    for m in data["data"]:
+        assert m["object"] == "model" and m["owned_by"]
+
+    status, data = _get(app, "/v1/models/whisper-1")
+    assert status == 200 and data["id"] == "whisper-1"
+    status, data = _get(app, "/v1/models/gpt-4o")
+    assert status == 404 and data["error"]["param"] == "model"
