@@ -23,9 +23,27 @@ from .web import Blueprint, Request
 logger = logging.getLogger(__name__)
 
 
-def make_api_blueprint(services: Any) -> Blueprint:
-    """services: runtime.services.Services (engine, processor, drive, ...)."""
-    bp = Blueprint("api", url_prefix="/api")
+# SSE subscribers each hold a server thread; in the thread-per-request dev
+# server a few dozen tabs would exhaust the pool, so cap concurrent streams
+# PROCESS-WIDE (the /api and un-prefixed aliases share one pool) and let
+# excess clients degrade to the 3 s polling transport the frontend already
+# implements (round-1 review weak #5).  Default 8: half the gunicorn
+# gthread pool (Dockerfile --threads 16) and a quarter of the dev server
+# pool (APTPU_HTTP_WORKERS=32), so streams can never starve ordinary
+# requests of worker threads.
+_sse_slots = {"active": 0}
+_sse_lock = threading.Lock()
+
+
+def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
+    """services: runtime.services.Services (engine, processor, drive, ...).
+
+    The reference README documents UN-prefixed endpoints (/process, /job,
+    /jobs — reference README.md:114,152) while its code serves /api/*
+    (app/__init__.py:76); create_app registers this blueprint under both
+    prefixes so either client form works.
+    """
+    bp = Blueprint("api", url_prefix=url_prefix)
     engine = services.engine
 
     @bp.route("/health")
@@ -152,17 +170,6 @@ def make_api_blueprint(services: Any) -> Blueprint:
             return {"success": False, "error": "Job not completed yet"}, 400
         return {"success": True, "result": status.get("result", {})}
 
-    # SSE subscribers each hold a server thread; in the thread-per-request
-    # dev server a few dozen tabs would exhaust the pool, so cap concurrent
-    # streams and let excess clients degrade to the 3 s polling transport
-    # the frontend already implements (round-1 review weak #5).
-    sse_slots = {"active": 0}
-    sse_lock = threading.Lock()
-    # default 8: half the gunicorn gthread pool (Dockerfile --threads 16)
-    # and a quarter of the dev server pool (APTPU_HTTP_WORKERS=32), so
-    # streams can never starve ordinary requests of worker threads
-    sse_max = int(os.environ.get("APTPU_SSE_MAX_SUBSCRIBERS", "8"))
-
     @bp.route("/job/<job_id>/events")
     def job_events(request: Request, job_id: str):
         """Server-sent events: push status updates instead of 3 s polling
@@ -174,13 +181,14 @@ def make_api_blueprint(services: Any) -> Blueprint:
 
         if engine.store.get(job_id) is None:
             return {"success": False, "error": "Job not found"}, 404
-        with sse_lock:
-            if sse_slots["active"] >= sse_max:
+        sse_max = int(os.environ.get("APTPU_SSE_MAX_SUBSCRIBERS", "8"))
+        with _sse_lock:
+            if _sse_slots["active"] >= sse_max:
                 return (
                     {"success": False, "error": "Too many event streams; use polling"},
                     503,
                 )
-            sse_slots["active"] += 1
+            _sse_slots["active"] += 1
 
         def stream():
             try:
@@ -199,8 +207,8 @@ def make_api_blueprint(services: Any) -> Blueprint:
                     _time.sleep(0.5)
                 yield "event: end\ndata: {}\n\n"
             finally:
-                with sse_lock:
-                    sse_slots["active"] -= 1
+                with _sse_lock:
+                    _sse_slots["active"] -= 1
 
         return StreamingResponse(stream())
 

@@ -36,7 +36,8 @@ def render(name: str, **ctx) -> Response:
 
 
 _SKIP_RESTORE_PREFIXES = (
-    "/static/", "/api/auth/", "/login", "/callback", "/api/health", "/v1/"
+    "/static/", "/api/auth/", "/login", "/callback", "/api/health",
+    "/health", "/v1/"
 )
 
 
@@ -77,5 +78,9 @@ def create_app(services: Any, secret_key: str | None = None) -> App:
     app.register_blueprint(make_auth_blueprint(services))
     app.register_blueprint(main_bp)
     app.register_blueprint(make_api_blueprint(services))
+    # the reference README documents the job API UN-prefixed (/process,
+    # /job/<id>, /jobs — reference README.md:114,152) while its code
+    # serves /api/*; alias both so clients written against either work
+    app.register_blueprint(make_api_blueprint(services, url_prefix=""))
     app.register_blueprint(make_openai_blueprint(services))
     return app

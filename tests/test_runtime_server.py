@@ -588,3 +588,35 @@ def test_redis_store_with_engine():
         assert status["result"] == {"ok": True}
     finally:
         engine.shutdown(wait=False)
+
+
+def test_unprefixed_api_aliases():
+    """The reference README documents UN-prefixed endpoints (/process,
+    /job/<id>, /jobs, /health — reference README.md:114,152) while its
+    code serves /api/*; create_app answers both forms identically."""
+    from audio_processor_tpu.runtime.services import Services
+    from audio_processor_tpu.server.app import create_app
+
+    engine = JobEngine(max_workers=1)
+    try:
+        services = Services(engine=engine, processor=_InstantProcessor())
+        app = create_app(services, secret_key="k")
+        for path in ("/health", "/api/health"):
+            status, data, _ = call_app(app, "GET", path)
+            assert status == 200 and data["status"] == "healthy", path
+        status, data, _ = call_app(
+            app, "POST", "/process", body={"file_id": "f1"}
+        )
+        assert status in (200, 202) and data["job_id"]
+        jid = data["job_id"]
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            status, data, _ = call_app(app, "GET", f"/job/{jid}")
+            if data["job"]["status"] == "completed":
+                break
+            time.sleep(0.05)
+        assert data["job"]["status"] == "completed"
+        status, data, _ = call_app(app, "GET", "/jobs", query="filter=all")
+        assert status == 200 and jid in data["active_jobs"]
+    finally:
+        engine.shutdown(wait=False)
