@@ -109,6 +109,12 @@ def build_services(
     air-gapped mode the reference lacks.
     """
     from ..pipeline.transcribe import Transcriber
+    from .device_check import probe_device
+
+    # Fail fast if the accelerator transport is dead — otherwise the first
+    # device op below (param init / checkpoint device_put) hangs forever
+    # with no log line (APTPU_DEVICE_INIT_TIMEOUT_S tunes/disables).
+    probe_device()
 
     # multi-host serving profile: join the jax.distributed runtime and
     # decode over a DCN-aware global mesh (data across hosts, tensor
