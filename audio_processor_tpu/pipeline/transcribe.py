@@ -197,8 +197,8 @@ class Transcriber:
     # T>0 (fallback rungs, and every pass when a base `temperature` is
     # set); the best by avg logprob wins (openai's best_of —
     # whisper.transcribe defaults it to 5).  Batch caps account for the
-    # expansion: retries sub-batch at max_chunk_batch // best_of, and a
-    # base temperature shrinks max_chunk_batch itself.
+    # expansion via the derived _slab_cap/_retry_cap properties (the
+    # declared max_chunk_batch is never rewritten).
     best_of: int = 5
     beam_size: int = 0  # 0 = greedy; >0 = beam at T=0, sampling retries at T>0
     # whisper's beam patience (Kasai et al.): keep searching until
@@ -359,14 +359,6 @@ class Transcriber:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
             # (measured: medium wants 18.8 GB at 64); 48 fits with room
             self.max_chunk_batch = 48 if self.cfg.n_audio_state >= 1024 else 128
-        if self.temperature > 0 and self.best_of > 1:
-            # a base temperature makes EVERY decode sample with best_of
-            # candidates — the expansion happens inside the decode
-            # (jnp.repeat), so the slab cap must shrink to keep
-            # rows x best_of within the HBM budget the cap encodes
-            self.max_chunk_batch = max(
-                1, self.max_chunk_batch // self.best_of
-            )
         wd = self.weights_dtype
         if wd == "auto":
             wd = None if self.compute_dtype == "float32" else self.compute_dtype
@@ -505,6 +497,28 @@ class Transcriber:
             )
 
         self._frontend_encode = jax.jit(_fe)
+
+    @property
+    def _slab_cap(self) -> int:
+        """Effective chunk-slab cap for device decodes.
+
+        A base temperature > 0 makes EVERY decode sample with best_of
+        candidates — the expansion happens inside the decode (jnp.repeat),
+        so the cap shrinks to keep rows x best_of within the HBM budget
+        max_chunk_batch encodes.  Derived (never written back to
+        max_chunk_batch): dataclasses.replace() re-runs __post_init__, and
+        an in-place division would compound on every replace.
+        """
+        if self.temperature > 0 and self.best_of > 1:
+            return max(1, self.max_chunk_batch // self.best_of)
+        return self.max_chunk_batch
+
+    @property
+    def _retry_cap(self) -> int:
+        """Sub-batch cap for quality-fallback re-decodes: retry rungs all
+        sample at T>0, so rows expand best_of-fold inside the decode
+        regardless of the base temperature."""
+        return max(1, self.max_chunk_batch // max(1, self.best_of))
 
     def _sot_seq(self, lang: int | None) -> tuple[int, ...]:
         """Static prefill sequence: sot tokens + DecodingOptions.prefix
@@ -774,10 +788,7 @@ class Transcriber:
                 # decode (T>0 rungs) — cap the sub-batch so
                 # bucket * best_of never exceeds the HBM-tuned slab cap
                 # (medium's cache OOMs past 48 rows; 48*5 would be fatal)
-                retry_cap = (
-                    self.max_chunk_batch if self.temperature > 0
-                    else max(1, self.max_chunk_batch // max(1, self.best_of))
-                )  # base T>0: the slab cap already accounts for best_of
+                retry_cap = self._retry_cap
                 logger.info(
                     "quality fallback: %d/%d chunks re-decoding at T=%.1f "
                     "(sub-batches of <=%d x best_of=%d)",
@@ -880,9 +891,10 @@ class Transcriber:
         patch_rows: list[np.ndarray] = []
         patch_meta: list[dict] | dict = []
         patch_states: list[tuple[Any, int]] = []
-        for lo in range(0, len(bounds), self.max_chunk_batch):
-            batch = bounds[lo : lo + self.max_chunk_batch]
-            bucket = min(_bucket(len(batch)), self.max_chunk_batch)
+        cap = self._slab_cap
+        for lo in range(0, len(bounds), cap):
+            batch = bounds[lo : lo + cap]
+            bucket = min(_bucket(len(batch)), cap)
             if self.mesh is not None:
                 bucket = mesh_lib.round_up_batch(bucket, self.mesh)
             arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
@@ -1058,7 +1070,7 @@ class Transcriber:
             ]
             if not chunk_ids:
                 break
-            bucket = min(_bucket(len(chunk_ids)), self.max_chunk_batch)
+            bucket = min(_bucket(len(chunk_ids)), self._slab_cap)
             if self.mesh is not None:
                 bucket = mesh_lib.round_up_batch(bucket, self.mesh)
             # NOTE: groups beyond max_chunk_batch decode in sub-batches
@@ -1148,13 +1160,7 @@ class Transcriber:
                         # cap sub-batches so bucket * best_of stays within
                         # the HBM-tuned slab cap (same bound as the
                         # parallel path's retry loop)
-                        retry_cap = (
-                            self.max_chunk_batch if self.temperature > 0
-                            else max(
-                                1,
-                                self.max_chunk_batch // max(1, self.best_of),
-                            )
-                        )
+                        retry_cap = self._retry_cap
                         logger.info(
                             "conditioned fallback: %d/%d chunks re-decoding "
                             "at T=%.1f (sub-batches of <=%d x best_of=%d)",
@@ -1232,7 +1238,7 @@ class Transcriber:
             all_states = jnp.take(
                 all_states, jnp.asarray(np.argsort(order_ids)), axis=0
             )  # back into chunk order
-            slab = min(_bucket(n_chunks), self.max_chunk_batch)
+            slab = min(_bucket(n_chunks), self._slab_cap)
             if self.mesh is not None:
                 slab = mesh_lib.round_up_batch(slab, self.mesh)
             states_per_slab = [
@@ -1389,7 +1395,7 @@ class Transcriber:
         # slab-wise: long meetings process in fixed-size slabs so HBM stays
         # bounded and every slab after the first reuses the compiled program
         n_chunks = max(1, math.ceil(len(audio) / CHUNK_SAMPLES))
-        slab = min(_bucket(n_chunks), self.max_chunk_batch)
+        slab = min(_bucket(n_chunks), self._slab_cap)
         if self.mesh is not None:
             slab = mesh_lib.round_up_batch(slab, self.mesh)
 

@@ -10,9 +10,12 @@ app/services/audio_processor.py:1076), so exposing the standard API makes
 this framework a drop-in replacement for hosted transcription too.
 
 Decode options are applied per request by dataclasses.replace on the
-shared Transcriber — params are shared JAX arrays, so a replaced copy is
-cheap (no weight copy, no re-jit; the compiled decode fns are module-level
-caches keyed by static shapes).
+shared Transcriber — params are shared JAX arrays, so a replaced copy
+never copies weights.  Decode programs are jit-compiled with the option
+set as STATIC arguments, so the first request with a novel (task,
+language, temperature, word granularity) combination pays a full compile
+on its request thread (minutes cold; the persistent XLA cache makes
+repeats across restarts cheap) — warm the combinations you serve.
 """
 from __future__ import annotations
 
@@ -20,6 +23,8 @@ import dataclasses
 import logging
 import os
 import tempfile
+import threading
+import time
 from typing import Any
 
 from .web import Blueprint, Request, Response, StreamingResponse, jsonify
@@ -33,15 +38,18 @@ _GRANULARITIES = ("word", "segment")
 # so streams can't starve the request pool (same rationale as the job-SSE
 # cap in api.py)
 _stream_slots = {"active": 0}
-_stream_lock = None  # created lazily to keep import light
+_stream_lock = threading.Lock()
+
+# EVERY /v1 decode (stream or not) also holds a device-decode slot: the
+# slab cap (Transcriber.max_chunk_batch) budgets HBM for a small number of
+# concurrent decodes, and without a gate each gunicorn/dev-server request
+# thread could start its own full-slab decode — an HBM OOM that restarts
+# the TPU worker.  Excess requests wait briefly, then 503.
+_decode_slots = {"active": 0}
+_decode_cond = threading.Condition()
 
 
 def _acquire_stream_slot() -> bool:
-    global _stream_lock
-    import threading
-
-    if _stream_lock is None:
-        _stream_lock = threading.Lock()
     limit = int(os.environ.get("APTPU_MAX_TRANSCRIBE_STREAMS", "4"))
     with _stream_lock:
         if _stream_slots["active"] >= limit:
@@ -53,6 +61,26 @@ def _acquire_stream_slot() -> bool:
 def _release_stream_slot() -> None:
     with _stream_lock:
         _stream_slots["active"] -= 1
+
+
+def _acquire_decode_slot() -> bool:
+    limit = int(os.environ.get("APTPU_MAX_CONCURRENT_DECODES", "2"))
+    timeout_s = float(os.environ.get("APTPU_DECODE_QUEUE_TIMEOUT_S", "60"))
+    deadline = time.monotonic() + timeout_s
+    with _decode_cond:
+        while _decode_slots["active"] >= limit:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return False
+            _decode_cond.wait(remaining)
+        _decode_slots["active"] += 1
+        return True
+
+
+def _release_decode_slot() -> None:
+    with _decode_cond:
+        _decode_slots["active"] -= 1
+        _decode_cond.notify()
 
 
 def _error(message: str, param: str | None = None, status: int = 400):
@@ -161,7 +189,13 @@ def _stream_transcription(t, audio) -> StreamingResponse:
     q: queue.Queue = queue.Queue()
 
     def run():
+        got_slot = False
         try:
+            got_slot = _acquire_decode_slot()
+            if not got_slot:
+                q.put(("error", {"type": "error", "error": {
+                    "message": "too many concurrent decodes; retry later"}}))
+                return
             result = t.transcribe(audio, on_segment=lambda seg: q.put(
                 ("transcript.text.delta",
                  {"type": "transcript.text.delta", "delta": seg["text"]})
@@ -176,6 +210,8 @@ def _stream_transcription(t, audio) -> StreamingResponse:
             q.put(("error", {"type": "error",
                              "error": {"message": str(e)}}))
         finally:
+            if got_slot:
+                _release_decode_slot()
             q.put(None)
 
     threading.Thread(target=run, daemon=True).start()
@@ -314,7 +350,15 @@ def _handle(request: Request, services: Any, task: str):
             )
         return _stream_transcription(t, audio)
 
-    result = t.transcribe(audio)
+    if not _acquire_decode_slot():
+        return _error(
+            "too many concurrent transcriptions; retry later",
+            status=503,
+        )
+    try:
+        result = t.transcribe(audio)
+    finally:
+        _release_decode_slot()
 
     text = result["text"].strip()
     if fmt == "json":

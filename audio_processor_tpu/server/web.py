@@ -115,10 +115,12 @@ class Request:
             return fields, files
         if not ctype.startswith("multipart/form-data"):
             raise ValueError(f"expected multipart/form-data, got {ctype!r}")
-        m = re.search(r'boundary="?([^";,]+)"?', ctype)
+        # quoted form first: RFC 2046 bchars include ';' and ',', which a
+        # quoted boundary may contain but an unquoted HTTP token cannot
+        m = re.search(r'boundary="([^"]+)"|boundary=([^";,\s]+)', ctype)
         if not m:
             raise ValueError("multipart body without a boundary parameter")
-        delim = b"--" + m.group(1).encode("latin-1")
+        delim = b"--" + (m.group(1) or m.group(2)).encode("latin-1")
         # parts live between boundary delimiters; the closing delimiter is
         # followed by "--", which marks the epilogue chunk to stop at
         for raw in self.body.split(delim)[1:]:

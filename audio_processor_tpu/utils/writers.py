@@ -96,31 +96,49 @@ def _iterate_cues(
 
     Word-timed segments follow openai's SubtitlesWriter.iterate_result;
     plain segments yield one cue each."""
-    word_mode = bool(segments) and bool(segments[0].get("words"))
-    if not word_mode:
+    def _plain_cue(seg):
+        return seg["start"], seg["end"], seg["text"].strip().replace("-->", "->")
+
+    def _word_cues(run):
+        for subtitle in _iterate_subtitles(
+            run, max_line_width, max_line_count, max_words_per_line
+        ):
+            start, end = subtitle[0]["start"], subtitle[-1]["end"]
+            text = "".join(w["word"] for w in subtitle)
+            if highlight_words:
+                last = start
+                all_words = [w["word"] for w in subtitle]
+                for i, this_word in enumerate(subtitle):
+                    if last != this_word["start"]:
+                        yield last, this_word["start"], text
+                    yield this_word["start"], this_word["end"], "".join(
+                        re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", w, flags=re.DOTALL)
+                        if j == i
+                        else w
+                        for j, w in enumerate(all_words)
+                    )
+                    last = this_word["end"]
+            else:
+                yield start, end, text
+
+    # word-timed runs get openai's word-cue treatment; a segment whose
+    # words list came out empty (the midpoint matcher can miss near window
+    # edges) still emits its text as a plain cue instead of vanishing
+    if not any(seg.get("words") for seg in segments):
         for seg in segments:
-            yield seg["start"], seg["end"], seg["text"].strip().replace("-->", "->")
+            yield _plain_cue(seg)
         return
-    for subtitle in _iterate_subtitles(
-        segments, max_line_width, max_line_count, max_words_per_line
-    ):
-        start, end = subtitle[0]["start"], subtitle[-1]["end"]
-        text = "".join(w["word"] for w in subtitle)
-        if highlight_words:
-            last = start
-            all_words = [w["word"] for w in subtitle]
-            for i, this_word in enumerate(subtitle):
-                if last != this_word["start"]:
-                    yield last, this_word["start"], text
-                yield this_word["start"], this_word["end"], "".join(
-                    re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", w, flags=re.DOTALL)
-                    if j == i
-                    else w
-                    for j, w in enumerate(all_words)
-                )
-                last = this_word["end"]
+    i = 0
+    while i < len(segments):
+        if segments[i].get("words"):
+            j = i
+            while j < len(segments) and segments[j].get("words"):
+                j += 1
+            yield from _word_cues(segments[i:j])
+            i = j
         else:
-            yield start, end, text
+            yield _plain_cue(segments[i])
+            i += 1
 
 
 def to_txt(segments: list[dict], **_unused) -> str:

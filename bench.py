@@ -72,41 +72,24 @@ def main() -> None:
     import numpy as np
 
     # Liveness watchdog: a dead axon relay makes every device op hang
-    # FOREVER (no error) — probe with a trivial op under a deadline and
-    # fail fast with a diagnostic JSON line rather than hanging the
-    # driver.  A cold TPU worker can take 1-3 min to initialise, so the
-    # default deadline is generous.
+    # FOREVER (no error) — probe under a deadline (shared implementation:
+    # runtime/device_check.py) and fail fast with a diagnostic JSON line
+    # rather than hanging the driver.  A cold TPU worker can take 1-3 min
+    # to initialise, so the default deadline is generous.
+    from audio_processor_tpu.runtime.device_check import probe_device
+
     probe_s = float(_os.environ.get("APTPU_BENCH_PROBE_TIMEOUT", "600"))
-    import threading
-
-    outcome: list = []  # [True] on success, [Exception] on device error
-
-    def _probe():
-        try:
-            np.asarray(jnp.zeros((8,), jnp.float32) + 1.0)
-            outcome.append(True)
-        except Exception as e:  # real init errors beat a silent timeout
-            outcome.append(e)
-
-    th = threading.Thread(target=_probe, daemon=True)
-    th.start()
-    deadline = time.monotonic() + probe_s
-    while not outcome and time.monotonic() < deadline:
-        th.join(1.0)
-    if not outcome or outcome[0] is not True:
-        err = (
-            f"device probe failed: {outcome[0]!r}" if outcome
-            else f"device unresponsive after {probe_s:.0f}s "
-                 "(axon relay dead? every TPU op hangs)"
-        )
+    try:
+        probe_device(timeout_s=probe_s)
+    except Exception as e:  # noqa: BLE001 — any probe failure is terminal
         print(json.dumps({
             "metric": "transcribe_rtfx",
             "value": 0.0,
             "unit": "x_realtime",
             "vs_baseline": 0.0,
-            "error": err,
+            "error": f"device probe failed: {e}",
         }), flush=True)
-        _os._exit(1)  # the hung probe thread blocks a normal exit
+        _os._exit(1)  # a hung probe thread blocks a normal exit
 
     from audio_processor_tpu.models.whisper import decode as decode_lib
     from audio_processor_tpu.models.whisper import model as model_lib

@@ -297,3 +297,48 @@ def test_models_list_and_get(app):
     assert status == 200 and data["id"] == "whisper-1"
     status, data = _get(app, "/v1/models/gpt-4o")
     assert status == 404 and data["error"]["param"] == "model"
+
+
+def test_decode_concurrency_gate(app, monkeypatch):
+    """EVERY /v1 decode holds a device slot (HBM is budgeted for a bounded
+    number of slab decodes); excess requests 503 after the queue timeout
+    instead of piling onto the chip."""
+    monkeypatch.setenv("APTPU_MAX_CONCURRENT_DECODES", "0")
+    monkeypatch.setenv("APTPU_DECODE_QUEUE_TIMEOUT_S", "0.1")
+    body, ct = multipart({}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 503
+    assert "concurrent" in data["error"]["message"]
+
+
+def test_decode_slot_waits_then_proceeds(monkeypatch):
+    """A request queued behind a running decode proceeds when the slot
+    frees within the timeout (gate blocks, not rejects, under brief
+    contention)."""
+    import threading
+    import time as _time
+
+    monkeypatch.setenv("APTPU_MAX_CONCURRENT_DECODES", "1")
+    monkeypatch.setenv("APTPU_DECODE_QUEUE_TIMEOUT_S", "5")
+    assert openai_api._acquire_decode_slot()
+    t = threading.Timer(0.2, openai_api._release_decode_slot)
+    t.start()
+    start = _time.monotonic()
+    try:
+        assert openai_api._acquire_decode_slot()  # blocks ~0.2 s, not 5
+        assert _time.monotonic() - start < 3
+    finally:
+        openai_api._release_decode_slot()
+        t.join()
+
+
+def test_quoted_boundary_with_comma(app):
+    """RFC 2046 bchars include ','; a quoted boundary containing one must
+    parse (the delimiter is the full quoted value, not the prefix)."""
+    body, ct = multipart({}, ("a.wav", wav_bytes()))
+    boundary = ct.split("boundary=")[1]
+    new_boundary = boundary + ",x"
+    body = body.replace(boundary.encode(), new_boundary.encode())
+    ct = f'multipart/form-data; boundary="{new_boundary}"'
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 200 and "text" in data

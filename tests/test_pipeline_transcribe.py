@@ -1088,3 +1088,28 @@ def test_optional_thresholds_disable_gates():
     )
     silent = t2._silent_rows(np.array([0.9, 0.9]), np.array([-0.2, -2.0]))
     assert silent.tolist() == [False, True]
+
+
+def test_replace_does_not_compound_slab_cap():
+    """max_chunk_batch is never rewritten by __post_init__ (a base
+    temperature + best_of shrink the DERIVED _slab_cap instead), so
+    dataclasses.replace — which re-runs __post_init__, and is how the
+    /v1 endpoints apply per-request options — cannot compound the
+    division request after request."""
+    import dataclasses
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        temperature=0.7, best_of=4, max_chunk_batch=16,
+    )
+    assert t.max_chunk_batch == 16
+    assert t._slab_cap == 4
+    t2 = dataclasses.replace(t, task="translate")
+    t3 = dataclasses.replace(t2, word_timestamps=True)
+    assert t3.max_chunk_batch == 16 and t3._slab_cap == 4
+    # greedy base: full slab for the main pass, retry rungs sub-batch
+    g = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        temperature=0.0, best_of=4, max_chunk_batch=16,
+    )
+    assert g._slab_cap == 16 and g._retry_cap == 4

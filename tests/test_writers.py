@@ -107,3 +107,22 @@ def test_max_line_width_and_count_wrap_and_split():
 def test_segment_cue_escapes_arrow():
     srt = writers.to_srt([{"start": 0.0, "end": 1.0, "text": "a --> b"}])
     assert "a -> b" in srt
+
+
+def test_empty_words_segment_still_emits_text():
+    """A segment whose words list came out empty (the word-midpoint
+    matcher can miss near window edges) must still emit its text as a
+    plain cue — not vanish from srt/vtt output."""
+    segments = [
+        {"start": 0.0, "end": 1.0, "text": " first",
+         "words": [{"word": " first", "start": 0.0, "end": 1.0}]},
+        {"start": 1.0, "end": 2.0, "text": " orphaned", "words": []},
+        {"start": 2.0, "end": 3.0, "text": " last",
+         "words": [{"word": " last", "start": 2.0, "end": 3.0}]},
+    ]
+    srt = writers.to_srt(segments)
+    assert "orphaned" in srt
+    # cue order is preserved
+    assert srt.index("first") < srt.index("orphaned") < srt.index("last")
+    vtt = writers.to_vtt(segments)
+    assert "orphaned" in vtt
