@@ -541,6 +541,34 @@ class Transcriber:
     def _active_language(self, v: int | None) -> None:
         self._lang_tls.value = v
 
+    def warmup(self, n_chunks: int | None = None) -> float:
+        """Compile the decode programs this instance will serve, now.
+
+        Decode programs are jitted with the option set as static args, so
+        the first real request otherwise pays the full compile (minutes on
+        a cold TPU) on its request thread.  Transcribes ``n_chunks`` 30-s
+        windows of synthetic audio (default: one full production slab) so
+        the frontend/encoder, language detection, and the slab-bucket
+        decode program all land in the jit cache — and, via the persistent
+        compilation cache, on disk.  Returns the wall seconds spent.
+        """
+        import time as _time
+
+        if n_chunks is None:
+            n_chunks = self._slab_cap
+        t0 = _time.monotonic()
+        sr = 16_000
+        t = np.arange(n_chunks * CHUNK_SAMPLES, dtype=np.float32) / sr
+        # low-amplitude tone, not zeros: survives the silence trim so the
+        # decode path actually runs
+        audio = (0.1 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        self.transcribe(audio, remove_silence=False)
+        took = _time.monotonic() - t0
+        logger.info(
+            "warmup: %d-chunk slab compiled+decoded in %.1f s", n_chunks, took
+        )
+        return took
+
     # -- factory ------------------------------------------------------------
 
     @classmethod

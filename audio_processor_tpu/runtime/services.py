@@ -208,6 +208,15 @@ def build_services(
         )
         transcriber = Transcriber.random_init(model, mesh=mesh, **tkw)
 
+    # APTPU_WARMUP=<n_chunks>: pre-compile the decode programs at startup
+    # instead of on the first request's thread (a cold TPU compile takes
+    # minutes; gunicorn would kill the request at --timeout).  The value
+    # is the number of 30 s windows to warm — size it to the largest slab
+    # your traffic hits (e.g. 128 for long-meeting jobs); 0/unset = off.
+    warmup_raw = os.environ.get("APTPU_WARMUP", "0")
+    if warmup_raw not in ("", "0"):
+        transcriber.warmup(None if warmup_raw == "1" else int(warmup_raw))
+
     diarizer = None
     if diarization:
         from ..pipeline.diarize import Diarizer

@@ -208,3 +208,52 @@ def test_model_path_serves_embedded_tokenizer(monkeypatch, tmp_path):
         assert served.decode(served.encode("hello world")) == "hello world"
     finally:
         svc.engine.shutdown(wait=False)
+
+
+def test_warmup_env_precompiles_decode(monkeypatch):
+    """APTPU_WARMUP=<n_chunks> compiles the decode programs at startup
+    instead of on the first request's thread (gunicorn --timeout would
+    kill a cold-TPU compile mid-request)."""
+    from audio_processor_tpu.runtime.services import build_services
+
+    calls = {}
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    real = Transcriber.warmup
+
+    def spy(self, n_chunks=None):
+        calls["n"] = n_chunks
+        return real(self, n_chunks)
+
+    monkeypatch.setattr(Transcriber, "warmup", spy)
+    monkeypatch.setenv("APTPU_WARMUP", "2")  # 2 chunks ("1" = full slab)
+    services = build_services(
+        model="test", diarization=False, with_drive=False, with_llm=False,
+        max_workers=1,
+    )
+    try:
+        assert calls == {"n": 2}
+    finally:
+        services.engine.shutdown(wait=False)
+
+
+def test_warmup_compiles_and_decodes(monkeypatch):
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=4, max_chunk_batch=2,
+    )
+    took = t.warmup(2)
+    assert took > 0
+    # the warmed program serves a real transcribe without recompiling:
+    # same bucket, much faster second pass
+    import numpy as np
+    import time as _time
+
+    sr = 16_000
+    audio = (0.1 * np.sin(2 * np.pi * 440.0 * np.arange(40 * sr) / sr)).astype(
+        np.float32
+    )
+    t0 = _time.monotonic()
+    t.transcribe(audio, remove_silence=False)
+    assert _time.monotonic() - t0 < took + 5
