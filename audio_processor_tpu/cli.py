@@ -642,6 +642,17 @@ def cmd_der(args) -> None:
 
 
 def main(argv: list[str] | None = None) -> None:
+    # Honor JAX_PLATFORMS=cpu (same escape hatch as serve.py/bench.py): a
+    # sitecustomize may force-select the TPU backend via jax.config, which
+    # silently overrides the env var — CPU-only boxes (or a box whose TPU
+    # transport is down) need the config re-set before the first jax call.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 — jax absent is its own error later
+            pass
     ap = argparse.ArgumentParser(prog="audio_processor_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -197,26 +197,29 @@ def cross_attention_map(
     return acc
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "vocab_cap"))
 def cross_attention_map_and_probs(
     params: Params,
     cfg: WhisperConfig,
     tokens: jnp.ndarray,  # (B, T)
     audio_states: jnp.ndarray,  # (B, Ta, d)
+    vocab_cap: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """cross_attention_map plus per-token probabilities (B, T).
 
     probs[:, i] = P(tokens[i] | tokens[:i], audio) from the same teacher-
-    forced pass (position 0 gets 1.0 — no prefix).  These feed openai's
-    word_anomaly_score for hallucination_silence_threshold; the rows start
-    at the first decoded token rather than <|sot|>, so the first word's
-    probability is conditioned on slightly less context than openai's —
-    identical from the second token on.
+    forced pass (position 0 gets 1.0 — no prefix).  vocab_cap restricts the
+    softmax to the first ``vocab_cap`` logits — openai's find_alignment
+    normalises over the TEXT vocabulary only (``logits[..., :eot]``), which
+    word_timestamps passes here.  These feed openai's word_anomaly_score
+    for hallucination_silence_threshold.
     """
     p = params["decoder"]
     x, acc = _teacher_forced_scan(params, cfg, tokens, audio_states)
     xn = layer_norm(p["ln"], x)
     emb = p["token_emb"].astype(jnp.float32)  # (V, d)
+    if vocab_cap is not None:
+        emb = emb[:vocab_cap]
     b = tokens.shape[0]
 
     # scan position-by-position: the full (B, T, V) logits tensor would be
@@ -225,8 +228,9 @@ def cross_attention_map_and_probs(
     def step(_, inp):
         h, tok = inp  # h: (B, d) hidden at pos i; tok: (B,) token at i+1
         lp = jax.nn.log_softmax(h @ emb.T, axis=-1)
+        idx = jnp.minimum(tok, emb.shape[0] - 1)  # pad rows: unused values
         return None, jnp.take_along_axis(
-            lp, tok[:, None].astype(jnp.int32), axis=-1
+            lp, idx[:, None].astype(jnp.int32), axis=-1
         )[:, 0]
     _, nxt = jax.lax.scan(
         step, None,
@@ -325,22 +329,40 @@ def calibrate_alignment_heads(
     return tuple(pairs)
 
 
+def _median_filter(x: np.ndarray, width: int) -> np.ndarray:
+    """openai's median_filter (whisper/timing.py): odd-width running median
+    along the last axis with reflect padding.  Identity when the axis is
+    too short to reflect-pad (matches openai's early-return)."""
+    if width <= 1 or x.shape[-1] <= width:
+        return x
+    pad = width // 2
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    win = np.lib.stride_tricks.sliding_window_view(xp, width, axis=-1)
+    return np.median(win, axis=-1)
+
+
 def dtw_path(matrix: np.ndarray) -> np.ndarray:
-    """Monotonic alignment through a (T_text, T_audio) similarity matrix.
+    """Monotonic alignment through a (T_text, T_audio) similarity matrix
+    of attention weights: DTW on the -log cost surface."""
+    return dtw_path_from_cost(-np.log(np.maximum(matrix, 1e-9)))
+
+
+def dtw_path_from_cost(cost: np.ndarray) -> np.ndarray:
+    """Monotonic alignment through a (T_text, T_audio) COST matrix.
 
     Returns for each text row the audio column where it starts (the
-    standard backtrace of whisper's DTW on -log attention weights).
-    Uses the native C++ kernel when built (the python DP is ~1 s/row on
-    this host); both produce identical paths."""
+    standard backtrace of whisper's DTW; openai feeds the negated
+    normalised attention matrix directly, word_timestamps below does the
+    same).  Uses the native C++ kernel when built (the python DP is
+    ~1 s/row on this host); both produce identical paths."""
     try:
         from ...native import audio_io
 
         if audio_io.available():
-            return audio_io.dtw(-np.log(np.maximum(matrix, 1e-9)))
+            return audio_io.dtw(cost)  # wrapper casts to float32
     except Exception:  # noqa: BLE001 — fall back to python DP
         pass
-    t, ta = matrix.shape
-    cost = -np.log(np.maximum(matrix, 1e-9))
+    t, ta = cost.shape
     acc = np.full((t + 1, ta + 1), np.inf)
     acc[0, 0] = 0.0
     trace = np.zeros((t + 1, ta + 1), np.int8)
@@ -380,8 +402,26 @@ def word_timestamps(
     language: str | None = None,
     prepend_punctuations: str = PREPEND_PUNCTUATIONS,
     append_punctuations: str = APPEND_PUNCTUATIONS,
+    sot_sequence: tuple[int, ...] | None = None,
+    content_frames: np.ndarray | None = None,
 ) -> list[list[dict]]:
     """Per chunk: [{"word", "start", "end"}] in the global timeline.
+
+    openai's find_alignment recipe (whisper/timing.py): the decoder is
+    teacher-forced over ``[*sot_sequence, <|notimestamps|>, *text,
+    <|eot|>]`` (same positional encodings openai aligns under), the
+    attention matrix is cropped to the chunk's REAL content frames
+    (``content_frames`` per row — openai's num_frames//2 crop) and row-
+    renormalised (softmax over the crop), z-scored per frame column
+    (openai's std/mean over the token axis), median-filtered (width 7)
+    along frames, and DTW'd on the negated matrix.  The trailing <|eot|>
+    row rides the DTW so the LAST word's end comes from the alignment
+    (openai's jump_times at the final boundary), not a fixed tail.
+
+    One documented divergence: openai z-scores/median-filters each
+    alignment head's map then means across heads; the device pass here
+    accumulates the head mean first (O(B·T·Ta) memory instead of
+    O(B·H·T·Ta)) and applies the same normalisation to the pooled matrix.
 
     Word boundaries follow openai-whisper exactly: tokens group into
     complete unicode units, then into space-delimited words — except for
@@ -391,44 +431,80 @@ def word_timestamps(
     ``word`` text keeps its leading space for space-delimited languages.
 
     with_probabilities=True adds "probability" (mean per-token probability
-    from the same teacher-forced pass) — the signal openai's
+    from the same teacher-forced pass, normalised over the text vocabulary
+    exactly as openai's ``logits[..., :eot]``) — the signal openai's
     hallucination_silence_threshold anomaly score consumes."""
     b, t = token_rows.shape
     if t == 0:
         return [[] for _ in range(b)]
-    tok_dev = jnp.asarray(token_rows, jnp.int32)
+    prefix = list(sot_sequence) if sot_sequence else [st.sot]
+    prefix.append(st.no_timestamps)
+    texts = [
+        [int(tok) for tok in token_rows[i] if tok < st.eot] for i in range(b)
+    ]
+    width = len(prefix) + max((len(x) for x in texts), default=0) + 1
+    forced = np.full((b, width), st.eot, np.int64)
+    for i, text in enumerate(texts):
+        forced[i, : len(prefix)] = prefix
+        forced[i, len(prefix) : len(prefix) + len(text)] = text
+        # position len(prefix)+len(text) stays eot: the terminator row
+    # pad the batch to a power-of-two bucket (EOT rows + zero states) so
+    # arbitrary tail/patch-slab sizes reuse one compiled program instead
+    # of compiling the full teacher-forced scan per distinct count
+    b_pad = 1 << max(0, (b - 1)).bit_length()
+    if b_pad != b:
+        forced = np.concatenate(
+            [forced, np.full((b_pad - b, width), st.eot, forced.dtype)],
+            axis=0,
+        )
+        audio_states = jnp.concatenate(
+            [audio_states,
+             jnp.zeros((b_pad - b,) + audio_states.shape[1:],
+                       audio_states.dtype)], axis=0,
+        )
+    tok_dev = jnp.asarray(forced, jnp.int32)
     if with_probabilities:
         attn, tok_probs = cross_attention_map_and_probs(
-            params, cfg, tok_dev, audio_states
+            params, cfg, tok_dev, audio_states, vocab_cap=st.eot
         )
-        attn, tok_probs = np.asarray(attn), np.asarray(tok_probs)
+        attn, tok_probs = np.asarray(attn)[:b], np.asarray(tok_probs)[:b]
     else:
-        attn = np.asarray(cross_attention_map(params, cfg, tok_dev, audio_states))
+        attn = np.asarray(
+            cross_attention_map(params, cfg, tok_dev, audio_states)
+        )[:b]
         tok_probs = None
+    n_audio = attn.shape[-1]
     out: list[list[dict]] = []
     for row_i in range(b):
-        toks = token_rows[row_i]
-        text_pos = [i for i, tok in enumerate(toks) if tok < st.eot]
-        if not text_pos:
+        text = texts[row_i]
+        if not text:
             out.append([])
             continue
-        m = attn[row_i][text_pos]  # (n_text, Ta)
-        # smooth + normalise per token
+        # text rows + the terminator eot row (its aligned frame is the
+        # last word's end boundary, exactly openai's final jump time)
+        lo = len(prefix)
+        m = attn[row_i][lo : lo + len(text) + 1]  # (n_text + 1, Ta)
+        nf = n_audio
+        if content_frames is not None:
+            nf = max(2, min(n_audio, int(content_frames[row_i])))
+        m = m[:, :nf]
+        # crop + renormalise == softmax over the content frames only
         m = m / np.maximum(m.sum(-1, keepdims=True), 1e-9)
-        starts = dtw_path(m)
+        mean = m.mean(axis=-2, keepdims=True)
+        std = np.maximum(m.std(axis=-2, keepdims=True), 1e-9)
+        m = _median_filter((m - mean) / std, 7)
+        starts = dtw_path_from_cost(-m)
         offset = float(chunk_offsets_s[row_i])
         # openai's split: unicode units -> (language-dependent) words;
-        # indices in word_idx are positions into text_pos/starts
-        word_strs, word_idx = _split_words(
-            [int(toks[p]) for p in text_pos], decode_text, language
-        )
+        # indices in word_idx are positions into text/starts
+        word_strs, word_idx = _split_words(text, decode_text, language)
         words: list[dict] = []
         for wi, (wstr, kidx) in enumerate(zip(word_strs, word_idx)):
             start_f = float(starts[kidx[0]])
             if wi + 1 < len(word_idx):
                 end_f = float(starts[word_idx[wi + 1][0]])
             else:
-                end_f = float(starts[-1]) + 10  # ~200 ms tail for the last word
+                end_f = float(starts[len(text)])  # the eot row's frame
             w = {
                 "word": wstr,
                 "start": round(offset + start_f * AUDIO_FRAME_S, 3),
@@ -436,7 +512,7 @@ def word_timestamps(
             }
             if tok_probs is not None:
                 w["probability"] = float(
-                    np.mean(tok_probs[row_i][[text_pos[k] for k in kidx]])
+                    np.mean(tok_probs[row_i][[lo + k for k in kidx]])
                 )
             words.append(w)
         out.append(

@@ -1030,7 +1030,10 @@ def build_prompt_rows(
     rows = np.full((len(histories), p_len), st.eot, np.int32)
     lens = np.zeros(len(histories), np.int32)
     for i, hist in enumerate(histories):
-        ctx = [t for t in hist if t < st.eot][-ctx_tokens:]
+        # guard ctx_tokens=0: [-0:] is the FULL list, which would overflow
+        # the p_len allocation (same -0 quirk _carry_hists guards)
+        text = [t for t in hist if t < st.eot]
+        ctx = text[-ctx_tokens:] if ctx_tokens else []
         real = ([st.startofprev] + ctx if ctx else []) + sot
         rows[i, p_len - len(real):] = real
         lens[i] = len(real)
@@ -1046,7 +1049,7 @@ def build_prompt_rows(
     static_argnames=(
         "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
         "use_timestamps", "quantize_cross_kv", "use_pallas_kernel", "kv_bits",
-        "patience", "max_initial_ts_index", "tp_mesh",
+        "patience", "max_initial_ts_index", "space_blank_id", "tp_mesh",
     ),
 )
 def beam_decode(
@@ -1068,6 +1071,7 @@ def beam_decode(
     prompt_tokens: jnp.ndarray | None = None,  # (B, P) LEFT-padded rows
     prompt_lens: jnp.ndarray | None = None,  # (B,) real tokens per row
     max_initial_ts_index: int | None = 50,
+    space_blank_id: int | None = None,
     tp_mesh=None,
 ) -> DecodeResult:
     """Batched beam search with openai-whisper's BeamSearchDecoder
@@ -1212,6 +1216,7 @@ def beam_decode(
             suppress_mask=suppress_mask,
             use_timestamps=use_timestamps,
             max_initial_timestamp_index=max_initial_ts_index,
+            space_blank_id=space_blank_id,
         )
         logprobs = jax.nn.log_softmax(masked, axis=-1).reshape(b, k, v)
         cand = s.scores[:, :, None] + logprobs  # (B, K, V)

@@ -628,7 +628,9 @@ class Transcriber:
 
     def _failed_rows(self, result, tokens: np.ndarray, n_real: int) -> np.ndarray:
         """Quality gate per chunk: low avg logprob or repetitive output."""
-        lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+        # openai divides by len(tokens)+1 with NO floor: an instant-EOT
+        # row gets sum/1, keeping its full (bad) magnitude for the gate
+        lengths = np.asarray(result.lengths)[:n_real]
         avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
         # None disables either check (openai's optional thresholds)
         if self.logprob_threshold is None:
@@ -672,6 +674,7 @@ class Transcriber:
             use_timestamps=not self.without_timestamps,
             max_initial_ts_index=self._max_initial_ts_index,
             suppress_mask=self._suppress_mask,
+            space_blank_id=self._space_blank_id,
             dtype_name=self.compute_dtype,
             quantize_cross_kv=self.quantize_cross_kv,
             kv_bits=self.cross_kv_bits,
@@ -794,7 +797,7 @@ class Transcriber:
         through retries.
         """
         tokens = np.array(result.tokens)[:n_real]  # writable copy
-        lengths0 = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+        lengths0 = np.asarray(result.lengths)[:n_real]
         meta = {
             "avg_logprob": np.asarray(result.sum_logprob)[:n_real]
             / (lengths0 + 1),
@@ -849,9 +852,7 @@ class Transcriber:
                     )
                     retry_tokens = np.array(retry.tokens)[: len(part)]
                     tokens[part] = retry_tokens
-                    r_len = np.maximum(
-                        np.asarray(retry.lengths)[: len(part)], 1
-                    )
+                    r_len = np.asarray(retry.lengths)[: len(part)]
                     meta["avg_logprob"][part] = (
                         np.asarray(retry.sum_logprob)[: len(part)] / (r_len + 1)
                     )
@@ -1167,7 +1168,7 @@ class Transcriber:
                 result = run_prompted(states, base_hists, self.temperature, 0)
                 n_real = len(ids)
                 tokens = np.array(result.tokens)[:n_real]
-                lengths = np.maximum(np.asarray(result.lengths)[:n_real], 1)
+                lengths = np.asarray(result.lengths)[:n_real]
                 avg_lp = np.asarray(result.sum_logprob)[:n_real] / (lengths + 1)
                 nsp = np.asarray(result.no_speech_prob)[:n_real].astype(
                     np.float64
@@ -1213,9 +1214,7 @@ class Transcriber:
                             )
                             retry_tokens = np.array(retry.tokens)[: len(part)]
                             tokens[part] = retry_tokens
-                            r_len = np.maximum(
-                                np.asarray(retry.lengths)[: len(part)], 1
-                            )
+                            r_len = np.asarray(retry.lengths)[: len(part)]
                             avg_lp[part] = (
                                 np.asarray(retry.sum_logprob)[: len(part)]
                                 / (r_len + 1)
@@ -1581,15 +1580,25 @@ class Transcriber:
         words = None
         if self.word_timestamps:
             from ..models.whisper import align
+            from ..models.whisper.align import AUDIO_FRAME_S
 
             # openai's word dicts always carry "probability" (the same
             # teacher-forced pass produces it; the hallucination filter
-            # merely consumes it)
+            # merely consumes it).  The teacher-forced rows carry the SAME
+            # sot sequence generation used (openai's find_alignment), and
+            # the attention matrix crops to each window's real content
+            # frames (openai's num_frames//2 crop).
+            lang = (
+                self._active_language
+                if self._active_language is not None
+                else self.language
+            )
             word_kw = dict(
                 with_probabilities=True,
                 language=self._language_code(),
                 prepend_punctuations=self.prepend_punctuations,
                 append_punctuations=self.append_punctuations,
+                sot_sequence=self._sot_seq(lang),
             )
             per_chunk = []
             for si, slab_states in enumerate(states_per_slab):
@@ -1604,6 +1613,9 @@ class Transcriber:
                         self.special,
                         self.tokenizer.decode,
                         offsets[lo : lo + real],
+                        content_frames=np.ceil(
+                            durations[lo : lo + real] / AUDIO_FRAME_S
+                        ),
                         **word_kw,
                     )
                 )
@@ -1617,6 +1629,9 @@ class Transcriber:
                         self.special,
                         self.tokenizer.decode,
                         patches["offsets"],
+                        content_frames=np.ceil(
+                            patches["durations"] / AUDIO_FRAME_S
+                        ),
                         **word_kw,
                     )
                 )

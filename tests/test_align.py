@@ -228,3 +228,79 @@ def test_word_timestamps_with_probabilities():
     ]  # probabilities must not perturb the alignment itself
     for w in withp:
         assert 0.0 <= w["probability"] <= 1.0
+
+
+def test_median_filter_removes_spikes():
+    x = np.zeros((2, 30), np.float32)
+    x[:, 10] = 5.0  # isolated spike
+    y = align._median_filter(x, 7)
+    assert y.shape == x.shape
+    assert (y[:, 10] == 0.0).all()
+    # identity when the axis is too short to reflect-pad (openai's guard)
+    short = np.ones((2, 5), np.float32)
+    assert (align._median_filter(short, 7) == short).all()
+
+
+def test_word_stamps_respect_content_frames():
+    """openai crops the attention matrix to the window's REAL content
+    frames before DTW (num_frames//2), so no word can be stamped into the
+    zero-padding past the audio — including the LAST word's end, which now
+    comes from the eot row's aligned frame instead of a fixed tail."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(0, 1, (1, CFG.n_audio_ctx, 64)), jnp.float32)
+    ids = tok.encode("hello world again")
+    rows = np.full((1, len(ids)), st.eot, np.int64)
+    rows[0, : len(ids)] = ids
+    nf = 12
+    words = align.word_timestamps(
+        params, CFG, audio, rows, st, tok.decode, np.array([0.0]),
+        content_frames=np.array([nf]),
+    )[0]
+    limit = nf * align.AUDIO_FRAME_S
+    for w in words:
+        assert 0.0 <= w["start"] <= w["end"] <= limit + 1e-6, w
+
+
+def test_probabilities_normalise_over_text_vocab():
+    """vocab_cap=st.eot (openai's logits[..., :eot] softmax): restricting
+    the softmax support can only RAISE each text token's probability vs
+    the full-vocab softmax."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(rng.normal(0, 1, (1, CFG.n_audio_ctx, 64)), jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 200, (1, 6)), jnp.int32)
+    _, full = align.cross_attention_map_and_probs(params, CFG, tokens, audio)
+    _, capped = align.cross_attention_map_and_probs(
+        params, CFG, tokens, audio, vocab_cap=st.eot
+    )
+    full, capped = np.asarray(full)[0], np.asarray(capped)[0]
+    assert (capped[1:] >= full[1:] - 1e-6).all()
+
+
+def test_batch_padding_matches_unpadded_rows():
+    """The power-of-two batch bucket (compile-count cap) must not change
+    any real row's words."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    st = decode.SpecialTokens.for_config(CFG)
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    audio3 = jnp.asarray(rng.normal(0, 1, (3, CFG.n_audio_ctx, 64)), jnp.float32)
+    ids = tok.encode("pad me")
+    rows3 = np.full((3, len(ids)), st.eot, np.int64)
+    rows3[:, : len(ids)] = ids
+    got3 = align.word_timestamps(
+        params, CFG, audio3, rows3, st, tok.decode, np.zeros(3),
+        with_probabilities=True,
+    )  # batch 3 -> padded to 4
+    got1 = align.word_timestamps(
+        params, CFG, audio3[:1], rows3[:1], st, tok.decode, np.zeros(1),
+        with_probabilities=True,
+    )  # batch 1 -> no padding
+    assert [w["word"] for w in got3[0]] == [w["word"] for w in got1[0]]
+    for a, b in zip(got3[0], got1[0]):
+        assert abs(a["start"] - b["start"]) < 1e-6
+        assert abs(a["probability"] - b["probability"]) < 1e-4

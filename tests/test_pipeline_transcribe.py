@@ -1113,3 +1113,27 @@ def test_replace_does_not_compound_slab_cap():
         temperature=0.0, best_of=4, max_chunk_batch=16,
     )
     assert g._slab_cap == 16 and g._retry_cap == 4
+
+
+def test_quality_gate_divisor_matches_openai():
+    """openai's avg_logprob = sum_logprob / (len(tokens) + 1) with NO
+    floor: an instant-EOT row (length 0) divides by 1, keeping its full
+    (bad) magnitude for the gate — flooring to 2 would halve it and let a
+    failing row slip past logprob_threshold."""
+    from types import SimpleNamespace
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        logprob_threshold=-1.0, compression_ratio_threshold=None,
+        enable_fallback=True,
+    )
+    eot = t.special.eot
+    result = SimpleNamespace(
+        lengths=np.array([0, 3]),
+        sum_logprob=np.array([-1.8, -1.8]),
+    )
+    tokens = np.full((2, 8), eot, np.int64)
+    failed = t._failed_rows(result, tokens, 2)
+    # row 0: -1.8 / (0+1) = -1.8 < -1.0 -> fails (a 2-divisor would pass)
+    # row 1: -1.8 / (3+1) = -0.45 -> passes
+    assert failed.tolist() == [True, False]

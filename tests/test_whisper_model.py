@@ -597,3 +597,44 @@ def test_beam_prompt_changes_only_the_prompted_row(hf_pair, mel):
     # are hyper-sensitive to context) must differ
     np.testing.assert_array_equal(ta[1:], tp[1:])
     assert not np.array_equal(ta[0], tp[0])
+
+
+def test_build_prompt_rows_zero_ctx_tokens():
+    """ctx_tokens=0 must drop ALL history ([-0:] would keep everything and
+    overflow the allocated row) — the row degrades to the bare sot seq."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+
+    st = decode_lib.SpecialTokens.for_config(CFG)
+    sot_seq = tuple(st.sot_sequence(language=0))
+    rows, lens = decode_lib.build_prompt_rows(
+        [[5, 6, 7], []], sot_seq, st, ctx_tokens=0
+    )
+    assert rows.shape == (2, 1 + 0 + len(sot_seq))
+    assert (rows[0, -len(sot_seq):] == np.asarray(sot_seq)).all()
+    assert lens[0] == len(sot_seq) and lens[1] == len(sot_seq)
+
+
+def test_beam_suppresses_blank_first_token():
+    """openai's SuppressBlank applies under beam search too: with
+    timestamp rules off (without_timestamps), the first sampled token can
+    still never be ' ' or EOT."""
+    from audio_processor_tpu.models.whisper import decode as decode_lib
+    from audio_processor_tpu.models.whisper import model as model_lib
+
+    st = decode_lib.SpecialTokens.for_config(CFG)
+    blank_id = 7  # arbitrary stand-in for the ' ' token id
+    for seed in range(3):
+        params = model_lib.init_params(CFG, jax.random.PRNGKey(seed))
+        rng = np.random.default_rng(seed)
+        audio = jnp.asarray(
+            rng.normal(0, 1, (2, CFG.n_audio_ctx, CFG.n_audio_state)),
+            jnp.float32,
+        )
+        res = decode_lib.beam_decode(
+            params, CFG, audio,
+            sot_sequence=tuple(st.sot_sequence(language=0)),
+            beam_size=2, max_new_tokens=4, use_timestamps=False,
+            space_blank_id=blank_id,
+        )
+        first = np.asarray(res.tokens)[:, 0]
+        assert (first != blank_id).all() and (first != st.eot).all()
