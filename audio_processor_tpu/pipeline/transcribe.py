@@ -1473,16 +1473,10 @@ class Transcriber:
         for si in range(n_slabs):
             lo = si * slab
             real = min(slab, n_chunks - lo)
-            chunk_arr = np.zeros((slab, CHUNK_SAMPLES), np.int16)
-            for i in range(real):
-                piece = audio[(lo + i) * CHUNK_SAMPLES : (lo + i + 1) * CHUNK_SAMPLES]
-                chunk_arr[i, : len(piece)] = _f32_to_i16(piece)
-            chunks_dev = jnp.asarray(chunk_arr)
-            if self.mesh is not None:
-                chunks_dev = jax.device_put(
-                    chunks_dev, mesh_lib.data_sharding(self.mesh)
-                )
-            audio_states = self._frontend_encode(self.params, chunks_dev)
+            audio_states = self._frontend_encode(
+                self.params,
+                self._chunk_slab(audio, list(range(lo, lo + real)), slab),
+            )
             if (
                 si == 0
                 and self.auto_language
