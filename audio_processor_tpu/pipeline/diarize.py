@@ -254,7 +254,8 @@ class Diarizer:
         num_speakers: int | None = None,
         min_speakers: int | None = None,
         max_speakers: int | None = None,
-    ) -> list[dict]:
+        return_embeddings: bool = False,
+    ) -> list[dict] | tuple[list[dict], "np.ndarray | None"]:
         """Mono float32 audio -> list of speaker turns (original timeline).
 
         Call-time speaker-count constraints mirror pyannote's
@@ -264,6 +265,10 @@ class Diarizer:
         exact count (best effort — fewer crops than speakers yields
         fewer), min/max bound it; unset values fall back to the
         instance's defaults.
+
+        return_embeddings=True returns ``(turns, centroids)`` instead —
+        pyannote's ``pipeline(audio, return_embeddings=True)`` form: one
+        L2-normalised centroid row per SPEAKER_XX (None when no speech).
         """
         if num_speakers is not None:
             if min_speakers is not None or max_speakers is not None:
@@ -282,7 +287,7 @@ class Diarizer:
             )
         duration = len(audio) / self.seg_cfg.sample_rate
         if duration < 0.5:
-            return []
+            return ([], None) if return_embeddings else []
 
         windows, starts_s = self._windows(audio)
         probs = self._segment_all(windows)  # (B, F, S)
@@ -304,7 +309,7 @@ class Diarizer:
         n_act_all = active.sum(axis=1)  # (W, S)
         ew, es = np.nonzero(n_act_all >= max(min_frames, 1))  # row-major
         if len(ew) == 0:
-            return []
+            return ([], None) if return_embeddings else []
         owners = list(zip(ew.tolist(), es.tolist()))
         # active frames that can reach the crop (capped by the window's
         # frame count — short windows wrap-pad instead)
@@ -368,6 +373,14 @@ class Diarizer:
                     }
                 )
         turns.sort(key=lambda t: (t["start"], t["speaker"]))
+        if return_embeddings:
+            cents = np.stack([
+                embeddings[labels == c].mean(axis=0) for c in range(n_clusters)
+            ])
+            cents /= np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-9
+            )
+            return turns, cents
         return turns
 
 

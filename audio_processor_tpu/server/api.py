@@ -18,7 +18,7 @@ import uuid
 from datetime import datetime
 from typing import Any
 
-from .web import Blueprint, Request
+from .web import Blueprint, Request, Response
 
 logger = logging.getLogger(__name__)
 
@@ -214,7 +214,41 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
 
     @bp.route("/metrics")
     def metrics(request: Request):
-        return {"success": True, "metrics": engine.metrics()}
+        """JSON by default; ?format=prometheus returns the text exposition
+        format so a Prometheus scraper can point straight at the service."""
+        m = engine.metrics()
+        if request.query.get("format") != "prometheus":
+            return {"success": True, "metrics": m}
+        lines = [
+            "# HELP aptpu_jobs_total Jobs known to the store",
+            "# TYPE aptpu_jobs_total gauge",
+            f"aptpu_jobs_total {m['jobs_total']}",
+            "# HELP aptpu_jobs Jobs by status",
+            "# TYPE aptpu_jobs gauge",
+        ]
+        for status, n in sorted(m.get("jobs_by_status", {}).items()):
+            lines.append(f'aptpu_jobs{{status="{status}"}} {n}')
+        if "rtf_x_p50" in m:
+            lines += [
+                "# HELP aptpu_rtf_x_p50 Median end-to-end real-time factor",
+                "# TYPE aptpu_rtf_x_p50 gauge",
+                f"aptpu_rtf_x_p50 {m['rtf_x_p50']}",
+                "# TYPE aptpu_rtf_x_mean gauge",
+                f"aptpu_rtf_x_mean {m['rtf_x_mean']}",
+            ]
+        if "stage_seconds_mean" in m:
+            lines += [
+                "# HELP aptpu_stage_seconds_mean Mean wall seconds per pipeline stage",
+                "# TYPE aptpu_stage_seconds_mean gauge",
+            ]
+            for stage, secs in sorted(m["stage_seconds_mean"].items()):
+                lines.append(
+                    f'aptpu_stage_seconds_mean{{stage="{stage}"}} {secs}'
+                )
+        return Response(
+            "\n".join(lines) + "\n",
+            content_type="text/plain; version=0.0.4; charset=utf-8",
+        )
 
     @bp.route("/jobs/debug")
     def jobs_debug(request: Request):

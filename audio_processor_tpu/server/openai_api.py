@@ -83,6 +83,26 @@ def _release_decode_slot() -> None:
         _decode_cond.notify()
 
 
+def _check_auth(request: Request):
+    """Optional Bearer auth for the /v1 surface (OpenAI clients always
+    send ``Authorization: Bearer <key>``).  APTPU_API_KEYS holds one or
+    more comma-separated accepted keys; unset = open (the default for the
+    reference's LAN deployment).  Returns an error response or None."""
+    import hmac
+
+    raw = os.environ.get("APTPU_API_KEYS", "")
+    keys = [k.strip() for k in raw.split(",") if k.strip()]
+    if not keys:
+        return None
+    auth = request.headers.get("Authorization", "")
+    given = auth[7:] if auth.startswith("Bearer ") else ""
+    if any(hmac.compare_digest(given, k) for k in keys):
+        return None
+    return _error(
+        "Incorrect API key provided.", param=None, status=401
+    )
+
+
 def _error(message: str, param: str | None = None, status: int = 400):
     """OpenAI's error envelope."""
     return jsonify(
@@ -145,15 +165,22 @@ def make_openai_blueprint(services: Any) -> Blueprint:
 
     @bp.route("/audio/transcriptions", methods=("POST",))
     def transcriptions(request: Request):
-        return _handle(request, services, task="transcribe")
+        return _check_auth(request) or _handle(
+            request, services, task="transcribe"
+        )
 
     @bp.route("/audio/translations", methods=("POST",))
     def translations(request: Request):
-        return _handle(request, services, task="translate")
+        return _check_auth(request) or _handle(
+            request, services, task="translate"
+        )
 
     @bp.route("/models", methods=("GET",))
     def models(request: Request):
         # OpenAI clients probe this for connectivity/model discovery
+        denied = _check_auth(request)
+        if denied:
+            return denied
         return jsonify({
             "object": "list",
             "data": [_model_obj(i) for i in _model_ids(services)],
@@ -161,6 +188,9 @@ def make_openai_blueprint(services: Any) -> Blueprint:
 
     @bp.route("/models/<model_id>", methods=("GET",))
     def model(request: Request, model_id: str):
+        denied = _check_auth(request)
+        if denied:
+            return denied
         if model_id not in _model_ids(services):
             return _error(
                 f"The model {model_id!r} does not exist",

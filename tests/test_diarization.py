@@ -275,3 +275,25 @@ def test_min_cluster_size_keeps_largest_when_all_small():
     ])
     labels = agglomerative_cluster(emb, threshold=0.3, min_cluster_size=5)
     assert labels.max() == 0  # everything collapses onto the largest
+
+
+def test_return_embeddings_form(rng):
+    """pyannote's pipeline(audio, return_embeddings=True) form: one
+    L2-normalised centroid per SPEAKER_XX label."""
+    d = Diarizer.random_init(window_step_s=5.0)
+    d.emb_cfg = EMB_CFG
+    d.emb_params = emb_lib.init_params(EMB_CFG, jax.random.PRNGKey(1))
+    d.onset = 0.05  # random-weight activations hover near 0.5: force turns
+    audio = rng.normal(0, 0.2, 12 * 16000).astype(np.float32)
+    turns, cents = d.diarize(audio, return_embeddings=True)
+    assert turns, "onset too high: no turns to test against"
+    plain = d.diarize(audio)
+    assert turns == plain
+    n_speakers = len({t["speaker"] for t in turns})
+    assert cents.shape[0] >= n_speakers
+    np.testing.assert_allclose(
+        np.linalg.norm(cents, axis=1), 1.0, atol=1e-5
+    )
+    # silence: (empty, None)
+    t0, c0 = d.diarize(np.zeros(1000, np.float32), return_embeddings=True)
+    assert t0 == [] and c0 is None

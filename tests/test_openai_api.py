@@ -342,3 +342,33 @@ def test_quoted_boundary_with_comma(app):
     ct = f'multipart/form-data; boundary="{new_boundary}"'
     status, data, _ = post(app, URL, body, ct)
     assert status == 200 and "text" in data
+
+
+def test_api_key_auth(app, monkeypatch):
+    """APTPU_API_KEYS gates the whole /v1 surface with OpenAI's Bearer
+    scheme; unset keeps it open (the reference's LAN deployment)."""
+    monkeypatch.setenv("APTPU_API_KEYS", "sk-one, sk-two")
+    body, ct = multipart({}, ("a.wav", wav_bytes()))
+    status, data, _ = post(app, URL, body, ct)
+    assert status == 401 and "API key" in data["error"]["message"]
+    status, _ = _get(app, "/v1/models")
+    assert status == 401
+
+    def post_auth(key):
+        environ = {
+            "REQUEST_METHOD": "GET", "PATH_INFO": "/v1/models",
+            "QUERY_STRING": "", "HTTP_AUTHORIZATION": f"Bearer {key}",
+            "wsgi.input": io.BytesIO(b""), "CONTENT_LENGTH": "0",
+        }
+        captured = {}
+
+        def sr(status, hdrs):
+            captured["status"] = int(status.split()[0])
+        json.loads(b"".join(app(environ, sr)) or b"{}")
+        return captured["status"]
+
+    assert post_auth("sk-two") == 200
+    assert post_auth("sk-wrong") == 401
+    monkeypatch.delenv("APTPU_API_KEYS")
+    status, _ = _get(app, "/v1/models")
+    assert status == 200

@@ -620,3 +620,36 @@ def test_unprefixed_api_aliases():
         assert status == 200 and jid in data["active_jobs"]
     finally:
         engine.shutdown(wait=False)
+
+
+def test_metrics_prometheus_format():
+    """?format=prometheus emits the text exposition format (scrapable)."""
+    from audio_processor_tpu.runtime.services import Services
+    from audio_processor_tpu.server.app import create_app
+
+    engine = JobEngine(max_workers=1)
+    try:
+        services = Services(engine=engine, processor=_InstantProcessor())
+        app = create_app(services, secret_key="k")
+        status, data, _ = call_app(app, "POST", "/api/process",
+                                   body={"file_id": "f1"})
+        jid = data["job_id"]
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            status, data, _ = call_app(app, "GET", f"/api/job/{jid}")
+            if data["job"]["status"] == "completed":
+                break
+            time.sleep(0.05)
+        status, body, headers = call_app(
+            app, "GET", "/api/metrics", query="format=prometheus"
+        )
+        assert status == 200
+        text = body.decode()
+        assert "aptpu_jobs_total 1" in text
+        assert 'aptpu_jobs{status="completed"} 1' in text
+        assert headers["Content-Type"][0].startswith("text/plain")
+        # JSON default unchanged
+        status, data, _ = call_app(app, "GET", "/api/metrics")
+        assert status == 200 and data["metrics"]["jobs_total"] == 1
+    finally:
+        engine.shutdown(wait=False)
