@@ -263,9 +263,46 @@ class JobEngine:
     def active_count(self) -> int:
         return len(self.list_jobs("active"))
 
+    def prune_old_jobs(self, days: float = 30.0) -> int:
+        """Delete TERMINAL jobs whose last update is older than ``days``.
+
+        The reference never prunes server-side (its 30-day retention lives
+        in the frontend's localStorage, static/js/app.js:42-164); without
+        this the persistent store — and every store.list() consumer, e.g.
+        a Prometheus scrape of /api/metrics — grows without bound.
+        Returns the number of records deleted.
+        """
+        if days <= 0:
+            return 0
+        cutoff = time.time() - days * 86400.0
+        removed = 0
+        for rec in self.store.list():
+            if rec.get("status") in ACTIVE_STATUSES:
+                continue
+            stamp = rec.get("updated_at") or rec.get("created_at")
+            try:
+                t = datetime.fromisoformat(stamp).timestamp()
+            except (TypeError, ValueError):
+                continue
+            if t < cutoff:
+                self.store.delete(rec["id"])
+                removed += 1
+        if removed:
+            logger.info("pruned %d jobs older than %.0f days", removed, days)
+        return removed
+
+    # /api/metrics is a scrape target (docs advertise pointing Prometheus
+    # at it): cache the aggregate briefly so a 15 s scrape cadence never
+    # re-deserialises a large job history per request
+    _METRICS_TTL_S = 2.0
+
     def metrics(self) -> dict:
         """Aggregate counters for the /api/metrics endpoint (SURVEY.md §5.5:
         the reference has no metrics system at all)."""
+        now = time.monotonic()
+        cached = getattr(self, "_metrics_cache", None)
+        if cached is not None and now - cached[0] < self._METRICS_TTL_S:
+            return cached[1]
         records = self.store.list()
         by_status: dict[str, int] = {}
         rtfs: list[float] = []
@@ -289,6 +326,7 @@ class JobEngine:
             out["stage_seconds_mean"] = {
                 k: round(sum(v) / len(v), 3) for k, v in stage_totals.items()
             }
+        self._metrics_cache = (now, out)
         return out
 
     # -- cancellation -------------------------------------------------------

@@ -316,6 +316,11 @@ def build_services(
     if store_url and not store_url.startswith("memory"):
         engine.recover_orphans()  # persistent store: finalise jobs a dead
         # process left in flight (the reference silently loses them)
+        # server-side retention (the reference only prunes its frontend's
+        # localStorage copy, app.js:42-164 — the server grows forever)
+        engine.prune_old_jobs(
+            float(os.environ.get("APTPU_JOB_RETENTION_DAYS", "30"))
+        )
     processor = MeetingProcessor(
         transcriber=transcriber,
         diarizer=diarizer,

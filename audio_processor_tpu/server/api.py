@@ -190,27 +190,30 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
                 )
             _sse_slots["active"] += 1
 
-        def stream():
-            try:
-                last = None
-                deadline = _time.time() + 1800
-                while _time.time() < deadline:
-                    status = engine.get_job_status(job_id)
-                    if status is None:
-                        break
-                    snapshot = (status["status"], status["progress"], status.get("message"))
-                    if snapshot != last:
-                        last = snapshot
-                        yield f"data: {_json.dumps(status)}\n\n"
-                    if status["status"] in ("completed", "failed", "cancelled"):
-                        break
-                    _time.sleep(0.5)
-                yield "event: end\ndata: {}\n\n"
-            finally:
-                with _sse_lock:
-                    _sse_slots["active"] -= 1
+        def release():
+            # via on_close, NOT a finally inside stream(): a generator
+            # close()d before its first iteration skips its finally, which
+            # would leak the slot permanently
+            with _sse_lock:
+                _sse_slots["active"] -= 1
 
-        return StreamingResponse(stream())
+        def stream():
+            last = None
+            deadline = _time.time() + 1800
+            while _time.time() < deadline:
+                status = engine.get_job_status(job_id)
+                if status is None:
+                    break
+                snapshot = (status["status"], status["progress"], status.get("message"))
+                if snapshot != last:
+                    last = snapshot
+                    yield f"data: {_json.dumps(status)}\n\n"
+                if status["status"] in ("completed", "failed", "cancelled"):
+                    break
+                _time.sleep(0.5)
+            yield "event: end\ndata: {}\n\n"
+
+        return StreamingResponse(stream(), on_close=release)
 
     @bp.route("/metrics")
     def metrics(request: Request):

@@ -16,7 +16,7 @@ from typing import Any
 from .api import make_api_blueprint
 from .auth import make_auth_blueprint
 from .openai_api import make_openai_blueprint
-from .web import App, Blueprint, Request, Response
+from .web import App, Blueprint, Request, Response, jsonify
 
 logger = logging.getLogger(__name__)
 
@@ -48,6 +48,35 @@ def create_app(services: Any, secret_key: str | None = None) -> App:
         template_dir=TEMPLATE_DIR,
     )
     app.config["services"] = services
+
+    @app.before_request
+    def enforce_api_keys(request: Request):
+        """When APTPU_API_KEYS is set, the JOB API (both /api/* and the
+        un-prefixed aliases) requires either an authenticated browser
+        session or one of the Bearer keys — otherwise key-gating only /v1
+        would leave the same transcripts readable one path over
+        (/jobs/<id>/result).  Health stays open for liveness probes; /v1
+        runs its own check with the OpenAI error envelope."""
+        from .security import bearer_key_ok, configured_keys
+
+        keys = configured_keys()
+        if not keys:
+            return None
+        open_prefixes = (
+            "/static/", "/api/auth/", "/login", "/callback",
+            "/api/health", "/health", "/v1/",
+        )
+        if request.path == "/" or any(
+            request.path.startswith(p) for p in open_prefixes
+        ):
+            return None
+        if request.session and request.session.get("authenticated"):
+            return None
+        if bearer_key_ok(request, keys):
+            return None
+        return jsonify(
+            {"success": False, "error": "authentication required"}, status=401
+        )
 
     @app.before_request
     def restore_credentials(request: Request):

@@ -88,15 +88,10 @@ def _check_auth(request: Request):
     send ``Authorization: Bearer <key>``).  APTPU_API_KEYS holds one or
     more comma-separated accepted keys; unset = open (the default for the
     reference's LAN deployment).  Returns an error response or None."""
-    import hmac
+    from .security import bearer_key_ok, configured_keys
 
-    raw = os.environ.get("APTPU_API_KEYS", "")
-    keys = [k.strip() for k in raw.split(",") if k.strip()]
-    if not keys:
-        return None
-    auth = request.headers.get("Authorization", "")
-    given = auth[7:] if auth.startswith("Bearer ") else ""
-    if any(hmac.compare_digest(given, k) for k in keys):
+    keys = configured_keys()
+    if not keys or bearer_key_ok(request, keys):
         return None
     return _error(
         "Incorrect API key provided.", param=None, status=401
@@ -247,16 +242,16 @@ def _stream_transcription(t, audio) -> StreamingResponse:
     threading.Thread(target=run, daemon=True).start()
 
     def gen():
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                yield _sse(*item)
-        finally:
-            _release_stream_slot()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield _sse(*item)
 
-    return StreamingResponse(gen())
+    # slot release rides on_close (fires exactly once, even when the
+    # response is closed before its first iteration — a generator finally
+    # would be skipped there and leak the slot)
+    return StreamingResponse(gen(), on_close=_release_stream_slot)
 
 
 def _handle(request: Request, services: Any, task: str):
@@ -378,7 +373,13 @@ def _handle(request: Request, services: Any, task: str):
                 param="stream",
                 status=503,
             )
-        return _stream_transcription(t, audio)
+        try:
+            return _stream_transcription(t, audio)
+        except BaseException:
+            # e.g. Thread.start() failing under fd/thread exhaustion —
+            # the slot was already taken and no response owns it yet
+            _release_stream_slot()
+            raise
 
     if not _acquire_decode_slot():
         return _error(

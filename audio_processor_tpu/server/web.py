@@ -203,8 +203,55 @@ class Response:
         return [self.body]
 
 
+class _StreamBody:
+    """WSGI body iterable that guarantees an on_close callback fires
+    EXACTLY once — on normal exhaustion, on close(), or at GC.
+
+    A plain generator's ``finally`` is skipped when the server close()s it
+    before the first iteration (a GEN_CREATED generator's body never ran),
+    which silently leaks anything the handler acquired before returning
+    the response (SSE/stream slots).  WSGI servers must call close() on
+    the body if it has one, so routing cleanup through here is reliable;
+    __del__ is the belt-and-braces for nonconforming servers."""
+
+    def __init__(self, iterator, on_close=None):
+        self._it = iter(iterator)
+        self._on_close = on_close
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        chunk = next(self._it)
+        return chunk.encode("utf-8") if isinstance(chunk, str) else chunk
+
+    def _fire(self):
+        cb, self._on_close = self._on_close, None
+        if cb is not None:
+            try:
+                cb()
+            except Exception:  # noqa: BLE001 — cleanup must not mask errors
+                logger.exception("stream on_close callback failed")
+
+    def close(self):
+        try:
+            inner = getattr(self._it, "close", None)
+            if inner is not None:
+                inner()
+        finally:
+            self._fire()
+
+    def __del__(self):
+        self._fire()
+
+
 class StreamingResponse(Response):
-    """Chunked/streaming body from a bytes iterator (used for SSE)."""
+    """Chunked/streaming body from a bytes iterator (used for SSE).
+
+    on_close: cleanup callback guaranteed to run exactly once when the
+    response ends (exhaustion, client disconnect, or pre-iteration close)
+    — use it to release concurrency slots instead of a ``finally`` inside
+    the generator, which close() can skip."""
 
     def __init__(
         self,
@@ -212,20 +259,19 @@ class StreamingResponse(Response):
         status: int = 200,
         headers: dict[str, str] | None = None,
         content_type: str = "text/event-stream",
+        on_close=None,
     ):
         super().__init__(b"", status=status, headers=headers, content_type=content_type)
         self.headers.setdefault("Cache-Control", "no-cache")
         self.iterator = iterator
+        self.on_close = on_close
 
     def wsgi(self, start_response):
         headers = list(self.headers.items())
         for c in self._cookies:
             headers.append(("Set-Cookie", c))
         start_response(_STATUS_TEXT.get(self.status, f"{self.status} Unknown"), headers)
-        return (
-            chunk.encode("utf-8") if isinstance(chunk, str) else chunk
-            for chunk in self.iterator
-        )
+        return _StreamBody(self.iterator, on_close=self.on_close)
 
 
 def jsonify(data: Any, status: int = 200) -> Response:

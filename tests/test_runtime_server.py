@@ -653,3 +653,88 @@ def test_metrics_prometheus_format():
         assert status == 200 and data["metrics"]["jobs_total"] == 1
     finally:
         engine.shutdown(wait=False)
+
+
+def test_api_keys_gate_job_api_too():
+    """APTPU_API_KEYS must gate the job API (both prefixes), not just /v1
+    — otherwise transcripts stay readable one path over.  Bearer keys and
+    authenticated sessions both pass; /health stays open for probes."""
+    import os
+
+    from audio_processor_tpu.runtime.services import Services
+    from audio_processor_tpu.server.app import create_app
+
+    engine = JobEngine(max_workers=1)
+    os.environ["APTPU_API_KEYS"] = "sk-j"
+    try:
+        services = Services(engine=engine, processor=_InstantProcessor())
+        app = create_app(services, secret_key="k")
+        for path in ("/api/jobs", "/jobs", "/api/jobs/debug", "/api/metrics"):
+            status, data, _ = call_app(app, "GET", path)
+            assert status == 401, path
+        status, _, _ = call_app(app, "GET", "/health")
+        assert status == 200
+        status, data, _ = call_app(
+            app, "GET", "/api/jobs",
+            headers={"Authorization": "bearer sk-j"},  # scheme case-insensitive
+        )
+        assert status == 200 and data["success"]
+        # malformed non-ASCII header -> clean 401, not a 500
+        status, _, _ = call_app(
+            app, "GET", "/api/jobs", headers={"Authorization": "Bearer k\xe9"}
+        )
+        assert status == 401
+    finally:
+        del os.environ["APTPU_API_KEYS"]
+        engine.shutdown(wait=False)
+
+
+def test_stream_body_on_close_fires_once_even_unstarted():
+    """_StreamBody guarantees the cleanup callback runs exactly once —
+    including when the server close()s the body before first iteration
+    (a bare generator's finally is skipped there, leaking slots)."""
+    from audio_processor_tpu.server.web import _StreamBody
+
+    calls = []
+
+    def gen():
+        yield "a"
+        yield "b"
+
+    # closed before iteration: generator finally would be skipped
+    body = _StreamBody(gen(), on_close=lambda: calls.append(1))
+    body.close()
+    body.close()  # idempotent
+    assert calls == [1]
+
+    # normal exhaustion + close
+    calls.clear()
+    body = _StreamBody(gen(), on_close=lambda: calls.append(1))
+    assert list(body) == [b"a", b"b"]
+    body.close()
+    assert calls == [1]
+
+
+def test_prune_old_jobs_and_metrics_cache(tmp_path):
+    engine = JobEngine(max_workers=1, store_url=f"sqlite://{tmp_path}/p.db")
+    try:
+        engine.create_job("old")
+        engine.create_job("new")
+        engine.store.update("old", status="completed",
+                            updated_at="2020-01-01T00:00:00+00:00")
+        engine.store.update("new", status="completed")
+        removed = engine.prune_old_jobs(30)
+        assert removed == 1
+        assert engine.store.get("old") is None
+        assert engine.store.get("new") is not None
+        # active jobs are never pruned regardless of age
+        engine.create_job("pending-old")
+        engine.store.update("pending-old",
+                            updated_at="2020-01-01T00:00:00+00:00")
+        assert engine.prune_old_jobs(30) == 0
+        # metrics cache: second call within TTL returns the same object
+        m1 = engine.metrics()
+        m2 = engine.metrics()
+        assert m1 is m2
+    finally:
+        engine.shutdown(wait=False)
