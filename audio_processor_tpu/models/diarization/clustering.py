@@ -57,21 +57,28 @@ def agglomerative_cluster(
         labels = fcluster(z, t=max_clusters, criterion="maxclust") - 1
         k = labels.max() + 1
 
+    # min_clusters re-cut BEFORE the min_cluster_size dissolution: cutting
+    # from the raw linkage afterwards would resurrect exactly the stray
+    # clusters the dissolution removed
+    if k < min_clusters and n >= min_clusters:
+        labels = fcluster(z, t=min_clusters, criterion="maxclust") - 1
+        k = labels.max() + 1
+
     if min_cluster_size > 1:
         ids, counts = np.unique(labels, return_counts=True)
         large = ids[counts >= min_cluster_size]
-        if large.size == 0:
-            large = ids[np.argmax(counts)][None]
+        floor = max(min_clusters, 1)
+        if large.size < floor:
+            # never dissolve below min_clusters: top up with the largest
+            # small clusters
+            order = ids[np.argsort(-counts, kind="stable")]
+            large = order[:floor]
         small = ~np.isin(labels, large)
         if small.any():
             x = _normalize(embeddings)
             cents = _normalize(np.stack([x[labels == c].mean(0) for c in large]))
             labels = labels.copy()
             labels[small] = large[np.argmax(x[small] @ cents.T, axis=1)]
-            k = len(large)
-
-    if k < min_clusters and n >= min_clusters:
-        labels = fcluster(z, t=min_clusters, criterion="maxclust") - 1
 
     return _relabel_by_size(labels)
 

@@ -57,7 +57,6 @@ def from_pyannet_state_dict(
                 "bias": jnp.asarray(_t(sd[f"{prefix}.bias"]))}
 
     lstm = []
-    d_in = cfg.conv_channels
     for k in range(cfg.lstm_layers):
         def direction(suffix):
             return {
@@ -68,7 +67,6 @@ def from_pyannet_state_dict(
             }
 
         lstm.append({"fwd": direction(""), "bwd": direction("_reverse")})
-        d_in = 2 * cfg.lstm_hidden
 
     params = {
         "wav_norm": ln("sincnet.wav_norm1d"),

@@ -89,7 +89,7 @@ def init_params(cfg: EmbeddingConfig, key: jax.Array) -> Params:
             cin = cout
         p["stages"].append(stage)
     # stats pooling output: 2 * cout * ceil(n_mels / 8)
-    feat = 2 * cin * (cfg.n_mels // 8)
+    feat = 2 * cin * (-(-cfg.n_mels // 8))  # SAME-pad stride-2 x3 = ceil
     p["fc"] = {
         "w": jax.random.normal(next(ki), (feat, cfg.embed_dim), jnp.float32)
         * (1.0 / math.sqrt(feat)),

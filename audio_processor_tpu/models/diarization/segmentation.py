@@ -198,7 +198,15 @@ def materialize_sinc_filters(p, cfg: SegmentationConfig) -> jnp.ndarray:
     k = cfg.sinc_kernel
     half = (k - 1) // 2
     t = (jnp.arange(-half, half + 1) / sr)[:, None]  # (k, 1) seconds
-    window = (0.54 - 0.46 * jnp.cos(2 * math.pi * jnp.arange(k) / k))[:, None]
+    # SincNet's exact Hamming variant (SincConv_fast): the window is
+    # computed on linspace(0, k/2-1, k//2) for the LEFT half, mirrored to
+    # the right, and the CENTRE tap stays unwindowed — an arange(k)/k grid
+    # over all taps deviates per-tap and breaks converted-checkpoint parity
+    n_lin = jnp.linspace(0.0, (k / 2) - 1, k // 2)
+    w_left = 0.54 - 0.46 * jnp.cos(2 * math.pi * n_lin / k)
+    window = jnp.concatenate(
+        [w_left, jnp.ones((1,), w_left.dtype), w_left[::-1]]
+    )[:, None]
 
     # ideal band-pass: (sin(2π h t) - sin(2π l t)) / (π t); centre tap 2(h-l).
     # Safe divide at t=0 (the centre tap), then overwrite it exactly.

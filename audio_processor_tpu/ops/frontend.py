@@ -219,11 +219,16 @@ def resample(audio: jnp.ndarray, orig_sr: int, target_sr: int = SAMPLE_RATE) -> 
 
     lhs = audio.reshape(1, 1, -1)
     rhs = jnp.asarray(kern[::-1].copy()).reshape(1, 1, -1)
+    # right padding sized so the strided conv emits >= n_out samples even
+    # when up > 2*down (a fixed half+down pad fell short there, silently
+    # truncating sub-8 kHz inputs by a few samples)
+    n_dil = (audio.shape[-1] - 1) * up + 1
+    pad_r = max(0, (n_out - 1) * down + len(kern) - n_dil - half)
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
         window_strides=(down,),
-        padding=[(half, half + down)],
+        padding=[(half, pad_r)],
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "IOH", "NCH"),
     )

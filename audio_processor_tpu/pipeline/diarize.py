@@ -221,28 +221,31 @@ class Diarizer:
 
         return _f32_to_i16(x)
 
-    def _segment_all(self, windows: np.ndarray) -> np.ndarray:
-        """(B, W) -> (B, F, n_spk) activations, batched in pow2 slabs."""
+    def _batched(self, arrays: np.ndarray, fn) -> np.ndarray:
+        """Run fn over rows in pow2-padded slabs (one shared compile per
+        bucket for both nets — the padding/bucketing policy lives HERE
+        only, so the two stages cannot silently diverge)."""
         outs = []
-        for i in range(0, len(windows), self.max_batch):
-            slab = windows[i : i + self.max_batch]
+        for i in range(0, len(arrays), self.max_batch):
+            slab = arrays[i : i + self.max_batch]
             b = _bucket_pow2(len(slab), self.max_batch)
-            padded = np.zeros((b, windows.shape[1]), np.int16)
+            padded = np.zeros((b, arrays.shape[1]), np.int16)
             padded[: len(slab)] = self._to_i16(slab)
-            probs = self.seg_fn(self.seg_params, self.seg_cfg, jnp.asarray(padded))
-            outs.append(np.asarray(probs)[: len(slab)])
+            out = fn(jnp.asarray(padded))
+            outs.append(np.asarray(out)[: len(slab)])
         return np.concatenate(outs, axis=0)
 
+    def _segment_all(self, windows: np.ndarray) -> np.ndarray:
+        """(B, W) -> (B, F, n_spk) activations, batched in pow2 slabs."""
+        return self._batched(
+            windows, lambda x: self.seg_fn(self.seg_params, self.seg_cfg, x)
+        )
+
     def _embed_all(self, crops: np.ndarray) -> np.ndarray:
-        outs = []
-        for i in range(0, len(crops), self.max_batch):
-            slab = crops[i : i + self.max_batch]
-            b = _bucket_pow2(len(slab), self.max_batch)
-            padded = np.zeros((b, crops.shape[1]), np.int16)
-            padded[: len(slab)] = self._to_i16(slab)
-            emb = emb_lib.embed_crops(self.emb_params, self.emb_cfg, jnp.asarray(padded))
-            outs.append(np.asarray(emb)[: len(slab)])
-        return np.concatenate(outs, axis=0)
+        return self._batched(
+            crops,
+            lambda x: emb_lib.embed_crops(self.emb_params, self.emb_cfg, x),
+        )
 
     # ------------------------------------------------------------------
 
@@ -346,14 +349,26 @@ class Diarizer:
         )
         n_clusters = int(labels.max()) + 1
 
-        # --- stitch window-local activations onto a global frame grid
+        # --- stitch window-local activations onto a global frame grid.
+        # Same-window slots that clustered into ONE speaker combine by MAX
+        # first (pyannote's reconstruction unions same-cluster slots): a
+        # true speaker leaking into a second low-activation slot of the
+        # same window must not average its own activation below the onset
+        # and delete the turn.
+        per_window: dict[tuple[int, int], np.ndarray] = {}
+        for (w, s), lab in zip(owners, labels):
+            key = (w, int(lab))
+            cur = per_window.get(key)
+            per_window[key] = (
+                probs[w, :, s] if cur is None else np.maximum(cur, probs[w, :, s])
+            )
         total_frames = int(math.ceil(duration / fs)) + 1
         acc = np.zeros((total_frames, n_clusters), np.float64)
         cnt = np.zeros((total_frames, n_clusters), np.float64)
-        for (w, s), lab in zip(owners, labels):
+        for (w, lab), p in per_window.items():
             f0 = int(round(starts_s[w] / fs))
             f1 = min(f0 + n_frames, total_frames)
-            acc[f0:f1, lab] += probs[w, : f1 - f0, s]
+            acc[f0:f1, lab] += p[: f1 - f0]
             cnt[f0:f1, lab] += 1.0
         mean = np.divide(acc, cnt, out=np.zeros_like(acc), where=cnt > 0)
         on = mean > self.onset

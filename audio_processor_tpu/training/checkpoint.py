@@ -29,10 +29,19 @@ def save_train_state(path: str, state: Any) -> None:
     except Exception as exc:  # noqa: BLE001 — fall back to flat npz
         logger.info("orbax unavailable (%s); using npz fallback", exc)
     flat, treedef = jax.tree.flatten(state)
+
+    def to_np(x):
+        a = np.asarray(x)
+        if a.dtype.kind == "V":  # bf16 would round-trip as void16: upcast
+            import jax.numpy as jnp
+
+            a = np.asarray(jnp.asarray(x).astype(jnp.float32))
+        return a
+
     np.savez(
         path if path.endswith(".npz") else path + ".npz",
         __treedef__=np.frombuffer(str(treedef).encode(), dtype=np.uint8),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
+        **{f"leaf_{i}": to_np(x) for i, x in enumerate(flat)},
     )
 
 
@@ -54,4 +63,12 @@ def restore_train_state(path: str, template: Any) -> Any:
     assert len(flat_t) == len(leaves), "checkpoint/template structure mismatch"
     import jax.numpy as jnp
 
-    return jax.tree.unflatten(treedef, [jnp.asarray(x) for x in leaves])
+    # cast each leaf back to the template's dtype (bf16 leaves were
+    # upcast to f32 for the npz)
+    return jax.tree.unflatten(
+        treedef,
+        [
+            jnp.asarray(x, dtype=getattr(t, "dtype", None))
+            for x, t in zip(leaves, flat_t)
+        ],
+    )

@@ -239,7 +239,8 @@ def load_onset(path: str) -> float | None:
 def load_params(path: str) -> tuple[Params, seg.TpuSegmentationConfig]:
     from .pytree_io import unflatten_tree
 
-    data = np.load(path)
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
     cfg = seg.TpuSegmentationConfig(
         sample_rate=int(data["cfg.sample_rate"]),
         window_s=float(data["cfg.window_s"]),
@@ -250,7 +251,7 @@ def load_params(path: str) -> tuple[Params, seg.TpuSegmentationConfig]:
         num_speakers=int(data["cfg.num_speakers"]),
         max_simultaneous=int(data["cfg.max_simultaneous"]),
     )
-    flat = {k[2:]: data[k] for k in data.files if k.startswith("p.")}
+    flat = {k[2:]: data[k] for k in data if k.startswith("p.")}
     return unflatten_tree(flat), cfg
 
 

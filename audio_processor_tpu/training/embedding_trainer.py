@@ -193,7 +193,8 @@ def load_cluster_threshold(path: str) -> float | None:
 def load_params(path: str) -> tuple[Any, emb.EmbeddingConfig]:
     from .pytree_io import unflatten_tree
 
-    data = np.load(path)
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
     cfg = emb.EmbeddingConfig(
         n_mels=int(data["cfg.n_mels"]),
         base_channels=int(data["cfg.base_channels"]),
@@ -202,5 +203,5 @@ def load_params(path: str) -> tuple[Any, emb.EmbeddingConfig]:
         crop_s=float(data["cfg.crop_s"]),
         sample_rate=int(data["cfg.sample_rate"]),
     )
-    flat = {k[2:]: data[k] for k in data.files if k.startswith("p.")}
+    flat = {k[2:]: data[k] for k in data if k.startswith("p.")}
     return unflatten_tree(flat), cfg

@@ -297,3 +297,75 @@ def test_return_embeddings_form(rng):
     # silence: (empty, None)
     t0, c0 = d.diarize(np.zeros(1000, np.float32), return_embeddings=True)
     assert t0 == [] and c0 is None
+
+
+def test_stitch_unions_same_cluster_slots():
+    """Two local slots of ONE window that cluster into one speaker must
+    combine by MAX, not mean — averaging a strong slot with its own weak
+    leak (0.9 with 0.05) would fall below the onset and delete the turn
+    (pyannote's reconstruction unions same-cluster slots)."""
+    import jax.numpy as jnp
+
+    d = Diarizer.random_init(window_step_s=10.0)
+    d.emb_cfg = EMB_CFG
+    d.emb_params = emb_lib.init_params(EMB_CFG, jax.random.PRNGKey(1))
+
+    n_frames = d.seg_cfg.num_frames
+
+    def fake_seg(params, cfg, windows):
+        b = windows.shape[0]
+        probs = np.zeros((b, n_frames, 3), np.float32)
+        probs[:, :, 0] = 0.9   # slot 0: real speaker
+        probs[:, :, 1] = 0.06  # slot 1: the same voice leaking, above the
+        # min_speech_s bar only via frame count, below onset alone
+        return jnp.asarray(probs)
+
+    d.seg_fn = fake_seg
+    d.min_speech_s = 0.0
+    audio = np.random.default_rng(0).normal(0, 0.2, 10 * 16000).astype(np.float32)
+    # force both slots into one cluster
+    import audio_processor_tpu.models.diarization.clustering as cl_mod
+
+    orig = cl_mod.agglomerative_cluster
+    try:
+        cl_mod.agglomerative_cluster = lambda e, **kw: np.zeros(len(e), np.int64)
+        turns = d.diarize(audio)
+    finally:
+        cl_mod.agglomerative_cluster = orig
+    # mean would give (0.9+0.06)/2 = 0.48 < onset 0.5 -> no turns;
+    # max keeps 0.9 -> the speech survives
+    assert turns, "same-cluster slot averaging deleted the speech"
+    assert {t["speaker"] for t in turns} == {"SPEAKER_00"}
+
+
+def test_cluster_min_clusters_does_not_resurrect_dissolved():
+    """min_clusters re-cuts BEFORE min_cluster_size dissolution: re-cutting
+    afterwards from the raw linkage would re-mint the stray cluster the
+    dissolution just removed."""
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.05, (10, 16)) + np.eye(16)[0]
+    b = rng.normal(0, 0.05, (8, 16)) + np.eye(16)[1]
+    stray = rng.normal(0, 0.05, (2, 16)) + np.eye(16)[2]
+    x = np.concatenate([a, b, stray])
+    labels = cl.agglomerative_cluster(
+        x, threshold=0.5, min_clusters=2, min_cluster_size=3
+    )
+    # two real speakers survive; the 2-crop stray is absorbed, not
+    # resurrected by the min_clusters floor
+    assert labels.max() + 1 == 2
+    # and the floor itself still works when dissolution would undershoot
+    labels2 = cl.agglomerative_cluster(
+        x, threshold=0.5, min_clusters=3, min_cluster_size=3
+    )
+    assert labels2.max() + 1 == 3
+
+
+def test_embedding_odd_mel_count():
+    """init_params must size the fc input with ceil(n_mels/8) to match the
+    SAME-padded stride-2 conv stack (n_mels=60 used to crash at forward)."""
+    cfg = emb_lib.EmbeddingConfig(n_mels=60, blocks=(1, 1, 1, 1))
+    params = emb_lib.init_params(cfg, jax.random.PRNGKey(0))
+    out = emb_lib.embed_crops(
+        params, cfg, jnp.zeros((1, cfg.crop_samples), jnp.float32)
+    )
+    assert out.shape == (1, cfg.embed_dim)

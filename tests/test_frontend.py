@@ -163,3 +163,15 @@ def test_timestamp_utils():
     assert extract_date_from_filename("[2025-06-17] Standup.m4a") == "2025-06-17"
     assert extract_date_from_filename("meeting 2025-06-17 final.wav") == "2025-06-17"
     assert extract_date_from_filename("no date here.wav") is None
+
+
+def test_resample_exact_output_length_upsampling():
+    """Output must be exactly ceil(n * target/orig) even when up > 2*down
+    (sub-8 kHz inputs used to come back a few samples short)."""
+    rng = np.random.default_rng(0)
+    for orig in (4000, 6000, 8000, 11025, 22050, 44100, 48000):
+        n = 1000
+        x = jnp.asarray(rng.normal(0, 0.1, n), jnp.float32)
+        y = np.asarray(frontend.resample(x, orig, 16000))
+        assert y.shape[-1] == -(-n * 16000 // orig), orig
+        assert np.isfinite(y).all()

@@ -41,3 +41,27 @@ def test_orphan_recovery(tmp_path):
         assert engine.get_job_status("done")["status"] == "completed"
     finally:
         engine.shutdown(wait=False)
+
+
+def test_npz_fallback_roundtrips_bfloat16(tmp_path, monkeypatch):
+    """bf16 leaves used to save as raw void16 and fail jnp.asarray on
+    restore; the fallback now upcasts on save and casts back to the
+    template dtype on restore."""
+    import sys
+
+    import jax.numpy as jnp
+    from audio_processor_tpu.training import checkpoint as ckpt
+
+    state = {
+        "w": jnp.ones((3, 2), jnp.bfloat16) * 1.5,
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    # force the npz fallback regardless of orbax availability
+    monkeypatch.setitem(sys.modules, "orbax", None)
+    monkeypatch.setitem(sys.modules, "orbax.checkpoint", None)
+    path = str(tmp_path / "state")
+    ckpt.save_train_state(path, state)
+    restored = ckpt.restore_train_state(path, state)
+    assert restored["w"].dtype == jnp.bfloat16
+    assert np.allclose(np.asarray(restored["w"], np.float32), 1.5)
+    assert int(restored["step"]) == 7
