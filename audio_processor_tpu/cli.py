@@ -44,7 +44,7 @@ def cmd_transcribe(args) -> None:
     if args.language:
         from .models.whisper.tokenizer import language_index
 
-        kw["language"] = language_index(args.language)
+        kw["language"] = language_index(args.language, num_languages=None)
     if args.beam:
         kw["beam_size"] = args.beam
     if args.best_of is not None:
@@ -282,7 +282,7 @@ def cmd_stream(args) -> None:
     if args.language:
         from .models.whisper.tokenizer import language_index
 
-        kw["language"] = language_index(args.language)
+        kw["language"] = language_index(args.language, num_languages=None)
     t = (
         Transcriber.from_npz(args.model_path, tokenizer_path=args.tokenizer, **kw)
         if args.model_path
@@ -409,7 +409,7 @@ def cmd_finetune_whisper(args) -> None:
             )
     else:
         tokenizer = ByteTokenizer()
-    lang = language_index(args.language) if args.language else None
+    lang = language_index(args.language, num_languages=None) if args.language else None
     sot_seq = st.sot_sequence(language=lang, timestamps=False)
 
     # host-side dataset build: 30 s mel windows + teacher-forced token rows

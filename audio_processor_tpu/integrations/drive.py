@@ -149,26 +149,51 @@ class DriveClient:
     def get_metadata(self, file_id: str, fields: str = "id, name, mimeType, size, parents") -> dict:
         return self._get_json(f"{API_ROOT}/files/{file_id}", {"fields": fields})
 
-    def download(self, file_id: str, dest_path: str) -> str:
+    def download(self, file_id: str, dest_path: str, retries: int = 3) -> str:
         """Chunked media download via Range requests (reference: chunked
-        MediaIoBaseDownload loop, :173-218)."""
-        headers = self._headers()
+        MediaIoBaseDownload loop, :173-218).
+
+        Each chunk retries with backoff on 429/5xx/transport errors (same
+        policy as _get_json — a multi-GB recording is hundreds of Range
+        requests and one transient 429 must not abort the file), and the
+        Authorization header is re-minted per attempt so downloads longer
+        than the OAuth token lifetime keep working.
+        """
+        import time as _time
+
         offset = 0
         with open(dest_path, "wb") as f:
             while True:
-                h = dict(headers)
-                h["Range"] = f"bytes={offset}-{offset + CHUNK - 1}"
-                status, resp_headers, content = self.transport(
-                    "GET", f"{API_ROOT}/files/{file_id}", h, {"alt": "media"}, None
-                )
-                if status in (200, 206):
-                    f.write(content)
-                    offset += len(content)
-                    total = _content_range_total(resp_headers)
-                    if status == 200 or (total is not None and offset >= total) or not content:
+                delay = 1.0
+                last: Exception | None = None
+                for _ in range(retries):
+                    h = dict(self._headers())
+                    h["Range"] = f"bytes={offset}-{offset + CHUNK - 1}"
+                    try:
+                        status, resp_headers, content = self.transport(
+                            "GET", f"{API_ROOT}/files/{file_id}", h,
+                            {"alt": "media"}, None,
+                        )
+                    except Exception as exc:  # noqa: BLE001 — transport
+                        last = exc
+                        _time.sleep(delay)
+                        delay *= 2
+                        continue
+                    if status in (200, 206):
                         break
-                else:
+                    if status in (429, 500, 502, 503, 504):
+                        last = DriveError(f"download {file_id}: HTTP {status}")
+                        _time.sleep(delay)
+                        delay *= 2
+                        continue
                     raise DriveError(f"download {file_id}: HTTP {status}")
+                else:
+                    raise last or DriveError(f"download {file_id} failed")
+                f.write(content)
+                offset += len(content)
+                total = _content_range_total(resp_headers)
+                if status == 200 or (total is not None and offset >= total) or not content:
+                    break
         return dest_path
 
     def download_bytes(self, file_id: str) -> bytes:

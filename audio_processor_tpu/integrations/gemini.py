@@ -100,6 +100,15 @@ class GeminiClient:
                 logger.info("gemini %s quota exhausted; trying next model", model)
                 last_exc = QuotaExhausted(f"{model}: {message}")
                 continue
+            if status == 404 or "not found" in message.lower():
+                # the ladder leads with time-limited preview endpoints; a
+                # RETIRED model must not kill tasks four working fallbacks
+                # could serve (divergence from the reference's raise-on-
+                # other-errors, :460-469 — deliberate: its ladder died the
+                # day Google retired gemini-2.5-pro-exp-03-25)
+                logger.warning("gemini %s unavailable (%s); trying next model", model, message)
+                last_exc = GeminiError(f"{model}: HTTP {status}: {message}")
+                continue
             raise GeminiError(f"{model}: HTTP {status}: {message}")
         raise last_exc or QuotaExhausted("all Gemini models exhausted")
 
@@ -112,7 +121,8 @@ class GeminiClient:
         speakers = sorted({s["speaker"] for s in segments})
         if not segments or not self.available:
             return {s: s for s in speakers}
-        step = max(1, len(segments) // max_samples)
+        step = max(1, -(-len(segments) // max_samples))  # ceil: stride 1
+        # would sample only the meeting's start for 31..59 segments
         sample = segments[::step][:max_samples]
         lines = "\n".join(f"{s['speaker']}: {s['text']}" for s in sample)
         prompt = (

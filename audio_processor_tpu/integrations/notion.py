@@ -170,9 +170,14 @@ class NotionClient:
         )
         note_blocks = nf.markdown_to_blocks(comprehensive_notes) if comprehensive_notes else []
 
-        head_room = nf.MAX_BLOCKS_PER_REQUEST - len(blocks)
-        first_batch = blocks + note_blocks[:head_room]
-        remaining = note_blocks[head_room:]
+        # a todo-heavy meeting can push the header past the per-request
+        # block cap on its own: cap the CREATE payload as a whole and
+        # append the overflow (header included) in later batches —
+        # head_room may otherwise go negative and note_blocks[:negative]
+        # stuffs hundreds of blocks into one 400-rejected request
+        all_blocks = blocks + note_blocks
+        first_batch = all_blocks[: nf.MAX_BLOCKS_PER_REQUEST]
+        remaining = all_blocks[nf.MAX_BLOCKS_PER_REQUEST :]
 
         body = self._request(
             "POST",

@@ -211,7 +211,8 @@ def _conv1d(p, x, stride):
             dimension_numbers=("NHC", "HIO", "NHC"),
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
-        + p["b"]
+        + p["b"].astype(x.dtype)  # an f32 bias would silently promote the
+        # whole encoder back to f32 under bf16 compute
     )
 
 

@@ -62,8 +62,28 @@ LANGUAGE_NAMES = {
 }
 
 
-def language_index(code: str, num_languages: int = 99) -> int:
-    langs = WHISPER_LANGUAGES_V3 if num_languages >= 100 else WHISPER_LANGUAGES
+def language_index(code: str, num_languages: int | None = 99) -> int:
+    """Language token index for ``code``.
+
+    num_languages=None means "model not loaded yet" (CLI flags / APTPU_*
+    env parse before the checkpoint): the v3 table resolves every valid
+    whisper code — the first 99 indices are identical in both registries,
+    v3 merely appends "yue" at 99 — and Transcriber validates the index
+    against the loaded model's actual language count, so 'yue' against a
+    v2 checkpoint fails loudly at construction instead of silently
+    becoming the translate token.  An explicit count keeps strict
+    per-model validation (the /v1 endpoints pass the served model's).
+    """
+    langs = (
+        WHISPER_LANGUAGES_V3
+        if num_languages is None or num_languages >= 100
+        else WHISPER_LANGUAGES
+    )
+    if code not in langs:
+        raise ValueError(
+            f"unsupported language {code!r} for this model "
+            f"({len(langs)}-language registry)"
+        )
     return langs.index(code)
 
 

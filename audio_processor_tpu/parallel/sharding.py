@@ -67,9 +67,6 @@ def whisper_param_spec() -> dict:
     }
 
 
-def _ln2():
-    return {"scale": P(), "bias": P()}
-
 
 def shard_params(params, mesh: Mesh, spec: dict | None = None):
     """device_put the param tree with its TP sharding over the mesh."""

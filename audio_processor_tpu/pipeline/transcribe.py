@@ -355,6 +355,14 @@ class Transcriber:
                 t for t in self.temperature_ladder if t > self.temperature
             )
         self.special = decode_lib.SpecialTokens.for_config(self.cfg)
+        if self.language is not None and (
+            self.language >= self.special.num_languages
+        ):
+            raise ValueError(
+                f"language index {self.language} is out of range for this "
+                f"model's {self.special.num_languages}-language vocabulary "
+                "(e.g. 'yue' needs a large-v3 checkpoint)"
+            )
         if self.max_chunk_batch is None:
             # medium/large caches exceed the v5e's 16 GB HBM at batch 64+
             # (measured: medium wants 18.8 GB at 64); 48 fits with room

@@ -188,7 +188,9 @@ def build_services(
     if os.environ.get("APTPU_LANGUAGE"):
         from ..models.whisper.tokenizer import language_index
 
-        tkw["language"] = language_index(os.environ["APTPU_LANGUAGE"])
+        tkw["language"] = language_index(
+            os.environ["APTPU_LANGUAGE"], num_languages=None
+        )
     if os.environ.get("APTPU_TASK"):
         tkw["task"] = os.environ["APTPU_TASK"]
 

@@ -366,3 +366,106 @@ def test_credential_sqlite_backend(tmp_path):
     kv.expire("k", 7200)
     kv.delete("k")
     assert kv.get("k") is None
+
+
+def test_gemini_ladder_skips_retired_model():
+    """A RETIRED preview model (HTTP 404) must not kill the whole ladder
+    — stable fallbacks lower down still serve (deliberate divergence from
+    the reference's raise-on-other-errors, which died the day Google
+    retired its experimental endpoint)."""
+    calls = []
+
+    def http(url, payload, timeout):
+        calls.append(url)
+        if "gemini-2.5" in url:
+            return 404, {"error": {"message": "model not found"}}
+        return 200, _gemini_response("alive")
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    assert c.generate("hi") == "alive"
+    assert len(calls) >= 2
+    # genuinely invalid requests still raise immediately
+    c2 = gemini_lib.GeminiClient(
+        api_key="k", http=lambda u, p, t: (400, {"error": {"message": "bad"}})
+    )
+    with pytest.raises(gemini_lib.GeminiError):
+        c2.generate("hi")
+
+
+def test_identify_speakers_samples_whole_meeting():
+    """Ceiling-division stride: 31..59 segments must still sample the
+    BACK half of the meeting (floor gave stride 1 = first 30 only —
+    the exact reference defect this module documents fixing)."""
+    seen = {}
+
+    def http(url, payload, timeout):
+        seen["prompt"] = payload["contents"][0]["parts"][0]["text"]
+        return 200, _gemini_response('{"SPEAKER_01": "Zed"}')
+
+    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    segments = [
+        {"speaker": "SPEAKER_00", "text": f"early {i}"} for i in range(40)
+    ] + [{"speaker": "SPEAKER_01", "text": f"late {i}"} for i in range(19)]
+    out = c.identify_speakers(segments, max_samples=30)
+    assert "late" in seen["prompt"], "late speakers never reached the prompt"
+    assert out["SPEAKER_01"] == "Zed"
+
+
+def test_notion_header_overflow_spills_to_batches():
+    """A todo-heavy meeting whose header alone nears the per-request cap
+    must spill into PATCH batches instead of overstuffing the page-create
+    call (head_room used to go negative and put everything in one 400)."""
+    posts = []
+
+    def http(method, url, headers, payload, timeout):
+        if method == "POST":
+            posts.append(payload)
+            assert len(payload["children"]) <= 100
+            return 200, {"id": "p", "url": "u"}
+        assert len(payload["children"]) <= 90
+        return 200, {}
+
+    c = notion_lib.NotionClient(
+        token="t", database_id="db", http=http, batch_pause_s=0.0
+    )
+    c.create_meeting_page(
+        "T", "s", [f"todo {i}" for i in range(120)], [], {},
+        comprehensive_notes="\n".join(f"- note {i}" for i in range(50)),
+        date_str="2025-06-17",
+    )
+    assert posts, "page never created"
+
+
+def test_drive_download_retries_transient_errors(tmp_path):
+    """One 429 mid-download must not abort a multi-chunk file; headers are
+    re-minted per attempt so token refresh mid-download keeps working."""
+    inner = FakeDriveTransport()
+    state = {"fails": 1, "tokens": []}
+
+    def flaky(method, url, headers, params=None, body=None, timeout=120.0):
+        if params and params.get("alt") == "media":
+            state["tokens"].append(headers["Authorization"])
+            if state["fails"]:
+                state["fails"] -= 1
+                return 429, {}, b""
+        return inner(method, url, headers, params, body, timeout)
+
+    counter = {"n": 0}
+
+    def token():
+        counter["n"] += 1
+        return f"tok{counter['n']}"
+
+    import time as _t
+    d = drive_lib.DriveClient(token_provider=token, transport=flaky)
+    orig_sleep = _t.sleep
+    _t.sleep = lambda s: None  # no real backoff waits in tests
+    try:
+        dest = str(tmp_path / "o.bin")
+        d.download("f1", dest)
+    finally:
+        _t.sleep = orig_sleep
+    with open(dest, "rb") as f:
+        assert f.read() == inner.content["f1"]
+    # the retried attempt minted a FRESH Authorization header
+    assert len(set(state["tokens"])) >= 2

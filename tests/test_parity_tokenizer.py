@@ -150,3 +150,26 @@ def test_real_vocab_roundtrip():
     )
     for s in TEST_STRINGS:
         assert ours.encode(s) == ref.encode(s)
+
+
+def test_language_index_unknown_model_resolves_v3_codes():
+    """num_languages=None (model not loaded yet, CLI/env parse time):
+    every valid whisper code resolves via the v3 table — the first 99
+    indices are identical in both registries, so the index is correct for
+    v2 models too; 'yue' resolves to 99 and the Transcriber validates it
+    against the loaded model's language count."""
+    import pytest
+
+    from audio_processor_tpu.models.whisper.tokenizer import language_index
+
+    assert language_index("en", num_languages=None) == 0
+    assert language_index("yue", num_languages=None) == 99
+    assert language_index("en", num_languages=None) == language_index(
+        "en", num_languages=99
+    )
+    # strict per-model validation when the count IS known
+    with pytest.raises(ValueError):
+        language_index("yue", num_languages=99)
+    assert language_index("yue", num_languages=100) == 99
+    with pytest.raises(ValueError):
+        language_index("klingon", num_languages=None)

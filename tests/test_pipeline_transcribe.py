@@ -1137,3 +1137,16 @@ def test_quality_gate_divisor_matches_openai():
     # row 0: -1.8 / (0+1) = -1.8 < -1.0 -> fails (a 2-divisor would pass)
     # row 1: -1.8 / (3+1) = -0.45 -> passes
     assert failed.tolist() == [True, False]
+
+
+def test_language_out_of_model_range_fails_loudly():
+    """'yue' resolves to index 99 at parse time; a 99-language (v2) model
+    must refuse it at construction — silently decoding with that index
+    would feed the translate token as a language token."""
+    from audio_processor_tpu.models.whisper.tokenizer import language_index
+
+    idx = language_index("yue", num_languages=None)
+    with pytest.raises(ValueError, match="out of range"):
+        Transcriber.random_init(
+            "tiny", compute_dtype="float32", max_new_tokens=4, language=idx
+        )

@@ -638,3 +638,13 @@ def test_beam_suppresses_blank_first_token():
         )
         first = np.asarray(res.tokens)[:, 0]
         assert (first != blank_id).all() and (first != st.eot).all()
+
+
+def test_conv_bias_keeps_compute_dtype():
+    """The f32 conv bias must not promote bf16 activations back to f32 —
+    that silently ran the whole encoder in f32 under compute_dtype=bf16
+    with f32-stored params."""
+    params = model.init_params(CFG, jax.random.PRNGKey(0))
+    mel = jnp.zeros((1, CFG.n_mels, 2 * CFG.n_audio_ctx), jnp.float32)
+    states = model.encode(params, CFG, mel, compute_dtype=jnp.bfloat16)
+    assert states.dtype == jnp.bfloat16
