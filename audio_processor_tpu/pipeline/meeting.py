@@ -232,9 +232,13 @@ class MeetingProcessor:
             # -- stage 7: summary ------------------------------------------
             ctx.stage(PROGRESS["summary"], "Generating summary...")
             if self.gemini is not None:
+                # ALL attachments reach the prompt (the reference downloads
+                # every PDF but passes only attachment_texts[0] to the
+                # summary, reference:1297 — same defect class as its
+                # first-20-segments speaker sampling, fixed deliberately)
                 summary_data = self.gemini.generate_summary(
                     transcript_for_summary,
-                    attachment_texts[0] if attachment_texts else "",
+                    "\n\n".join(attachment_texts),
                 )
             else:
                 summary_data = {

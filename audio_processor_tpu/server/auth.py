@@ -22,7 +22,7 @@ import os
 import secrets
 import time
 from typing import Any, Callable
-from urllib.parse import urlencode
+from urllib.parse import quote, urlencode
 
 from .web import Blueprint, Request, redirect
 
@@ -205,7 +205,8 @@ def make_auth_blueprint(
     def auth_callback(request: Request):
         error = request.query.get("error")
         if error:
-            return redirect(f"/login?error={error}")
+            # re-encode: the decoded value may hold &, spaces, or CRLF
+            return redirect(f"/login?error={quote(error)}")
         code = request.query.get("code")
         state = request.query.get("state")
         if not code:
@@ -218,7 +219,7 @@ def make_auth_blueprint(
             _complete_login(request, token_body)
         except Exception as exc:  # noqa: BLE001 — IdP boundary
             logger.exception("oauth callback failed")
-            return redirect(f"/login?error={exc}")
+            return redirect(f"/login?error={quote(str(exc))}")
         request.session.pop("flow_state", None)
         return redirect("/")
 

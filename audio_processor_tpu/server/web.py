@@ -199,8 +199,22 @@ class Response:
         headers.append(("Content-Length", str(len(self.body))))
         for c in self._cookies:
             headers.append(("Set-Cookie", c))
-        start_response(_STATUS_TEXT.get(self.status, f"{self.status} Unknown"), headers)
+        start_response(
+            _STATUS_TEXT.get(self.status, f"{self.status} Unknown"),
+            _clean_headers(headers),
+        )
         return [self.body]
+
+
+def _clean_headers(headers: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Strip CR/LF from header values at the one WSGI chokepoint.
+
+    parse_qs URL-decodes %0d%0a into raw CRLF, so any header built from
+    request data (e.g. a Location echoing an OAuth ?error=) would otherwise
+    split the response on servers that don't validate (wsgiref doesn't)."""
+    return [
+        (k, v.replace("\r", "").replace("\n", "")) for k, v in headers
+    ]
 
 
 class _StreamBody:
@@ -270,7 +284,10 @@ class StreamingResponse(Response):
         headers = list(self.headers.items())
         for c in self._cookies:
             headers.append(("Set-Cookie", c))
-        start_response(_STATUS_TEXT.get(self.status, f"{self.status} Unknown"), headers)
+        start_response(
+            _STATUS_TEXT.get(self.status, f"{self.status} Unknown"),
+            _clean_headers(headers),
+        )
         return _StreamBody(self.iterator, on_close=self.on_close)
 
 

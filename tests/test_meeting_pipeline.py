@@ -230,3 +230,61 @@ def test_profile_dir_writes_device_trace(tmp_path, monkeypatch):
         assert found, "no trace artifacts written"
     finally:
         engine.shutdown(wait=False)
+
+
+def test_all_attachments_reach_summary_prompt(wav_file, processor_parts, tmp_path):
+    """EVERY attachment's text feeds the summary prompt — the reference
+    downloads all PDFs but passes only attachment_texts[0] to
+    generate_summary (reference:1297), so later attachments were dead
+    weight; fixed deliberately (same class as the first-20-segments
+    speaker-sampling defect)."""
+    transcriber, diarizer = processor_parts
+    pdfs = []
+    for i, marker in enumerate(("ALPHA-DOC-CONTEXT", "BETA-DOC-CONTEXT")):
+        p = tmp_path / f"doc{i}.pdf"
+        body = f"({marker}) Tj".encode()
+        p.write_bytes(b"%PDF-1.4\nstream\n" + body + b"\nendstream\n%%EOF")
+        pdfs.append(str(p))
+
+    prompts = []
+
+    def http(url, payload, timeout):
+        prompt = payload["contents"][0]["parts"][0]["text"]
+        prompts.append(prompt)
+        if "mapping each speaker code" in prompt:
+            text = "{}"
+        elif '"todos"' in prompt:
+            text = json.dumps({"title": "T", "summary": "S", "todos": []})
+        else:
+            text = "notes"
+        return 200, {"candidates": [{"content": {"parts": [{"text": text}]}}]}
+
+    proc = MeetingProcessor(
+        transcriber=transcriber,
+        diarizer=diarizer,
+        drive=None,
+        gemini=GeminiClient(api_key="k", http=http),
+        notion=None,
+    )
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("att1", file_id=wav_file)
+        engine.submit(
+            "att1",
+            lambda ctx: proc.process(ctx, wav_file, attachment_file_ids=pdfs),
+            failure_result=build_failure_result,
+        )
+        for _ in range(600):
+            st = engine.get_job_status("att1")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "completed", st.get("error")
+        summary_prompts = [p for p in prompts if '"todos"' in p]
+        assert summary_prompts, "summary prompt never sent"
+        assert "ALPHA-DOC-CONTEXT" in summary_prompts[0]
+        assert "BETA-DOC-CONTEXT" in summary_prompts[0], (
+            "second attachment never reached the summary prompt"
+        )
+    finally:
+        engine.shutdown(wait=False)

@@ -164,3 +164,19 @@ def test_external_url_rewrite(app_and_services, monkeypatch):
     )
     loc = headers["Location"][0]
     assert "redirect_uri=https%3A%2F%2Fmeet.example.org%2Fcallback" in loc
+
+
+def test_callback_error_param_cannot_split_headers(app_and_services):
+    """A crafted ?error= with URL-encoded CRLF must not inject headers into
+    the redirect (parse_qs decodes %0d%0a to raw CRLF; wsgiref writes header
+    values verbatim) and must ride the Location re-encoded."""
+    app, _ = app_and_services
+    status, _, headers = call_app(
+        app, "GET", "/api/auth/callback",
+        query="error=denied%0d%0aSet-Cookie:%20evil%3D1",
+    )
+    assert status == 302
+    assert "evil" not in str(headers.get("Set-Cookie", ""))
+    loc = headers["Location"][0]
+    assert "\r" not in loc and "\n" not in loc
+    assert loc.startswith("/login?error=denied")
