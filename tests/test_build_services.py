@@ -151,7 +151,9 @@ def test_env_decode_options_reach_transcriber(monkeypatch):
     monkeypatch.setenv("APTPU_PATIENCE", "2.0")
     monkeypatch.setenv("APTPU_BEST_OF", "2")
     monkeypatch.setenv("APTPU_CONDITION", "1")
-    monkeypatch.setenv("APTPU_LANGUAGE", "de")
+    # 'zh' = index 1: in range for the toy test config's 2-language
+    # vocabulary (an out-of-range code must fail loudly instead — below)
+    monkeypatch.setenv("APTPU_LANGUAGE", "zh")
     monkeypatch.setenv("APTPU_TASK", "translate")
     svc = build_services(
         model="test", with_drive=False, with_llm=False, diarization=False
@@ -163,9 +165,19 @@ def test_env_decode_options_reach_transcriber(monkeypatch):
         assert t.task == "translate"
         from audio_processor_tpu.models.whisper.tokenizer import language_index
 
-        assert t.language == language_index("de")
+        assert t.language == language_index("zh")
     finally:
         svc.engine.shutdown(wait=False)
+
+    # a configured language the served model cannot encode fails at
+    # startup, not as silent garbage decodes (Transcriber range check)
+    monkeypatch.setenv("APTPU_LANGUAGE", "de")  # index 2 >= toy's 2 langs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        build_services(
+            model="test", with_drive=False, with_llm=False, diarization=False
+        )
 
 
 def test_model_path_serves_embedded_tokenizer(monkeypatch, tmp_path):
