@@ -77,7 +77,16 @@ class MeetingProcessor:
         try:
             # -- stage 1: metadata -----------------------------------------
             ctx.stage(PROGRESS["start"], "Fetching file metadata...")
-            is_local = os.path.exists(file_id)
+            # local-path file_ids are the hermetic/CLI mode (no Drive
+            # configured).  On a Drive-backed deployment the job API takes
+            # Drive ids ONLY (the reference's posture — its file_id is
+            # always a Drive id, api_routes.py:36-57): otherwise any API
+            # caller could read server-local files into the Gemini prompt
+            # and the Notion page.  APTPU_ALLOW_LOCAL_FILES=1 opts back in.
+            allow_local = read_drive is None or os.environ.get(
+                "APTPU_ALLOW_LOCAL_FILES", ""
+            ).lower() in ("1", "true", "yes")
+            is_local = allow_local and os.path.exists(file_id)
             if is_local:
                 original_filename = os.path.basename(file_id)
             elif read_drive is not None:
@@ -96,7 +105,7 @@ class MeetingProcessor:
                 for aid in attachment_file_ids:
                     ctx.check_cancelled()
                     try:
-                        if os.path.exists(aid):
+                        if allow_local and os.path.exists(aid):
                             text = pdf_lib.extract_text_from_file(aid)
                         elif read_drive is not None:
                             text = pdf_lib.extract_text(read_drive.download_bytes(aid))

@@ -288,3 +288,54 @@ def test_all_attachments_reach_summary_prompt(wav_file, processor_parts, tmp_pat
         )
     finally:
         engine.shutdown(wait=False)
+
+
+def test_local_paths_rejected_on_drive_backed_deployments(
+    wav_file, processor_parts, monkeypatch
+):
+    """With a Drive client configured, the job API takes Drive ids ONLY
+    (the reference's posture): a local path must not be readable through
+    the pipeline unless APTPU_ALLOW_LOCAL_FILES opts in — otherwise any
+    API caller could feed server-local files into the LLM prompt."""
+    monkeypatch.delenv("APTPU_ALLOW_LOCAL_FILES", raising=False)
+    transcriber, diarizer = processor_parts
+
+    class _Drive:
+        def get_metadata(self, file_id, fields="name"):
+            raise FileNotFoundError(file_id)
+
+    proc = MeetingProcessor(
+        transcriber=transcriber, diarizer=diarizer,
+        drive=_Drive(), gemini=None, notion=None,
+    )
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("loc1", file_id=wav_file)
+        engine.submit(
+            "loc1",
+            lambda ctx: proc.process(ctx, wav_file),
+            failure_result=build_failure_result,
+        )
+        for _ in range(300):
+            st = engine.get_job_status("loc1")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "failed", "local path was served despite Drive"
+
+        # explicit opt-in restores hermetic local-file behaviour
+        monkeypatch.setenv("APTPU_ALLOW_LOCAL_FILES", "1")
+        engine.create_job("loc2", file_id=wav_file)
+        engine.submit(
+            "loc2",
+            lambda ctx: proc.process(ctx, wav_file),
+            failure_result=build_failure_result,
+        )
+        for _ in range(600):
+            st = engine.get_job_status("loc2")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "completed", st.get("error")
+    finally:
+        engine.shutdown(wait=False)
