@@ -210,6 +210,22 @@ def build_services(
         )
         transcriber = Transcriber.random_init(model, mesh=mesh, **tkw)
 
+    # smaller-model retry target (the reference's medium->small fallback,
+    # audio_processor.py:1056-1098): jobs whose primary decode raises are
+    # retried once on this transcriber before failing
+    fallback = None
+    fb_path = os.environ.get("APTPU_FALLBACK_MODEL_PATH")
+    fb_model = os.environ.get("APTPU_FALLBACK_MODEL")
+    if fb_path:
+        if not os.path.exists(fb_path):
+            raise FileNotFoundError(
+                f"APTPU_FALLBACK_MODEL_PATH is set to {fb_path!r} but no "
+                "such file exists — refusing to fall back to random weights"
+            )
+        fallback = Transcriber.from_npz(fb_path, mesh=mesh, **tkw)
+    elif fb_model:
+        fallback = Transcriber.random_init(fb_model, mesh=mesh, **tkw)
+
     # APTPU_WARMUP=<n_chunks>: pre-compile the decode programs at startup
     # instead of on the first request's thread (a cold TPU compile takes
     # minutes; gunicorn would kill the request at --timeout).  The value
@@ -329,6 +345,7 @@ def build_services(
         drive=drive,
         gemini=gemini,
         notion=notion,
+        fallback_transcriber=fallback,
     )
     return Services(
         engine=engine, processor=processor, credential_store=credential_store

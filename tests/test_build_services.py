@@ -269,3 +269,29 @@ def test_warmup_compiles_and_decodes(monkeypatch):
     t0 = _time.monotonic()
     t.transcribe(audio, remove_silence=False)
     assert _time.monotonic() - t0 < took + 5
+
+
+def test_env_fallback_model_wires_processor(monkeypatch):
+    """APTPU_FALLBACK_MODEL configures the smaller-model retry target (the
+    reference's medium->small fallback, audio_processor.py:1056-1098)."""
+    from audio_processor_tpu.runtime.services import build_services
+
+    monkeypatch.setenv("APTPU_FALLBACK_MODEL", "test")
+    svc = build_services(
+        model="test", with_drive=False, with_llm=False, diarization=False
+    )
+    try:
+        assert svc.processor.fallback_transcriber is not None
+        assert svc.processor.fallback_transcriber is not svc.processor.transcriber
+    finally:
+        svc.engine.shutdown(wait=False)
+
+    # configured-but-missing fallback path refuses to start
+    monkeypatch.delenv("APTPU_FALLBACK_MODEL")
+    monkeypatch.setenv("APTPU_FALLBACK_MODEL_PATH", "/missing/fb.npz")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        build_services(
+            model="test", with_drive=False, with_llm=False, diarization=False
+        )
