@@ -185,3 +185,52 @@ def test_oversize_body_rejected_413(monkeypatch):
     # an in-cap body on the same app still flows
     status, data, _ = call_app(app, "POST", "/echo", body={"a": 1})
     assert status == 200 and data["n"] > 0
+
+
+def test_multipart_parser_survives_hostile_bodies():
+    """Fuzz the stdlib-only multipart parser: arbitrary bytes must parse or
+    raise ValueError — never crash the worker thread with anything else."""
+    import io
+    import numpy as np
+
+    from audio_processor_tpu.server.web import Request
+
+    rng = np.random.default_rng(7)
+    boundary = "bnd"
+    hostile = [
+        b"",
+        b"--bnd",
+        b"--bnd--",
+        b"--bnd\r\nContent-Disposition: form-data\r\n\r\n",
+        b"--bnd\r\nContent-Disposition: form-data; name=\"a\"\r\nbroken",
+        b"--bnd\r\n\xff\xfe\x00garbage\r\n\r\n--bnd--",
+        bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+        b"--bnd\r\nContent-Disposition: form-data; name=\"f\"; filename=\"x\"\r\n\r\n"
+        + bytes(rng.integers(0, 256, 256, dtype=np.uint8)),
+    ]
+    for body in hostile:
+        environ = {
+            "REQUEST_METHOD": "POST",
+            "CONTENT_TYPE": f"multipart/form-data; boundary={boundary}",
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        req = Request(environ)
+        try:
+            fields, files = req.form()
+            assert isinstance(fields, dict) and isinstance(files, dict)
+        except ValueError:
+            pass  # a 400 at the route layer — acceptable
+
+    # missing/garbled content types raise ValueError, not anything else
+    for ctype in ("", "multipart/form-data", "text/plain"):
+        environ = {
+            "REQUEST_METHOD": "POST",
+            "CONTENT_TYPE": ctype,
+            "CONTENT_LENGTH": "4",
+            "wsgi.input": io.BytesIO(b"abcd"),
+        }
+        try:
+            Request(environ).form()
+        except ValueError:
+            pass
