@@ -1012,18 +1012,20 @@ class Transcriber:
 
     # -- language detection ---------------------------------------------------
 
-    def _detect_language_voting(
-        self, audio: np.ndarray, audio_states, chunk_ids: list[int]
+    @staticmethod
+    def _voting_k(n_chunks: int) -> int:
+        """Number of leading chunks that vote on the language: the largest
+        power of two <= min(n_chunks, 8) (power of two keeps the
+        detect-language program count bounded)."""
+        kk = max(1, min(n_chunks, 8))
+        return 1 << (kk.bit_length() - 1)
+
+    @staticmethod
+    def _vote_language(
+        audio: np.ndarray, ids: list[int], probs: np.ndarray
     ) -> int:
-        """Detect language by VOTING over the first several speech-bearing
-        chunks instead of blindly trusting chunk 0 (a meeting that opens
-        with music/silence pinned the wrong language for the whole job —
-        round-1 review weak #4).  Chunks whose RMS energy is near-silence
-        are excluded from the vote; the per-chunk language distributions
-        of the rest are averaged."""
-        kk = max(1, min(len(chunk_ids), 8))
-        k = 1 << (kk.bit_length() - 1)  # largest power of two <= kk
-        ids = chunk_ids[:k]
+        """Average the per-chunk language distributions of the
+        speech-bearing voter chunks and return the winning index."""
         rms = np.array(
             [
                 float(
@@ -1044,11 +1046,24 @@ class Transcriber:
         voters = np.flatnonzero((rms >= 2e-3) & (rms >= 0.1 * rms.max()))
         if voters.size == 0:
             voters = np.array([int(rms.argmax())])
+        mean_probs = np.asarray(probs)[voters].mean(axis=0)
+        return int(mean_probs.argmax())
+
+    def _detect_language_voting(
+        self, audio: np.ndarray, audio_states, chunk_ids: list[int]
+    ) -> int:
+        """Detect language by VOTING over the first several speech-bearing
+        chunks instead of blindly trusting chunk 0 (a meeting that opens
+        with music/silence pinned the wrong language for the whole job —
+        round-1 review weak #4).  Chunks whose RMS energy is near-silence
+        are excluded from the vote; the per-chunk language distributions
+        of the rest are averaged."""
+        k = self._voting_k(len(chunk_ids))
+        ids = chunk_ids[:k]
         _, probs = decode_lib.detect_language(
             self.params, self.cfg, audio_states[:k]
         )
-        mean_probs = np.asarray(probs)[voters].mean(axis=0)
-        return int(mean_probs.argmax())
+        return self._vote_language(audio, ids, np.asarray(probs))
 
     # -- conditioned (window-group) decoding ---------------------------------
 
@@ -1057,6 +1072,27 @@ class Transcriber:
         chunk_arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
         for j, ci in enumerate(chunk_ids):
             piece = audio[ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES]
+            chunk_arr[j, : len(piece)] = _f32_to_i16(piece)
+        chunks_dev = jnp.asarray(chunk_arr)
+        if self.mesh is not None:
+            chunks_dev = jax.device_put(
+                chunks_dev, mesh_lib.data_sharding(self.mesh)
+            )
+        return chunks_dev
+
+    def _chunk_slab_pairs(
+        self,
+        audios: list[np.ndarray],
+        pairs: list[tuple[int, int]],
+        bucket: int,
+    ):
+        """Assemble an int16 (bucket, CHUNK_SAMPLES) slab whose rows come
+        from SEVERAL recordings: each pair is (audio index, chunk index).
+        The multi-file counterpart of _chunk_slab (same quantisation, same
+        sharding) for cross-request batched serving."""
+        chunk_arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
+        for j, (fi, ci) in enumerate(pairs):
+            piece = audios[fi][ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES]
             chunk_arr[j, : len(piece)] = _f32_to_i16(piece)
         chunks_dev = jnp.asarray(chunk_arr)
         if self.mesh is not None:
@@ -1524,6 +1560,204 @@ class Transcriber:
             states_per_slab=states_per_slab, slab=slab, audio=audio,
             patches=patches, chunk_meta=chunk_meta,
         )
+
+    # -- cross-request batched transcription ---------------------------------
+
+    def _detect_languages_batch(
+        self, audios: list[np.ndarray], n_chunks_per: list[int]
+    ) -> list[int]:
+        """Per-file language detection for a batch of recordings in shared
+        encode+detect slabs (the batched counterpart of
+        _detect_language_voting — same voter chunks, same RMS voting
+        rule, one detect program call per slab instead of per file)."""
+        rows: list[tuple[int, int]] = []
+        spans: list[tuple[int, int]] = []  # (first row, k) per file
+        for fi, n in enumerate(n_chunks_per):
+            k = self._voting_k(n)
+            spans.append((len(rows), k))
+            rows += [(fi, ci) for ci in range(k)]
+        cap = self._slab_cap
+        prob_parts: list[np.ndarray] = []
+        for lo in range(0, len(rows), cap):
+            part = rows[lo : lo + cap]
+            bucket = min(_bucket(len(part)), cap)
+            if self.mesh is not None:
+                bucket = mesh_lib.round_up_batch(bucket, self.mesh)
+            padded = part + [part[-1]] * (bucket - len(part))
+            states = self._frontend_encode(
+                self.params, self._chunk_slab_pairs(audios, padded, bucket)
+            )
+            _, probs = decode_lib.detect_language(self.params, self.cfg, states)
+            prob_parts.append(np.asarray(probs)[: len(part)])
+        all_probs = np.concatenate(prob_parts, axis=0)
+        return [
+            self._vote_language(
+                audios[fi], list(range(k)), all_probs[lo : lo + k]
+            )
+            for fi, (lo, k) in enumerate(spans)
+        ]
+
+    def transcribe_batch(
+        self,
+        audios: list[np.ndarray],
+        *,
+        sample_rate: int = 16_000,
+        remove_silence: bool = True,
+    ) -> list[dict]:
+        """Transcribe SEVERAL independent recordings in SHARED decode slabs.
+
+        Cross-request dynamic batching for the many-small-files serving
+        profile (the /v1 OpenAI surface): 30 s windows from every file
+        pack into the same fixed-size slabs the single-file path uses, so
+        N concurrent short uploads cost ~one slab decode instead of N
+        under-filled ones.  Per-file semantics are unchanged — each file
+        keeps its own silence-trim TimeMap, voted language, seek repair
+        and finalize; a window's decode depends only on its own audio, so
+        each result matches what transcribe() returns for that file alone
+        (rtf_x reports the file's share of the shared batch wall time).
+        Files whose detected/pinned languages differ decode in separate
+        per-language sub-batches (the sot sequence is a static argument
+        of the compiled decode).
+
+        Falls back to sequential per-file transcribe() calls when an
+        option needs per-file decode state INSIDE the slab: rolling
+        conditioning context, a first-window-only initial_prompt, or
+        word-timestamp encoder-state retention.
+
+        The reference serves every request through one sequential
+        whisper.transcribe call per job (reference:
+        app/services/audio_processor.py:1076) — there is no batching of
+        any kind to mirror; this is the TPU-shaped design (fill the MXU's
+        batch dimension) applied across requests.
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if not audios:
+            return []
+        if (
+            self.condition_on_previous_text
+            or self.word_timestamps
+            or (self._initial_prompt_tokens and not self.carry_initial_prompt)
+        ):
+            return [
+                self.transcribe(
+                    a, sample_rate=sample_rate, remove_silence=remove_silence
+                )
+                for a in audios
+            ]
+
+        # per-file preprocessing — exactly the transcribe() head
+        trimmed: list[np.ndarray] = []
+        time_maps: list[TimeMap] = []
+        durations_s: list[float] = []
+        n_chunks_per: list[int] = []
+        for audio in audios:
+            audio = np.asarray(audio, np.float32)
+            duration_s = len(audio) / sample_rate
+            if sample_rate != 16_000:
+                audio = np.asarray(
+                    frontend.resample(jnp.asarray(audio), sample_rate)
+                )
+            if remove_silence and len(audio) > 2 * 16_000:
+                audio, intervals = frontend.trim_silence_host(audio)
+                time_map = TimeMap(intervals)
+            else:
+                time_map = TimeMap.identity(duration_s)
+            trimmed.append(audio)
+            time_maps.append(time_map)
+            durations_s.append(duration_s)
+            n_chunks_per.append(max(1, math.ceil(len(audio) / CHUNK_SAMPLES)))
+
+        detect = (
+            self.auto_language
+            and self.language is None
+            and self.cfg.is_multilingual
+        )
+        langs: list[int | None] = (
+            self._detect_languages_batch(trimmed, n_chunks_per)
+            if detect
+            else [None] * len(trimmed)
+        )
+
+        # group windows by resolved language (group key None = pinned /
+        # non-multilingual: _run_decode falls through to self.language)
+        pairs_by_lang: dict[int | None, list[tuple[int, int]]] = {}
+        for fi, n in enumerate(n_chunks_per):
+            pairs_by_lang.setdefault(langs[fi], []).extend(
+                (fi, ci) for ci in range(n)
+            )
+
+        eot = self.special.eot
+        rows_by_file: list[list[np.ndarray | None]] = [
+            [None] * n for n in n_chunks_per
+        ]
+        meta_keys = (
+            "avg_logprob", "no_speech_prob", "temperature", "compression_ratio"
+        )
+        meta_by_file = [
+            {k: np.zeros(n, np.float64) for k in meta_keys}
+            for n in n_chunks_per
+        ]
+        keep_states = self.enable_fallback or self.beam_size > 0
+
+        for lang, pairs in pairs_by_lang.items():
+            self._active_language = lang
+            slab = min(_bucket(len(pairs)), self._slab_cap)
+            if self.mesh is not None:
+                slab = mesh_lib.round_up_batch(slab, self.mesh)
+            in_flight: list[tuple[Any, Any, list[tuple[int, int]]]] = []
+
+            def drain_one():
+                result, states, batch_pairs = in_flight.pop(0)
+                toks, meta = self._collect_slab(
+                    result, states, len(batch_pairs), first_slab=False
+                )
+                for j, (fi, ci) in enumerate(batch_pairs):
+                    rows_by_file[fi][ci] = toks[j]
+                    for k in meta_keys:
+                        meta_by_file[fi][k][ci] = meta[k][j]
+
+            for lo in range(0, len(pairs), slab):
+                batch_pairs = pairs[lo : lo + slab]
+                audio_states = self._frontend_encode(
+                    self.params,
+                    self._chunk_slab_pairs(trimmed, batch_pairs, slab),
+                )
+                # same 2-deep host/device pipelining as transcribe()
+                in_flight.append(
+                    (
+                        self._run_decode(audio_states),
+                        audio_states if keep_states else None,
+                        batch_pairs,
+                    )
+                )
+                del audio_states
+                if len(in_flight) >= 2:
+                    drain_one()
+            while in_flight:
+                drain_one()
+
+        # per-file tail: seek repair + finalize, exactly the single-file path
+        results: list[dict] = []
+        for fi, rows in enumerate(rows_by_file):
+            self._active_language = langs[fi]
+            width = max(int(np.shape(r)[0]) for r in rows)
+            tokens = np.full((len(rows), width), eot, np.int32)
+            for ci, r in enumerate(rows):
+                tokens[ci, : np.shape(r)[0]] = r
+            tokens, patches = self._apply_seek_repair(
+                tokens, n_chunks_per[fi], trimmed[fi]
+            )
+            results.append(
+                self._finalize(
+                    tokens, n_chunks_per[fi], durations_s[fi], time_maps[fi],
+                    t0, None, states_per_slab=[], slab=self._slab_cap,
+                    audio=trimmed[fi], patches=patches,
+                    chunk_meta=meta_by_file[fi],
+                )
+            )
+        return results
 
     def _finalize(
         self, tokens, n_chunks, duration_s, time_map, t0, progress,

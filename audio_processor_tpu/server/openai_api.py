@@ -83,6 +83,98 @@ def _release_decode_slot() -> None:
         _decode_cond.notify()
 
 
+class _DecodeBusy(Exception):
+    """Decode capacity unavailable within the queue timeout -> 503."""
+
+
+class _BatchEntry:
+    __slots__ = ("audio", "event", "result", "error")
+
+    def __init__(self, audio):
+        self.audio = audio
+        self.event = threading.Event()
+        self.result: dict | None = None
+        self.error: BaseException | None = None
+
+
+class _OpenBatch:
+    __slots__ = ("entries", "closed")
+
+    def __init__(self):
+        self.entries: list[_BatchEntry] = []
+        self.closed = False
+
+
+# cross-request dynamic batching (opt-in: APTPU_DYNAMIC_BATCH_WAIT_MS > 0).
+# Concurrent non-stream uploads whose decode option sets are IDENTICAL
+# coalesce into one Transcriber.transcribe_batch call: their 30 s windows
+# pack into shared decode slabs, so N concurrent short clips cost ~one slab
+# decode instead of N under-filled ones.  The first arrival becomes the
+# batch LEADER: it waits the collection window, then decodes the whole
+# batch under ONE decode slot while followers block on their entry events.
+_open_batches: dict[Any, _OpenBatch] = {}
+_batch_lock = threading.Lock()
+
+
+def _coalesced_transcribe(key, t, audio) -> dict:
+    """Transcribe via the dynamic batcher (see _open_batches above).
+
+    Raises _DecodeBusy when no decode slot frees up within the queue
+    timeout; re-raises the leader's decode exception in every member.
+    """
+    wait_s = float(os.environ.get("APTPU_DYNAMIC_BATCH_WAIT_MS", "0")) / 1e3
+    max_files = int(os.environ.get("APTPU_DYNAMIC_BATCH_MAX_FILES", "16"))
+    entry = _BatchEntry(audio)
+    with _batch_lock:
+        batch = _open_batches.get(key)
+        leader = (
+            batch is None or batch.closed or len(batch.entries) >= max_files
+        )
+        if leader:
+            batch = _OpenBatch()
+            _open_batches[key] = batch
+        batch.entries.append(entry)
+    if leader:
+        time.sleep(wait_s)
+        with _batch_lock:
+            batch.closed = True
+            if _open_batches.get(key) is batch:
+                del _open_batches[key]
+        entries = batch.entries
+        try:
+            if not _acquire_decode_slot():
+                raise _DecodeBusy()
+            try:
+                if len(entries) > 1:
+                    logger.info(
+                        "dynamic batch: %d concurrent uploads in one "
+                        "shared-slab decode", len(entries),
+                    )
+                results = t.transcribe_batch([e.audio for e in entries])
+                for e, r in zip(entries, results):
+                    e.result = r
+            finally:
+                _release_decode_slot()
+        except BaseException as exc:  # noqa: BLE001 — fan the failure out
+            for e in entries:
+                e.error = exc
+        finally:
+            for e in entries:
+                e.event.set()
+    else:
+        # bounded wait: the leader always sets the event in its finally,
+        # so this only fires if the leader thread died mid-decode
+        timeout_s = float(
+            os.environ.get("APTPU_DECODE_QUEUE_TIMEOUT_S", "60")
+        ) + 900.0
+        if not entry.event.wait(timeout_s):
+            raise _DecodeBusy()
+    if entry.error is not None:
+        raise entry.error
+    assert entry.result is not None
+    return entry.result
+
+
 def _check_auth(request: Request):
     """Optional Bearer auth for the /v1 surface (OpenAI clients always
     send ``Authorization: Bearer <key>``).  APTPU_API_KEYS holds one or
@@ -381,15 +473,29 @@ def _handle(request: Request, services: Any, task: str):
             _release_stream_slot()
             raise
 
-    if not _acquire_decode_slot():
-        return _error(
-            "too many concurrent transcriptions; retry later",
-            status=503,
-        )
-    try:
-        result = t.transcribe(audio)
-    finally:
-        _release_decode_slot()
+    if float(os.environ.get("APTPU_DYNAMIC_BATCH_WAIT_MS", "0")) > 0:
+        # identical option sets coalesce into one shared-slab decode; the
+        # key is canonical because `changes` holds only deltas from the
+        # ONE shared base transcriber
+        key = (id(services.processor), task,
+               tuple(sorted(changes.items())))
+        try:
+            result = _coalesced_transcribe(key, t, audio)
+        except _DecodeBusy:
+            return _error(
+                "too many concurrent transcriptions; retry later",
+                status=503,
+            )
+    else:
+        if not _acquire_decode_slot():
+            return _error(
+                "too many concurrent transcriptions; retry later",
+                status=503,
+            )
+        try:
+            result = t.transcribe(audio)
+        finally:
+            _release_decode_slot()
 
     text = result["text"].strip()
     if fmt == "json":

@@ -372,3 +372,78 @@ def test_api_key_auth(app, monkeypatch):
     monkeypatch.delenv("APTPU_API_KEYS")
     status, _ = _get(app, "/v1/models")
     assert status == 200
+
+
+def test_dynamic_batching_coalesces(app, monkeypatch):
+    """APTPU_DYNAMIC_BATCH_WAIT_MS > 0: concurrent uploads with identical
+    option sets coalesce into ONE shared-slab transcribe_batch call; each
+    request still gets its own transcript."""
+    import threading
+
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    monkeypatch.setenv("APTPU_DYNAMIC_BATCH_WAIT_MS", "1000")
+    calls: list[int] = []
+    orig = Transcriber.transcribe_batch
+
+    def spy(self, audios, **kw):
+        calls.append(len(audios))
+        return orig(self, audios, **kw)
+
+    monkeypatch.setattr(Transcriber, "transcribe_batch", spy)
+    bodies = [
+        multipart({}, ("a.wav", wav_bytes(1.0))),
+        multipart({}, ("b.wav", wav_bytes(2.0))),
+    ]
+    results: dict[int, tuple] = {}
+
+    def go(i):
+        body, ct = bodies[i]
+        results[i] = post(app, URL, body, ct)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert results[0][0] == 200 and results[1][0] == 200
+    assert isinstance(results[0][1]["text"], str)
+    assert isinstance(results[1][1]["text"], str)
+    # one decode for both uploads (the 1 s window is generous vs the ~ms
+    # it takes the second thread to enqueue)
+    assert calls == [2]
+
+
+def test_dynamic_batching_keeps_option_sets_apart(app, monkeypatch):
+    """Different decode options must NOT share a batch (different compiled
+    programs/semantics) — two keys, two transcribe_batch calls."""
+    import threading
+
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    monkeypatch.setenv("APTPU_DYNAMIC_BATCH_WAIT_MS", "300")
+    calls: list[int] = []
+    orig = Transcriber.transcribe_batch
+
+    def spy(self, audios, **kw):
+        calls.append(len(audios))
+        return orig(self, audios, **kw)
+
+    monkeypatch.setattr(Transcriber, "transcribe_batch", spy)
+    bodies = [
+        multipart({}, ("a.wav", wav_bytes(1.0))),
+        multipart({"temperature": "0.4"}, ("b.wav", wav_bytes(1.0))),
+    ]
+    results: dict[int, tuple] = {}
+
+    def go(i):
+        body, ct = bodies[i]
+        results[i] = post(app, URL, body, ct)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert results[0][0] == 200 and results[1][0] == 200
+    assert sorted(calls) == [1, 1]
