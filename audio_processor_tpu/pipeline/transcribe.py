@@ -1619,10 +1619,11 @@ class Transcriber:
         per-language sub-batches (the sot sequence is a static argument
         of the compiled decode).
 
-        Falls back to sequential per-file transcribe() calls when an
-        option needs per-file decode state INSIDE the slab: rolling
-        conditioning context, a first-window-only initial_prompt, or
-        word-timestamp encoder-state retention.
+        word_timestamps rides the shared slabs too (encoder states are
+        retained per slab and re-gathered per file for the alignment
+        pass).  Falls back to sequential per-file transcribe() calls when
+        an option needs per-file decode state INSIDE the slab: rolling
+        conditioning context, or a first-window-only initial_prompt.
 
         The reference serves every request through one sequential
         whisper.transcribe call per job (reference:
@@ -1637,7 +1638,6 @@ class Transcriber:
             return []
         if (
             self.condition_on_previous_text
-            or self.word_timestamps
             or (self._initial_prompt_tokens and not self.carry_initial_prompt)
         ):
             return [
@@ -1699,7 +1699,13 @@ class Transcriber:
             {k: np.zeros(n, np.float64) for k in meta_keys}
             for n in n_chunks_per
         ]
-        keep_states = self.enable_fallback or self.beam_size > 0
+        keep_states = (
+            self.enable_fallback or self.beam_size > 0 or self.word_timestamps
+        )
+        # word alignment needs each file's encoder states in chunk order:
+        # shared slabs are retained (device) with their pair lists and
+        # re-gathered per file after the decode loops
+        kept_slab_states: list[tuple[Any, list[tuple[int, int]]]] = []
 
         for lang, pairs in pairs_by_lang.items():
             self._active_language = lang
@@ -1717,6 +1723,8 @@ class Transcriber:
                     rows_by_file[fi][ci] = toks[j]
                     for k in meta_keys:
                         meta_by_file[fi][k][ci] = meta[k][j]
+                if self.word_timestamps:
+                    kept_slab_states.append((states, batch_pairs))
 
             for lo in range(0, len(pairs), slab):
                 batch_pairs = pairs[lo : lo + slab]
@@ -1746,15 +1754,36 @@ class Transcriber:
             tokens = np.full((len(rows), width), eot, np.int32)
             for ci, r in enumerate(rows):
                 tokens[ci, : np.shape(r)[0]] = r
+            states_per_slab: list[Any] = []
+            if self.word_timestamps:
+                # gather this file's rows (chunk order) from the retained
+                # shared slabs; a file's windows are contiguous within a
+                # language group so parts arrive ci-ascending
+                parts = []
+                for states, batch_pairs in kept_slab_states:
+                    idx = [
+                        j for j, (f, _) in enumerate(batch_pairs) if f == fi
+                    ]
+                    if idx:
+                        parts.append(
+                            (
+                                batch_pairs[idx[0]][1],
+                                jnp.take(states, jnp.asarray(idx), axis=0),
+                            )
+                        )
+                parts.sort(key=lambda p: p[0])
+                states_per_slab = [
+                    jnp.concatenate([s for _, s in parts], axis=0)
+                ]
             tokens, patches = self._apply_seek_repair(
                 tokens, n_chunks_per[fi], trimmed[fi]
             )
             results.append(
                 self._finalize(
                     tokens, n_chunks_per[fi], durations_s[fi], time_maps[fi],
-                    t0, None, states_per_slab=[], slab=self._slab_cap,
-                    audio=trimmed[fi], patches=patches,
-                    chunk_meta=meta_by_file[fi],
+                    t0, None, states_per_slab=states_per_slab,
+                    slab=max(1, n_chunks_per[fi]), audio=trimmed[fi],
+                    patches=patches, chunk_meta=meta_by_file[fi],
                 )
             )
         return results

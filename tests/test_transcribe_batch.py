@@ -91,15 +91,24 @@ def test_batch_fallback_conditioned(rng):
     assert _comparable(batch) == _comparable(seq)
 
 
-def test_batch_fallback_word_timestamps(speech_like_audio):
+def test_batch_word_timestamps(speech_like_audio, rng):
+    """word_timestamps rides the shared slabs: per-file encoder states
+    are re-gathered from the batch slabs for the alignment pass."""
     tw = Transcriber.random_init(
         "test", compute_dtype="float32", max_new_tokens=6,
         word_timestamps=True, no_speech_threshold=None,
     )
-    (batch,) = tw.transcribe_batch([speech_like_audio], remove_silence=False)
-    seq = tw.transcribe(speech_like_audio, remove_silence=False)
-    assert _comparable(batch) == _comparable(seq)
-    assert "words" in batch
+    other = rng.normal(0, 0.1, 35 * 16_000).astype(np.float32)
+    batch = tw.transcribe_batch(
+        [speech_like_audio, other], remove_silence=False
+    )
+    seq = [
+        tw.transcribe(speech_like_audio, remove_silence=False),
+        tw.transcribe(other, remove_silence=False),
+    ]
+    for b, s in zip(batch, seq):
+        assert _comparable(b) == _comparable(s)
+    assert "words" in batch[0] and "words" in batch[1]
 
 
 def test_batch_language_detection_groups(speech_like_audio, rng):
