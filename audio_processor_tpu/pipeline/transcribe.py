@@ -1069,16 +1069,9 @@ class Transcriber:
 
     def _chunk_slab(self, audio: np.ndarray, chunk_ids: list[int], bucket: int):
         """Assemble an int16 (bucket, CHUNK_SAMPLES) slab for given chunks."""
-        chunk_arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
-        for j, ci in enumerate(chunk_ids):
-            piece = audio[ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES]
-            chunk_arr[j, : len(piece)] = _f32_to_i16(piece)
-        chunks_dev = jnp.asarray(chunk_arr)
-        if self.mesh is not None:
-            chunks_dev = jax.device_put(
-                chunks_dev, mesh_lib.data_sharding(self.mesh)
-            )
-        return chunks_dev
+        return self._chunk_slab_pairs(
+            [audio], [(0, ci) for ci in chunk_ids], bucket
+        )
 
     def _chunk_slab_pairs(
         self,
@@ -1088,8 +1081,8 @@ class Transcriber:
     ):
         """Assemble an int16 (bucket, CHUNK_SAMPLES) slab whose rows come
         from SEVERAL recordings: each pair is (audio index, chunk index).
-        The multi-file counterpart of _chunk_slab (same quantisation, same
-        sharding) for cross-request batched serving."""
+        The multi-file generalisation of _chunk_slab (same quantisation,
+        same sharding) for cross-request batched serving."""
         chunk_arr = np.zeros((bucket, CHUNK_SAMPLES), np.int16)
         for j, (fi, ci) in enumerate(pairs):
             piece = audios[fi][ci * CHUNK_SAMPLES : (ci + 1) * CHUNK_SAMPLES]
@@ -1565,19 +1558,33 @@ class Transcriber:
 
     def _detect_languages_batch(
         self, audios: list[np.ndarray], n_chunks_per: list[int]
-    ) -> list[int]:
+    ) -> tuple[list[int], dict[tuple[int, int], tuple[Any, int]]]:
         """Per-file language detection for a batch of recordings in shared
         encode+detect slabs (the batched counterpart of
         _detect_language_voting — same voter chunks, same RMS voting
-        rule, one detect program call per slab instead of per file)."""
+        rule, one detect program call per slab instead of per file).
+
+        Returns (languages, state_bank): state_bank maps (file, chunk) ->
+        (slab states array, row) for every voter chunk encoded here, so
+        the decode loop can REUSE these encoder rows instead of paying the
+        encode twice (for 1-2-window clips — the dynamic-batching serving
+        profile — the voter rows ARE the decode rows).
+        """
         rows: list[tuple[int, int]] = []
         spans: list[tuple[int, int]] = []  # (first row, k) per file
         for fi, n in enumerate(n_chunks_per):
-            k = self._voting_k(n)
+            # vote over the same chunks the single-file path sees: its
+            # detection states come from the FIRST decode slab, so the
+            # voter pool is capped by the slab, not just by 8
+            slab_f = min(_bucket(n), self._slab_cap)
+            if self.mesh is not None:
+                slab_f = mesh_lib.round_up_batch(slab_f, self.mesh)
+            k = self._voting_k(min(n, slab_f))
             spans.append((len(rows), k))
             rows += [(fi, ci) for ci in range(k)]
         cap = self._slab_cap
         prob_parts: list[np.ndarray] = []
+        state_bank: dict[tuple[int, int], tuple[Any, int]] = {}
         for lo in range(0, len(rows), cap):
             part = rows[lo : lo + cap]
             bucket = min(_bucket(len(part)), cap)
@@ -1589,13 +1596,37 @@ class Transcriber:
             )
             _, probs = decode_lib.detect_language(self.params, self.cfg, states)
             prob_parts.append(np.asarray(probs)[: len(part)])
+            for j, pair in enumerate(part):
+                state_bank[pair] = (states, j)
         all_probs = np.concatenate(prob_parts, axis=0)
         return [
             self._vote_language(
                 audios[fi], list(range(k)), all_probs[lo : lo + k]
             )
             for fi, (lo, k) in enumerate(spans)
-        ]
+        ], state_bank
+
+    @staticmethod
+    def _gather_state_rows(
+        bank: dict[tuple[int, int], tuple[Any, int]],
+        pairs: list[tuple[int, int]],
+        bucket: int,
+    ):
+        """Assemble a (bucket, ...) encoder-states slab from banked rows
+        (row values are identical to a fresh encode — the encoder is
+        row-independent), padding with the first row."""
+        uniq: list[Any] = []
+        offsets: dict[int, int] = {}
+        rows: list[int] = []
+        for pair in pairs:
+            src, r = bank[pair]
+            if id(src) not in offsets:
+                offsets[id(src)] = sum(int(s.shape[0]) for s in uniq)
+                uniq.append(src)
+            rows.append(offsets[id(src)] + r)
+        rows += [rows[0]] * (bucket - len(rows))
+        all_states = uniq[0] if len(uniq) == 1 else jnp.concatenate(uniq, axis=0)
+        return jnp.take(all_states, jnp.asarray(rows), axis=0)
 
     def transcribe_batch(
         self,
@@ -1674,11 +1705,14 @@ class Transcriber:
             and self.language is None
             and self.cfg.is_multilingual
         )
-        langs: list[int | None] = (
-            self._detect_languages_batch(trimmed, n_chunks_per)
-            if detect
-            else [None] * len(trimmed)
-        )
+        state_bank: dict[tuple[int, int], tuple[Any, int]] = {}
+        langs: list[int | None]
+        if detect:
+            langs, state_bank = self._detect_languages_batch(
+                trimmed, n_chunks_per
+            )
+        else:
+            langs = [None] * len(trimmed)
 
         # group windows by resolved language (group key None = pinned /
         # non-multilingual: _run_decode falls through to self.language)
@@ -1728,10 +1762,18 @@ class Transcriber:
 
             for lo in range(0, len(pairs), slab):
                 batch_pairs = pairs[lo : lo + slab]
-                audio_states = self._frontend_encode(
-                    self.params,
-                    self._chunk_slab_pairs(trimmed, batch_pairs, slab),
-                )
+                if state_bank and all(p in state_bank for p in batch_pairs):
+                    # every row of this slab was already encoded by the
+                    # language-detection pass (short clips: the voter rows
+                    # ARE the decode rows) — gather instead of re-encoding
+                    audio_states = self._gather_state_rows(
+                        state_bank, batch_pairs, slab
+                    )
+                else:
+                    audio_states = self._frontend_encode(
+                        self.params,
+                        self._chunk_slab_pairs(trimmed, batch_pairs, slab),
+                    )
                 # same 2-deep host/device pipelining as transcribe()
                 in_flight.append(
                     (

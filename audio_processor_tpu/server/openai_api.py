@@ -98,11 +98,12 @@ class _BatchEntry:
 
 
 class _OpenBatch:
-    __slots__ = ("entries", "closed")
+    __slots__ = ("entries", "closed", "full")
 
     def __init__(self):
         self.entries: list[_BatchEntry] = []
         self.closed = False
+        self.full = threading.Event()  # set when max_files is reached
 
 
 # cross-request dynamic batching (opt-in: APTPU_DYNAMIC_BATCH_WAIT_MS > 0).
@@ -134,14 +135,18 @@ def _coalesced_transcribe(key, t, audio) -> dict:
             batch = _OpenBatch()
             _open_batches[key] = batch
         batch.entries.append(entry)
+        if len(batch.entries) >= max_files:
+            batch.full.set()
     if leader:
-        time.sleep(wait_s)
-        with _batch_lock:
-            batch.closed = True
-            if _open_batches.get(key) is batch:
-                del _open_batches[key]
-        entries = batch.entries
         try:
+            # collection window; a full batch ends it early (no point
+            # holding max_files responses for the rest of the window)
+            batch.full.wait(wait_s)
+            with _batch_lock:
+                batch.closed = True
+                if _open_batches.get(key) is batch:
+                    del _open_batches[key]
+            entries = batch.entries
             if not _acquire_decode_slot():
                 raise _DecodeBusy()
             try:
@@ -151,27 +156,45 @@ def _coalesced_transcribe(key, t, audio) -> dict:
                         "shared-slab decode", len(entries),
                     )
                 results = t.transcribe_batch([e.audio for e in entries])
-                for e, r in zip(entries, results):
-                    e.result = r
             finally:
                 _release_decode_slot()
+            if len(results) != len(entries):  # defensive: must never happen
+                raise RuntimeError(
+                    f"transcribe_batch returned {len(results)} results "
+                    f"for {len(entries)} files"
+                )
+            for e, r in zip(entries, results):
+                e.result = r
         except BaseException as exc:  # noqa: BLE001 — fan the failure out
-            for e in entries:
-                e.error = exc
+            with _batch_lock:  # close FIRST so no newcomer misses the error
+                batch.closed = True
+                if _open_batches.get(key) is batch:
+                    del _open_batches[key]
+            for e in batch.entries:
+                if e.result is None:
+                    e.error = exc
         finally:
-            for e in entries:
+            # ALWAYS close + wake, even if the wait itself raised —
+            # a leaderless open batch would swallow every later request
+            with _batch_lock:
+                batch.closed = True
+                if _open_batches.get(key) is batch:
+                    del _open_batches[key]
+            for e in batch.entries:
                 e.event.set()
     else:
-        # bounded wait: the leader always sets the event in its finally,
-        # so this only fires if the leader thread died mid-decode
+        # bounded wait sized for worst-case decode (cold compile +
+        # multi-hour uploads); it only fires if the leader thread died,
+        # since the leader's finally always sets the event
         timeout_s = float(
             os.environ.get("APTPU_DECODE_QUEUE_TIMEOUT_S", "60")
-        ) + 900.0
+        ) + 3600.0
         if not entry.event.wait(timeout_s):
             raise _DecodeBusy()
     if entry.error is not None:
         raise entry.error
-    assert entry.result is not None
+    if entry.result is None:
+        raise _DecodeBusy()
     return entry.result
 
 

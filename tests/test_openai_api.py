@@ -447,3 +447,34 @@ def test_dynamic_batching_keeps_option_sets_apart(app, monkeypatch):
         th.join()
     assert results[0][0] == 200 and results[1][0] == 200
     assert sorted(calls) == [1, 1]
+
+
+def test_dynamic_batching_full_batch_closes_early(app, monkeypatch):
+    """A batch that reaches APTPU_DYNAMIC_BATCH_MAX_FILES decodes
+    immediately instead of sleeping out the rest of the collection
+    window."""
+    import threading
+    import time
+
+    monkeypatch.setenv("APTPU_DYNAMIC_BATCH_WAIT_MS", "30000")
+    monkeypatch.setenv("APTPU_DYNAMIC_BATCH_MAX_FILES", "2")
+    bodies = [
+        multipart({}, ("a.wav", wav_bytes(1.0))),
+        multipart({}, ("b.wav", wav_bytes(1.0))),
+    ]
+    results: dict[int, tuple] = {}
+
+    def go(i):
+        body, ct = bodies[i]
+        results[i] = post(app, URL, body, ct)
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    elapsed = time.monotonic() - t0
+    assert results[0][0] == 200 and results[1][0] == 200
+    # well under the 30 s window: the second upload filled the batch
+    assert elapsed < 20.0
