@@ -151,19 +151,8 @@ def cmd_transcribe(args) -> None:
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
-    for path in args.audio:
-        audio = ingest.load_audio(path)
-        clips = None
-        if args.clip_timestamps:
-            from .utils.timestamps import parse_clip_timestamps
 
-            clips = parse_clip_timestamps(
-                args.clip_timestamps, len(audio) / ingest.TARGET_SR
-            )
-        out = t.transcribe(
-            audio, remove_silence=not args.keep_silence,
-            clip_timestamps=clips, on_segment=on_segment,
-        )
+    def emit(path: str, out: dict) -> None:
         if args.output_dir:
             # openai's CLI file-writing mode: <output_dir>/<stem>.<fmt>,
             # every known format when --output-format all
@@ -195,6 +184,37 @@ def cmd_transcribe(args) -> None:
                 print(f"[{seg['start']:8.2f} – {seg['end']:8.2f}] {seg['text']}")
             print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
                   file=sys.stderr)
+
+    if (
+        len(args.audio) > 1
+        and on_segment is None
+        and not args.clip_timestamps
+    ):
+        # several inputs, no per-file live/clip options: ONE shared-slab
+        # batched decode (Transcriber.transcribe_batch) — identical
+        # per-file results, far better slab occupancy for short clips
+        audios = [ingest.load_audio(p) for p in args.audio]
+        outs = t.transcribe_batch(
+            audios, remove_silence=not args.keep_silence
+        )
+        for path, out in zip(args.audio, outs):
+            emit(path, out)
+        return
+
+    for path in args.audio:
+        audio = ingest.load_audio(path)
+        clips = None
+        if args.clip_timestamps:
+            from .utils.timestamps import parse_clip_timestamps
+
+            clips = parse_clip_timestamps(
+                args.clip_timestamps, len(audio) / ingest.TARGET_SR
+            )
+        out = t.transcribe(
+            audio, remove_silence=not args.keep_silence,
+            clip_timestamps=clips, on_segment=on_segment,
+        )
+        emit(path, out)
 
 
 def cmd_diarize(args) -> None:

@@ -220,6 +220,11 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
         """JSON by default; ?format=prometheus returns the text exposition
         format so a Prometheus scraper can point straight at the service."""
         m = engine.metrics()
+        from .openai_api import dynamic_batch_stats
+
+        batch_stats = dynamic_batch_stats()
+        if batch_stats["batches"]:
+            m["v1_dynamic_batching"] = batch_stats
         if request.query.get("format") != "prometheus":
             return {"success": True, "metrics": m}
         lines = [
@@ -238,6 +243,14 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
                 f"aptpu_rtf_x_p50 {m['rtf_x_p50']}",
                 "# TYPE aptpu_rtf_x_mean gauge",
                 f"aptpu_rtf_x_mean {m['rtf_x_mean']}",
+            ]
+        if batch_stats["batches"]:
+            lines += [
+                "# HELP aptpu_v1_dynamic_batches_total Dynamic batches dispatched on /v1",
+                "# TYPE aptpu_v1_dynamic_batches_total counter",
+                f"aptpu_v1_dynamic_batches_total {batch_stats['batches']}",
+                "# TYPE aptpu_v1_dynamic_batch_files_total counter",
+                f"aptpu_v1_dynamic_batch_files_total {batch_stats['files']}",
             ]
         if "stage_seconds_mean" in m:
             lines += [

@@ -116,6 +116,21 @@ class _OpenBatch:
 _open_batches: dict[Any, _OpenBatch] = {}
 _batch_lock = threading.Lock()
 
+# observability: batches formed / files coalesced (served by /api/metrics)
+_batch_stats = {"batches": 0, "files": 0}
+
+
+def dynamic_batch_stats() -> dict:
+    """Counters for the dynamic batcher: batches dispatched, files they
+    carried, mean occupancy.  Zeroes when batching is off/unused."""
+    with _batch_lock:
+        b, f = _batch_stats["batches"], _batch_stats["files"]
+    return {
+        "batches": b,
+        "files": f,
+        "mean_files_per_batch": round(f / b, 3) if b else 0.0,
+    }
+
 
 def _coalesced_transcribe(key, t, audio) -> dict:
     """Transcribe via the dynamic batcher (see _open_batches above).
@@ -147,6 +162,9 @@ def _coalesced_transcribe(key, t, audio) -> dict:
                 if _open_batches.get(key) is batch:
                     del _open_batches[key]
             entries = batch.entries
+            with _batch_lock:
+                _batch_stats["batches"] += 1
+                _batch_stats["files"] += len(entries)
             if not _acquire_decode_slot():
                 raise _DecodeBusy()
             try:

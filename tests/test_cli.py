@@ -315,3 +315,25 @@ def test_cli_multi_file_output_dir(wav, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["transcribe", wav, "--model", "test",
                   "--output-format", "all"])
+
+
+def test_cli_multi_file_uses_batched_decode(wav, tmp_path, monkeypatch):
+    """Several inputs ride ONE transcribe_batch call (shared decode
+    slabs), not a per-file loop."""
+    from audio_processor_tpu.pipeline.transcribe import Transcriber
+
+    calls: list[int] = []
+    orig = Transcriber.transcribe_batch
+
+    def spy(self, audios, **kw):
+        calls.append(len(audios))
+        return orig(self, audios, **kw)
+
+    monkeypatch.setattr(Transcriber, "transcribe_batch", spy)
+    out_dir = tmp_path / "outs2"
+    cli.main([
+        "transcribe", wav, wav, wav, "--model", "test", "--keep-silence",
+        "--output-dir", str(out_dir),
+    ])
+    assert calls == [3]
+    assert (out_dir / "c.txt").exists()
