@@ -1606,6 +1606,21 @@ class Transcriber:
             for fi, (lo, k) in enumerate(spans)
         ], state_bank
 
+    @property
+    def supports_shared_slabs(self) -> bool:
+        """True when transcribe_batch can pack several files into shared
+        decode slabs.  False when an option needs per-file decode state
+        INSIDE the slab — rolling conditioning context, or a first-window-
+        only initial_prompt — making transcribe_batch fall back to
+        sequential per-file calls (servers use this to skip coalescing
+        such option sets: serialising N requests under one decode slot
+        would only ADD latency)."""
+        return not (
+            self.condition_on_previous_text
+            or (bool(self._initial_prompt_tokens)
+                and not self.carry_initial_prompt)
+        )
+
     @staticmethod
     def _gather_state_rows(
         bank: dict[tuple[int, int], tuple[Any, int]],
@@ -1667,10 +1682,7 @@ class Transcriber:
         t0 = _time.perf_counter()
         if not audios:
             return []
-        if (
-            self.condition_on_previous_text
-            or (self._initial_prompt_tokens and not self.carry_initial_prompt)
-        ):
+        if not self.supports_shared_slabs:
             return [
                 self.transcribe(
                     a, sample_rate=sample_rate, remove_silence=remove_silence

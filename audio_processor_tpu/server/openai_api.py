@@ -514,7 +514,10 @@ def _handle(request: Request, services: Any, task: str):
             _release_stream_slot()
             raise
 
-    if float(os.environ.get("APTPU_DYNAMIC_BATCH_WAIT_MS", "0")) > 0:
+    if (
+        float(os.environ.get("APTPU_DYNAMIC_BATCH_WAIT_MS", "0")) > 0
+        and getattr(t, "supports_shared_slabs", False)
+    ):
         # identical option sets coalesce into one shared-slab decode; the
         # key is canonical because `changes` holds only deltas from the
         # ONE shared base transcriber
