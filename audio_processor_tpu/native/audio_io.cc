@@ -66,6 +66,16 @@ bool parse_wav(const uint8_t* data, int64_t size, WavFormat* fmt,
          fmt->sample_rate > 0 && fmt->sample_rate <= 768000;
 }
 
+// Unaligned little-endian load: chunk bodies are only 2-byte aligned (RIFF
+// word alignment), so reinterpret_cast reads of 32/64-bit samples would be
+// UB on a body at offset 2 mod 4.  memcpy compiles to a plain load on x86.
+template <typename T>
+static inline T load_le(const uint8_t* p) {
+  T v;
+  std::memcpy(&v, p, sizeof(T));
+  return v;
+}
+
 // Decode interleaved PCM to mono float32.
 bool decode_payload(const WavFormat& fmt, const uint8_t* p, int64_t n,
                     std::vector<float>* out) {
@@ -76,10 +86,10 @@ bool decode_payload(const WavFormat& fmt, const uint8_t* p, int64_t n,
       if (fmt.bits == 16) {
         int64_t frames = n / (2 * ch);
         out->resize(frames);
-        const int16_t* s = reinterpret_cast<const int16_t*>(p);
         for (int64_t i = 0; i < frames; ++i) {
           double acc = 0;
-          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          for (int c = 0; c < ch; ++c)
+            acc += load_le<int16_t>(p + (i * ch + c) * 2);
           (*out)[i] = static_cast<float>(acc * inv_ch / 32768.0);
         }
         return true;
@@ -102,10 +112,10 @@ bool decode_payload(const WavFormat& fmt, const uint8_t* p, int64_t n,
       if (fmt.bits == 32) {
         int64_t frames = n / (4 * ch);
         out->resize(frames);
-        const int32_t* s = reinterpret_cast<const int32_t*>(p);
         for (int64_t i = 0; i < frames; ++i) {
           double acc = 0;
-          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          for (int c = 0; c < ch; ++c)
+            acc += load_le<int32_t>(p + (i * ch + c) * 4);
           (*out)[i] = static_cast<float>(acc * inv_ch / 2147483648.0);
         }
         return true;
@@ -126,10 +136,10 @@ bool decode_payload(const WavFormat& fmt, const uint8_t* p, int64_t n,
       if (fmt.bits == 32) {
         int64_t frames = n / (4 * ch);
         out->resize(frames);
-        const float* s = reinterpret_cast<const float*>(p);
         for (int64_t i = 0; i < frames; ++i) {
           double acc = 0;
-          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          for (int c = 0; c < ch; ++c)
+            acc += load_le<float>(p + (i * ch + c) * 4);
           (*out)[i] = static_cast<float>(acc * inv_ch);
         }
         return true;
@@ -137,10 +147,10 @@ bool decode_payload(const WavFormat& fmt, const uint8_t* p, int64_t n,
       if (fmt.bits == 64) {
         int64_t frames = n / (8 * ch);
         out->resize(frames);
-        const double* s = reinterpret_cast<const double*>(p);
         for (int64_t i = 0; i < frames; ++i) {
           double acc = 0;
-          for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+          for (int c = 0; c < ch; ++c)
+            acc += load_le<double>(p + (i * ch + c) * 8);
           (*out)[i] = static_cast<float>(acc * inv_ch);
         }
         return true;
@@ -236,6 +246,35 @@ int64_t aptpu_decode_wav(const uint8_t* data, int64_t size, int64_t target_sr,
   }
   return n;
 } catch (...) {  // bad_alloc etc. must not cross the C ABI -> terminate
+  return -1;
+}
+
+// Header-only output-size query.  The two-call decode protocol previously
+// paid the full decode+resample TWICE per file (the size call did all the
+// work and discarded it); the output length is computable from the fmt
+// and data chunk sizes alone.
+int64_t aptpu_wav_out_size(const uint8_t* data, int64_t size,
+                           int64_t target_sr) try {
+  if (target_sr <= 0 || target_sr > 768000) return -1;
+  WavFormat fmt;
+  const uint8_t* payload = nullptr;
+  int64_t payload_size = 0;
+  if (!parse_wav(data, size, &fmt, &payload, &payload_size)) return -1;
+  int64_t bytes_per = 0;
+  if (fmt.audio_format == 1) {
+    if (fmt.bits == 8 || fmt.bits == 16 || fmt.bits == 24 || fmt.bits == 32)
+      bytes_per = fmt.bits / 8;
+  } else if (fmt.audio_format == 3) {
+    if (fmt.bits == 32 || fmt.bits == 64) bytes_per = fmt.bits / 8;
+  }
+  if (bytes_per == 0) return -1;
+  const int64_t frames = payload_size / (bytes_per * fmt.channels);
+  // must mirror resample_poly's length rule exactly
+  if (fmt.sample_rate == target_sr || frames == 0) return frames;
+  const int64_t g = gcd64(fmt.sample_rate, target_sr);
+  const int64_t up = target_sr / g, down = fmt.sample_rate / g;
+  return (frames * up + down - 1) / down;
+} catch (...) {
   return -1;
 }
 

@@ -50,6 +50,13 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        try:
+            lib.aptpu_wav_out_size.restype = ctypes.c_int64
+            lib.aptpu_wav_out_size.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ]
+        except AttributeError:  # an older .so without the size query
+            pass
         lib.aptpu_wav_info.restype = ctypes.c_int
         lib.aptpu_wav_info.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -82,7 +89,12 @@ def decode(path: str, target_sr: int = 16_000) -> tuple[np.ndarray, int]:
         raise RuntimeError("native audio library not available")
     with open(path, "rb") as f:
         data = f.read()
-    n = lib.aptpu_decode_wav(data, len(data), target_sr, None, 0)
+    if hasattr(lib, "aptpu_wav_out_size"):
+        # header-only size query: the two-call protocol otherwise pays the
+        # full decode+resample twice per file
+        n = lib.aptpu_wav_out_size(data, len(data), target_sr)
+    else:
+        n = lib.aptpu_decode_wav(data, len(data), target_sr, None, 0)
     if n < 0:
         raise ValueError(f"native decode failed for {path!r}")
     out = np.empty(n, np.float32)

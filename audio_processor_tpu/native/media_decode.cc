@@ -124,14 +124,29 @@ int64_t aptpu_decode_media(const char* path, int64_t target_sr,
 
   std::vector<float> samples;
   samples.reserve(1 << 20);
-  while (av_read_frame(c.fmt, c.pkt) >= 0) {
+  for (;;) {
+    const int rd = av_read_frame(c.fmt, c.pkt);
+    if (rd == AVERROR_EOF) break;
+    // a mid-file demux error is NOT end-of-stream: returning the partial
+    // decode as success would silently truncate the transcript of a
+    // corrupt/partially-downloaded file
+    if (rd < 0) return -1;
     if (c.pkt->stream_index == c.stream_index) {
-      if (avcodec_send_packet(c.dec, c.pkt) == 0) {
-        while (avcodec_receive_frame(c.dec, c.frame) == 0) {
-          if (!convert_frame(&c, c.frame, target_sr, &samples)) {
-            av_packet_unref(c.pkt);
-            return -1;
-          }
+      const int sent = avcodec_send_packet(c.dec, c.pkt);
+      if (sent < 0 && sent != AVERROR(EAGAIN)) {
+        av_packet_unref(c.pkt);
+        return -1;
+      }
+      for (;;) {
+        const int rc = avcodec_receive_frame(c.dec, c.frame);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
+        if (rc < 0) {
+          av_packet_unref(c.pkt);
+          return -1;
+        }
+        if (!convert_frame(&c, c.frame, target_sr, &samples)) {
+          av_packet_unref(c.pkt);
+          return -1;
         }
       }
     }

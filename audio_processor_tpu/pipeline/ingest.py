@@ -52,18 +52,24 @@ def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
         except ValueError as exc:
             logger.warning("WAV decode failed (%s); trying media decoders", exc)
     # compressed containers: in-process codec-library decode first
+    media_error: Exception | None = None
     try:
         from ..native import media
 
         if media.available():
             samples, _ = media.decode(path, target_sr)
             return samples
-    except ValueError:
-        raise ValueError(f"cannot decode {path!r}: no decodable audio stream")
-    except Exception as exc:  # noqa: BLE001 — library missing: keep falling back
-        logger.debug("native media decode unavailable (%s)", exc)
+    except Exception as exc:  # noqa: BLE001 — keep falling back: the host
+        # ffmpeg binary may carry codecs the linked libav build lacks
+        # (the docstring's promised last resort)
+        media_error = exc
+        logger.debug("native media decode failed (%s)", exc)
     if ffmpeg_available():
         return _load_via_ffmpeg(path, target_sr)
+    if media_error is not None:
+        raise ValueError(
+            f"cannot decode {path!r}: no decodable audio stream"
+        ) from media_error
     raise ValueError(
         f"cannot decode {path!r}: not a WAV file and no ffmpeg on host"
     )

@@ -49,10 +49,16 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     payload = None
     for cid, off, size in _iter_chunks(data):
         if cid == b"fmt ":
+            # bounds-check BEFORE unpacking: struct.error would escape the
+            # ValueError contract ingest's decoder-fallback chain relies on
+            if size < 16 or off + 16 > len(data):
+                raise ValueError(f"{path}: truncated fmt chunk")
             audio_format, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, off
             )
             if audio_format == 0xFFFE and size >= 40:  # EXTENSIBLE: real fmt in GUID
+                if off + 26 > len(data):
+                    raise ValueError(f"{path}: truncated extensible fmt chunk")
                 (audio_format,) = struct.unpack_from("<H", data, off + 24)
             fmt = (audio_format, channels, rate, bits)
         elif cid == b"data":

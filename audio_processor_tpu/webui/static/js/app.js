@@ -181,7 +181,19 @@ const Tasks = {
     this.pollNow();
   },
 
+  closeStream(jobId) {
+    // release the server's capped SSE slot (removed/reloaded tasks would
+    // otherwise hold it until job completion)
+    const es = this.sseStreams[jobId];
+    if (es) { es.close(); delete this.sseStreams[jobId]; }
+  },
+
+  closeAllStreams() {
+    Object.keys(this.sseStreams).forEach((id) => this.closeStream(id));
+  },
+
   remove(jobId) {
+    this.closeStream(jobId);
     this.tasks = this.tasks.filter((t) => t.jobId !== jobId);
     TaskStore.save(this.tasks);
     this.renderAll();
@@ -393,6 +405,7 @@ document.addEventListener("DOMContentLoaded", () => {
   };
   document.addEventListener("auth:changed", (ev) => {
     if (ev.detail.authenticated) Files.refresh();
+    Tasks.closeAllStreams(); // the new user's tasks re-subscribe on poll
     Tasks.tasks = TaskStore.load();
     Tasks.renderAll();
   });

@@ -50,11 +50,15 @@ const Auth = {
 
   async logout() {
     try { await fetch("/api/auth/logout", { method: "POST" }); } catch (e) { /* best effort */ }
-    // purge per-user task history (reference clears audioProcessor_* keys)
+    // purge THIS user's task history only — stores are deliberately keyed
+    // per user (aptpu_tasks_<uid>), and a shared browser must not lose
+    // other accounts' 30-day histories on someone else's logout
+    const uid = (this.user && this.user.id) || "anon";
+    const mine = [`aptpu_tasks_${uid}`, "aptpu_tasks_anon"];
     const doomed = [];
     for (let i = 0; i < localStorage.length; i++) {
       const key = localStorage.key(i);
-      if (key && key.startsWith("aptpu_")) doomed.push(key);
+      if (key && mine.includes(key)) doomed.push(key);
     }
     doomed.forEach((k) => localStorage.removeItem(k));
     this.authenticated = false;

@@ -101,3 +101,37 @@ def test_native_accepts_boundary_sample_rate(tmp_path):
         f.write(_raw_wav(768_000, n_samples=768))
     y, rate = audio_io.decode(p, 16000)
     assert rate == 16000 and len(y) >= 1
+
+
+def test_wavio_truncated_fmt_raises_valueerror(tmp_path):
+    """A fmt chunk whose declared body runs past EOF must raise ValueError
+    (not struct.error): ingest's decoder-fallback chain catches ValueError
+    only, so any other type crashes the caller instead of falling through
+    to the next decoder."""
+    import struct
+
+    # RIFF/WAVE, one junk chunk for padding, then a fmt header at EOF
+    body = b"WAVE" + b"junk" + struct.pack("<I", 4) + b"\0\0\0\0"
+    body += b"fmt " + struct.pack("<I", 16)  # declared 16-byte body, absent
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    p = str(tmp_path / "trunc.wav")
+    with open(p, "wb") as f:
+        f.write(blob)
+    with pytest.raises(ValueError):
+        wavio.read_wav(p)
+
+
+def test_wav_out_size_matches_decode(tmp_path):
+    """The header-only size query must agree with the full decode for
+    resampled and passthrough rates (it replaces a second full decode)."""
+    lib = audio_io._load()
+    if lib is None or not hasattr(lib, "aptpu_wav_out_size"):
+        pytest.skip("native library unavailable")
+    for sr, n in [(22050, 22050), (16000, 12345), (8000, 777), (44100, 100)]:
+        x = np.sin(2 * np.pi * 220 * np.arange(n) / sr).astype(np.float32)
+        p = str(tmp_path / f"s{sr}_{n}.wav")
+        wavio.write_wav(p, x, sr)
+        y, _ = audio_io.decode(p, 16000)
+        with open(p, "rb") as f:
+            data = f.read()
+        assert lib.aptpu_wav_out_size(data, len(data), 16000) == len(y)
