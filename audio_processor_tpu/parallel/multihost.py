@@ -66,8 +66,24 @@ def initialize(
     )
 
     if coordinator is None and num_processes is None:
-        # single-process serving: nothing to join
-        return False
+        # no explicit topology: give jax.distributed's own auto-detection
+        # a chance (TPU pod metadata) — without this, a Cloud TPU pod with
+        # APTPU_DISTRIBUTED=1 and no APTPU_COORDINATOR silently built a
+        # local-only mesh on every host (split-brain serving)
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # noqa: BLE001 — not a cluster: run local
+            logger.info(
+                "no multi-process environment detected (%s) — "
+                "single-process serving", exc,
+            )
+            return False
+        _initialized = True
+        logger.info(
+            "jax.distributed up (auto-detected): process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+        return jax.process_count() > 1
 
     jax.distributed.initialize(
         coordinator_address=coordinator,

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import atexit
 import logging
+import os
+import socket
 import threading
 import time
 import traceback
@@ -36,6 +38,37 @@ class JobCancelled(Exception):
 
 def _utcnow() -> str:
     return datetime.now(timezone.utc).isoformat()
+
+
+def _worker_id() -> str:
+    """Stable owner tag for job records: which process runs the job."""
+    return f"{socket.gethostname()}:{os.getpid()}"
+
+
+def _worker_is_alive(worker: str) -> bool:
+    """Best-effort liveness of a job's owning process.
+
+    Another HOST's workers can't be probed — assume alive and leave their
+    jobs alone (hosts recover their own orphans at startup).  On this
+    host, a dead pid means the job is orphaned.  (A recycled pid can
+    false-positive; the cost is only a delayed orphan sweep.)
+    """
+    host, _, pid_s = worker.rpartition(":")
+    if host != socket.gethostname():
+        return True
+    try:
+        pid = int(pid_s)
+    except ValueError:
+        return False
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
 
 
 class JobContext:
@@ -108,6 +141,9 @@ class JobEngine:
             "updated_at": _utcnow(),
             "result": None,
             "error": None,
+            # owner tag: startup orphan recovery must not fail jobs that a
+            # LIVE sibling worker / another host is still running
+            "worker": _worker_id(),
             **info,
         }
         self.store.create(job_id, record)
@@ -195,11 +231,16 @@ class JobEngine:
         Call at startup with a persistent store.  The reference simply
         forgets all jobs on restart (in-memory dict, SURVEY.md §5.3/§5.4);
         here they survive and get a terminal state instead of spinning
-        forever in the UI.
+        forever in the UI.  Jobs whose owning process is still ALIVE (a
+        sibling worker on this host, or any other host sharing the store)
+        are left untouched — only verifiably dead owners are swept.
         """
         n = 0
         for rec in self.store.list():
             if rec.get("status") in ACTIVE_STATUSES:
+                worker = rec.get("worker")
+                if worker and _worker_is_alive(worker):
+                    continue
                 self.store.update(
                     rec["id"],
                     status=JOB_STATUS["FAILED"],
@@ -225,6 +266,11 @@ class JobEngine:
         (audio_processor.py:1459-1491): base fields always, message if set,
         result iff completed, error iff failed."""
         rec = self.store.get(job_id)
+        return self._status_view(rec)
+
+    @staticmethod
+    def _status_view(rec: dict | None) -> dict | None:
+        """Shape one store record as the public status dict."""
         if rec is None:
             return None
         out = {
@@ -248,7 +294,10 @@ class JobEngine:
         return out
 
     def list_jobs(self, filter: str = "all") -> list[dict]:
-        jobs = [self.get_job_status(r["id"]) for r in self.store.list()]
+        # store.list() already returns full records — re-fetching each id
+        # through get_job_status doubled the store round trips (2N Redis
+        # GETs per /api/health probe at N retained jobs)
+        jobs = [self._status_view(r) for r in self.store.list()]
         jobs = [j for j in jobs if j]
         if filter == "active":
             jobs = [j for j in jobs if j["status"] in ACTIVE_STATUSES]

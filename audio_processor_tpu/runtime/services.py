@@ -111,20 +111,26 @@ def build_services(
     from ..pipeline.transcribe import Transcriber
     from .device_check import probe_device
 
+    # multi-host serving profile: join the jax.distributed runtime and
+    # decode over a DCN-aware global mesh (data across hosts, tensor
+    # parallelism pinned to each host's ICI domain).  Requires a shared
+    # job store (store_url=redis://...) so every host sees one queue.
+    # MUST run before probe_device(): jax.distributed.initialize refuses
+    # to run once any computation has initialised the backend.
+    distributed = os.environ.get("APTPU_DISTRIBUTED") == "1"
+    if distributed:
+        from ..parallel import multihost
+
+        multihost.initialize()
+
     # Fail fast if the accelerator transport is dead — otherwise the first
     # device op below (param init / checkpoint device_put) hangs forever
     # with no log line (APTPU_DEVICE_INIT_TIMEOUT_S tunes/disables).
     probe_device()
 
-    # multi-host serving profile: join the jax.distributed runtime and
-    # decode over a DCN-aware global mesh (data across hosts, tensor
-    # parallelism pinned to each host's ICI domain).  Requires a shared
-    # job store (store_url=redis://...) so every host sees one queue.
     mesh = None
-    if os.environ.get("APTPU_DISTRIBUTED") == "1":
+    if distributed:
         from ..parallel import multihost
-
-        multihost.initialize()
         mesh = multihost.make_multihost_mesh(
             model_parallel=int(os.environ.get("APTPU_MODEL_PARALLEL", "1"))
         )

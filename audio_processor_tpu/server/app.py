@@ -27,12 +27,13 @@ STATIC_DIR = os.path.join(_PKG_ROOT, "webui", "static")
 _app_singleton: App | None = None
 
 
+# template renderer bound to this package's webui dir — ONE definition
+# (the framework's App.render_template), not a parallel re-implementation
+_render_app = App(template_dir=TEMPLATE_DIR)
+
+
 def render(name: str, **ctx) -> Response:
-    with open(os.path.join(TEMPLATE_DIR, name), encoding="utf-8") as f:
-        html = f.read()
-    for k, v in ctx.items():
-        html = html.replace("{{ " + k + " }}", str(v))
-    return Response(html)
+    return _render_app.render_template(name, **ctx)
 
 
 _SKIP_RESTORE_PREFIXES = (

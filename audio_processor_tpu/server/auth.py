@@ -230,12 +230,17 @@ def make_auth_blueprint(
         code = data.get("code")
         if not code:
             return {"success": False, "error": "Missing code"}, 400
-        state = data.get("state")
-        if state and request.session.get("flow_state") and state != request.session["flow_state"]:
+        # HARD state check: the session must have initiated the flow and
+        # the posted state must match.  An optional check was login-CSRF —
+        # omitting `state` let an attacker complete THEIR code on a
+        # victim's session, silently pointing Drive jobs at their account.
+        expected = request.session.get("flow_state")
+        if not expected or data.get("state") != expected:
             return {"success": False, "error": "State mismatch"}, 400
+        # the session's redirect_uri (stored when the flow started) is
+        # authoritative; the request body must not override it
         redirect_uri = (
-            data.get("redirect_uri")
-            or request.session.get("redirect_uri")
+            request.session.get("redirect_uri")
             or external_redirect_uri(request)
         )
         try:
@@ -253,7 +258,12 @@ def make_auth_blueprint(
     def auth_status(request: Request):
         user_id = request.session.get("user_id")
         if request.session.get("authenticated") and user_id:
-            _restore_drive(user_id)
+            # same guard as app.py's restore hook: the frontend polls this
+            # every few seconds, and an unconditional restore re-read the
+            # store (+ possible token-refresh HTTP call) and rebuilt the
+            # Drive client per poll
+            if services.drive_for(user_id) is None:
+                _restore_drive(user_id)
             return {
                 "authenticated": True,
                 "user": request.session.get("user_info", {"id": user_id}),
@@ -279,10 +289,14 @@ def make_auth_blueprint(
     @bp.route("/api/auth/logout", methods=("POST", "GET"))
     def logout(request: Request):
         user_id = request.session.get("user_id")
-        if user_id and store is not None:
-            store.delete_credentials(user_id)
+        if user_id:
+            # only THIS user's state: clear_credentials(None) clears every
+            # user's Drive client, so an anonymous GET (no session) used to
+            # wipe all logged-in users process-wide
+            if store is not None:
+                store.delete_credentials(user_id)
+            services.clear_credentials(user_id)
         request.session.clear()
-        services.clear_credentials(user_id)
         return {"success": True}
 
     return bp

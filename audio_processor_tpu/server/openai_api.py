@@ -162,9 +162,6 @@ def _coalesced_transcribe(key, t, audio) -> dict:
                 if _open_batches.get(key) is batch:
                     del _open_batches[key]
             entries = batch.entries
-            with _batch_lock:
-                _batch_stats["batches"] += 1
-                _batch_stats["files"] += len(entries)
             if not _acquire_decode_slot():
                 raise _DecodeBusy()
             try:
@@ -183,6 +180,11 @@ def _coalesced_transcribe(key, t, audio) -> dict:
                 )
             for e, r in zip(entries, results):
                 e.result = r
+            # counted only on a delivered decode: a 503/failed dispatch
+            # must not inflate the coalescing-throughput metrics
+            with _batch_lock:
+                _batch_stats["batches"] += 1
+                _batch_stats["files"] += len(entries)
         except BaseException as exc:  # noqa: BLE001 — fan the failure out
             with _batch_lock:  # close FIRST so no newcomer misses the error
                 batch.closed = True

@@ -448,6 +448,10 @@ class App:
             response = jsonify({"error": "Internal server error"}, 500)
         if request.session is not None and request.session.modified:
             self.session_codec.save(request.session, response)
+        if request.method == "HEAD" and not isinstance(
+            response, StreamingResponse
+        ):
+            response.body = b""  # HEAD: headers only (static/errors too)
         return response.wsgi(start_response)
 
     def _dispatch(self, request: Request) -> Response:
@@ -461,20 +465,26 @@ class App:
             if early is not None:
                 return early
 
+        # HEAD is answered by the GET handler with the body stripped
+        # (Flask's auto-HEAD rule — load balancers probe HEAD /health)
+        head = request.method == "HEAD"
+        lookup = "GET" if head else request.method
         allowed: set[str] = set()
         for pattern, methods, fn in self.routes:
             m = pattern.match(request.path)
             if m:
-                if request.method in methods:
+                if lookup in methods:
                     request.params = m.groupdict()
                     out = fn(request, **m.groupdict())
                     if isinstance(out, Response):
-                        return out
-                    if isinstance(out, tuple):  # (data, status)
-                        return jsonify(out[0], out[1])
-                    if isinstance(out, (dict, list)):
-                        return jsonify(out)
-                    return Response(str(out))
+                        resp = out
+                    elif isinstance(out, tuple):  # (data, status)
+                        resp = jsonify(out[0], out[1])
+                    elif isinstance(out, (dict, list)):
+                        resp = jsonify(out)
+                    else:
+                        resp = Response(str(out))
+                    return resp
                 allowed.update(methods)
         if allowed:
             return jsonify({"error": "Method not allowed"}, 405)

@@ -110,11 +110,36 @@ def test_auth_google_redirects_with_state(app_and_services):
 
 
 def test_full_token_login_flow(app_and_services):
+    import urllib.parse as up
+
     app, services = app_and_services
-    # JS-driven exchange (callback.html path)
+    # start the flow: the session records flow_state + redirect_uri
+    status, _, h0 = call_app(
+        app, "GET", "/api/auth/google", headers={"Host": "example.com"}
+    )
+    assert status == 302
+    state = up.parse_qs(up.urlsplit(h0["Location"][0]).query)["state"][0]
+    flow_cookie = _cookie_of(h0)
+
+    # login-CSRF hardening: the exchange REQUIRES the flow's state — a
+    # missing or wrong state (or a session that never started a flow)
+    # must be rejected, not silently accepted
+    status, data, _ = call_app(
+        app, "POST", "/api/auth/token", body={"code": "good-code"},
+        headers={"Cookie": flow_cookie},
+    )
+    assert status == 400
+    status, data, _ = call_app(
+        app, "POST", "/api/auth/token",
+        body={"code": "good-code", "state": state},
+    )
+    assert status == 400  # no session -> no flow_state -> rejected
+
+    # JS-driven exchange (callback.html path) with the proper state
     status, data, headers = call_app(
         app, "POST", "/api/auth/token",
-        body={"code": "good-code", "redirect_uri": "http://example.com/callback"},
+        body={"code": "good-code", "state": state},
+        headers={"Cookie": flow_cookie, "Host": "example.com"},
     )
     assert status == 200 and data["success"]
     assert data["user"]["email"] == "alice@example.com"

@@ -65,3 +65,44 @@ def test_npz_fallback_roundtrips_bfloat16(tmp_path, monkeypatch):
     assert restored["w"].dtype == jnp.bfloat16
     assert np.allclose(np.asarray(restored["w"], np.float32), 1.5)
     assert int(restored["step"]) == 7
+
+
+def test_orphan_recovery_spares_live_owners(tmp_path):
+    """Startup orphan recovery must not fail jobs a LIVE process is still
+    running (a sibling gunicorn worker, or another host sharing the
+    store) — only verifiably dead owners are swept."""
+    import os
+    import socket
+
+    from audio_processor_tpu.runtime.job_engine import JobEngine, _worker_id
+    from audio_processor_tpu.runtime.job_store import SqliteJobStore
+
+    store = SqliteJobStore(str(tmp_path / "jobs2.db"))
+    host = socket.gethostname()
+    # find a pid that is certainly dead
+    dead_pid = 99999
+    while True:
+        try:
+            os.kill(dead_pid, 0)
+            dead_pid -= 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead_pid -= 1
+    store.create("mine", {"id": "mine", "status": "processing",
+                          "worker": _worker_id()})
+    store.create("other-host", {"id": "other-host", "status": "processing",
+                                "worker": "some-other-host:123"})
+    store.create("dead-local", {"id": "dead-local", "status": "processing",
+                                "worker": f"{host}:{dead_pid}"})
+    store.create("legacy", {"id": "legacy", "status": "pending"})
+
+    engine = JobEngine(max_workers=1, store=store)
+    try:
+        assert engine.recover_orphans() == 2  # dead-local + legacy
+        assert engine.get_job_status("mine")["status"] == "processing"
+        assert engine.get_job_status("other-host")["status"] == "processing"
+        assert engine.get_job_status("dead-local")["status"] == "failed"
+        assert engine.get_job_status("legacy")["status"] == "failed"
+    finally:
+        engine.shutdown(wait=False)

@@ -234,3 +234,28 @@ def test_multipart_parser_survives_hostile_bodies():
             Request(environ).form()
         except ValueError:
             pass
+
+
+def test_head_answered_by_get_handler():
+    """HEAD must be served by the GET route with an empty body (Flask's
+    auto-HEAD rule) — load balancers probe HEAD /health and used to get
+    405, marking a healthy service down."""
+    app = App()
+
+    @app.route("/health")
+    def health(request):
+        return {"status": "healthy"}
+
+    status, data, headers = call_app(app, "HEAD", "/health")
+    assert status == 200
+    assert data == b""
+    # GET is untouched
+    status, data, _ = call_app(app, "GET", "/health")
+    assert status == 200 and data == {"status": "healthy"}
+    # non-GET routes still 405 for wrong methods
+    @app.route("/only-post", methods=("POST",))
+    def only_post(request):
+        return {"ok": True}
+
+    status, _, _ = call_app(app, "HEAD", "/only-post")
+    assert status == 405
