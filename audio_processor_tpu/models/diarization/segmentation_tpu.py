@@ -97,20 +97,12 @@ def init_params(cfg: TpuSegmentationConfig, key: jax.Array) -> Params:
     return p
 
 
-def _ln(p, x, eps=1e-5):
-    m = jnp.mean(x, -1, keepdims=True)
-    v = jnp.var(x, -1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps) * p["scale"] + p["bias"]
-
-
-def _lin(p, x):
-    return x @ p["w"] + p["b"]
-
-
-def _sinusoid(t: int, d: int) -> np.ndarray:
-    inv = np.exp(-math.log(10000.0) / (d // 2 - 1) * np.arange(d // 2))
-    ang = np.arange(t)[:, None] * inv[None, :]
-    return np.concatenate([np.sin(ang), np.cos(ang)], 1).astype(np.float32)
+# ONE definition of the transformer primitives: the whisper module's
+# layer_norm/linear/sinusoids (identical math for the f32 params this net
+# uses; keeping private twins here let the numerics silently drift)
+from ..whisper.model import layer_norm as _ln  # noqa: E402
+from ..whisper.model import linear as _lin  # noqa: E402
+from ..whisper.model import sinusoids as _sinusoid  # noqa: E402
 
 
 def forward(params: Params, cfg: TpuSegmentationConfig, audio: jnp.ndarray) -> jnp.ndarray:

@@ -161,28 +161,36 @@ def _teacher_forced_scan(
     def block_fn(carry, scanned):
         x, acc = carry
         bp, w_l = scanned  # w_l: (H,) this layer's head weights
-        xn = layer_norm(bp["attn_ln"], x)
-        q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
-        k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
-        v = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
-        x = x + linear(bp["attn"]["out"], _merge_heads(attention(q, k, v, causal)))
-
-        xa = layer_norm(bp["cross_attn_ln"], x)
-        qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
-        kx = _split_heads(linear(bp["cross_attn"]["k"], audio_states), cfg.n_text_head)
-        vx = _split_heads(linear(bp["cross_attn"]["v"], audio_states), cfg.n_text_head)
-        dh = qx.shape[-1]
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qx, kx) / math.sqrt(dh)
-        probs = jax.nn.softmax(scores, axis=-1)  # (B, H, T, Ta)
-        acc = acc + jnp.einsum("h,bhqk->bqk", w_l, probs)
-        ox = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
-        x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
-        x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
-        return (x, acc), None
+        x, probs = _decoder_block(bp, cfg, x, audio_states, causal)
+        return (x, acc + jnp.einsum("h,bhqk->bqk", w_l, probs)), None
 
     acc0 = jnp.zeros((b, t, audio_states.shape[1]), jnp.float32)
     (x, acc), _ = jax.lax.scan(block_fn, (x, acc0), (p["blocks"], head_w))
     return x, acc
+
+
+def _decoder_block(bp, cfg, x, audio_states, causal):
+    """One teacher-forced decoder block -> (x_next, cross-attention probs
+    (B, H, T, Ta)).  The ONE definition both the serving accumulator scan
+    and the calibration all-maps scan run — calibration must measure the
+    exact maps word_timestamps serves."""
+    xn = layer_norm(bp["attn_ln"], x)
+    q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
+    k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
+    v = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
+    x = x + linear(bp["attn"]["out"], _merge_heads(attention(q, k, v, causal)))
+
+    xa = layer_norm(bp["cross_attn_ln"], x)
+    qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
+    kx = _split_heads(linear(bp["cross_attn"]["k"], audio_states), cfg.n_text_head)
+    vx = _split_heads(linear(bp["cross_attn"]["v"], audio_states), cfg.n_text_head)
+    dh = qx.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qx, kx) / math.sqrt(dh)
+    probs = jax.nn.softmax(scores, axis=-1)  # (B, H, T, Ta)
+    ox = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
+    x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
+    x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
+    return x, probs
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -261,22 +269,7 @@ def all_head_attention_maps(
     audio_states = audio_states.astype(jnp.float32)
 
     def block_fn(x, bp):
-        xn = layer_norm(bp["attn_ln"], x)
-        q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
-        k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
-        v = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
-        x = x + linear(bp["attn"]["out"], _merge_heads(attention(q, k, v, causal)))
-        xa = layer_norm(bp["cross_attn_ln"], x)
-        qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
-        kx = _split_heads(linear(bp["cross_attn"]["k"], audio_states), cfg.n_text_head)
-        vx = _split_heads(linear(bp["cross_attn"]["v"], audio_states), cfg.n_text_head)
-        dh = qx.shape[-1]
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qx, kx) / math.sqrt(dh)
-        probs = jax.nn.softmax(scores, axis=-1)  # (B, H, T, Ta)
-        ox = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
-        x = x + linear(bp["cross_attn"]["out"], _merge_heads(ox))
-        x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
-        return x, probs
+        return _decoder_block(bp, cfg, x, audio_states, causal)
 
     _, maps = jax.lax.scan(block_fn, x, p["blocks"])
     return maps  # (L, B, H, T, Ta)

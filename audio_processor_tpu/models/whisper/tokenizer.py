@@ -266,6 +266,11 @@ class BPETokenizer:
             if best_i < 0:
                 break
             word[best_i : best_i + 2] = [word[best_i] + word[best_i + 1]]
+        # bounded: a long-lived server tokenises arbitrary user text
+        # (initial_prompt, conditioning histories) — an uncapped dict
+        # grows monotonically for the process lifetime
+        if len(self._cache) >= 65536:
+            self._cache.clear()
         self._cache[token] = word
         return word
 

@@ -33,20 +33,35 @@ def htk_mel_filterbank(
     n_fft: int = N_FFT,
     sample_rate: int = SAMPLE_RATE,
     low_freq: float = 20.0,
-    high_freq: float = 7600.0,
+    high_freq: float = 0.0,
 ) -> np.ndarray:
-    """Triangular HTK-mel filters, kaldi conventions, (n_mels, n_fft//2+1)."""
-    n_freqs = n_fft // 2 + 1
-    fft_freqs = np.linspace(0, sample_rate / 2, n_freqs)
-    mel_pts = np.linspace(hz_to_htk_mel(low_freq), hz_to_htk_mel(high_freq), n_mels + 2)
-    hz_pts = htk_mel_to_hz(mel_pts)
-    weights = np.zeros((n_mels, n_freqs))
-    for m in range(n_mels):
-        left, center, right = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
-        up = (fft_freqs - left) / (center - left)
-        down = (right - fft_freqs) / (right - center)
-        weights[m] = np.maximum(0.0, np.minimum(up, down))
-    return weights.astype(np.float32)
+    """Triangular HTK-mel filters, (n_mels, n_fft//2+1).
+
+    Kaldi's EXACT construction (torchaudio.compliance.kaldi.get_mel_banks,
+    the code path WeSpeaker/pyannote checkpoints were trained against):
+    triangle slopes are linear in the MEL domain evaluated at each fft
+    bin (not Hz-linear interpolation), high_freq <= 0 means Nyquist +
+    high_freq (kaldi's default 0.0 -> 8 kHz at 16 kHz audio), and the
+    Nyquist bin itself carries zero weight (kaldi banks span
+    n_fft//2 columns; the last column is padding).
+    """
+    if high_freq <= 0:
+        high_freq = sample_rate / 2 + high_freq
+    num_fft_bins = n_fft // 2
+    fft_bin_width = sample_rate / n_fft
+    mel_low = hz_to_htk_mel(low_freq)
+    mel_high = hz_to_htk_mel(high_freq)
+    mel_delta = (mel_high - mel_low) / (n_mels + 1)
+    left_mel = mel_low + np.arange(n_mels)[:, None] * mel_delta
+    center_mel = left_mel + mel_delta
+    right_mel = center_mel + mel_delta
+    mel = hz_to_htk_mel(fft_bin_width * np.arange(num_fft_bins))[None, :]
+    up = (mel - left_mel) / (center_mel - left_mel)
+    down = (right_mel - mel) / (right_mel - center_mel)
+    weights = np.maximum(0.0, np.minimum(up, down))
+    return np.concatenate(
+        [weights, np.zeros((n_mels, 1))], axis=1
+    ).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=2)

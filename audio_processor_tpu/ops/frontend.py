@@ -261,7 +261,9 @@ def silence_mask(
     keep = db > (jnp.max(db, axis=-1, keepdims=True) + threshold_db)
     if pad_frames > 0:
         kernel = jnp.ones((1, 1, 2 * pad_frames + 1), dtype=jnp.float32)
-        x = keep.astype(jnp.float32).reshape(1, 1, -1)
+        # one conv batch element PER leading-dim row: flattening everything
+        # into the time axis would bleed the dilation across batch rows
+        x = keep.astype(jnp.float32).reshape(-1, 1, keep.shape[-1])
         dil = jax.lax.conv_general_dilated(
             x, kernel, (1,), [(pad_frames, pad_frames)],
             dimension_numbers=("NCH", "IOH", "NCH"),

@@ -94,23 +94,26 @@ def _place_opt_state(opt_state, mesh, pspec):
             lambda x: jax.device_put(x, NamedSharding(mesh, P())), subtree
         )
 
-    out = []
-    for piece in opt_state:
-        if hasattr(piece, "_fields"):  # e.g. ScaleByAdamState(mu, nu, count)
+    def replicate(subtree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), subtree
+        )
+
+    def place(piece):
+        # optax.chain NESTS states: (EmptyState, (ScaleByAdamState, ...)) —
+        # recurse through plain tuples or adamw's mu/nu never get sharded
+        # (they silently replicated, 2x full f32 params per device)
+        if hasattr(piece, "_fields"):  # e.g. ScaleByAdamState(count, mu, nu)
             fields = {}
             for name in piece._fields:
                 val = getattr(piece, name)
-                if name in ("mu", "nu"):
-                    fields[name] = place_like_params(val)
-                else:
-                    fields[name] = jax.tree.map(
-                        lambda x: jax.device_put(x, NamedSharding(mesh, P())), val
-                    )
-            out.append(type(piece)(**fields))
-        else:
-            out.append(
-                jax.tree.map(
-                    lambda x: jax.device_put(x, NamedSharding(mesh, P())), piece
+                fields[name] = (
+                    place_like_params(val) if name in ("mu", "nu")
+                    else replicate(val)
                 )
-            )
-    return tuple(out)
+            return type(piece)(**fields)
+        if isinstance(piece, (tuple, list)):
+            return type(piece)(place(x) for x in piece)
+        return replicate(piece)
+
+    return place(tuple(opt_state))

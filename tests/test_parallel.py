@@ -210,6 +210,39 @@ def test_sharded_train_step_runs_and_reduces():
     assert int(state3.step) == 2
 
 
+def test_opt_state_mu_nu_sharded_like_params():
+    """optax.chain NESTS the adam state in a plain tuple — mu/nu must
+    still land on the param shardings, not silently replicate (2x full
+    f32 params per device on a TP fine-tune)."""
+    mesh = mesh_lib.make_mesh(model_parallel=2)
+    state = ts.shard_train_state(
+        ts.init_train_state(CFG, jax.random.PRNGKey(0)), mesh
+    )
+
+    def find_adam(piece):
+        if hasattr(piece, "_fields") and "mu" in getattr(piece, "_fields", ()):
+            return piece
+        if isinstance(piece, tuple):
+            for x in piece:
+                r = find_adam(x)
+                if r is not None:
+                    return r
+        return None
+
+    adam = find_adam(state.opt_state)
+    assert adam is not None
+    p_leaves = jax.tree.leaves(state.params)
+    mu_leaves = jax.tree.leaves(adam.mu)
+    nu_leaves = jax.tree.leaves(adam.nu)
+    assert len(p_leaves) == len(mu_leaves) == len(nu_leaves)
+    for p, m, n in zip(p_leaves, mu_leaves, nu_leaves):
+        assert m.sharding == p.sharding and n.sharding == p.sharding
+    # at least one param is genuinely TP-sharded, so this isn't vacuous
+    assert any(
+        p.sharding.spec != P() for p in p_leaves
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-host bring-up (single-process degenerate forms on the CPU mesh)
 # ---------------------------------------------------------------------------
