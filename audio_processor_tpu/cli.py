@@ -593,16 +593,9 @@ def cmd_calibrate_alignment_heads(args) -> None:
 
     # weights_dtype=None: --write re-saves the .npz, and the default
     # compute-dtype cast would round the stored f32 weights to bf16
-    from .pipeline.transcribe import _f32_to_i16
-
     t = Transcriber.from_npz(args.checkpoint, weights_dtype=None)
     audio = ingest.load_audio(args.audio)
-    chunk = np.zeros((1, CHUNK_SAMPLES), np.int16)
-    piece = audio[:CHUNK_SAMPLES]
-    chunk[0, : len(piece)] = _f32_to_i16(piece)
-    import jax.numpy as jnp
-
-    states = t._frontend_encode(t.params, jnp.asarray(chunk))
+    states = t._frontend_encode(t.params, t._chunk_slab(audio, [0], 1))
     result = t._run_decode(states)
     tokens = np.array(result.tokens)[:1]
     pairs = align.calibrate_alignment_heads(

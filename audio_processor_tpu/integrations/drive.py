@@ -196,13 +196,35 @@ class DriveClient:
                     break
         return dest_path
 
-    def download_bytes(self, file_id: str) -> bytes:
-        status, _, content = self.transport(
-            "GET", f"{API_ROOT}/files/{file_id}", self._headers(), {"alt": "media"}, None
-        )
-        if status != 200 and status != 206:
+    def download_bytes(self, file_id: str, retries: int = 3) -> bytes:
+        """Whole-file download with the same 429/5xx/transport backoff as
+        download()/_get_json — one transient blip used to silently drop a
+        PDF attachment from the summary prompt (meeting stage 2 is
+        best-effort)."""
+        import time as _time
+
+        delay = 1.0
+        last: Exception | None = None
+        for _ in range(retries):
+            try:
+                status, _, content = self.transport(
+                    "GET", f"{API_ROOT}/files/{file_id}",
+                    self._headers(), {"alt": "media"}, None,
+                )
+            except Exception as exc:  # noqa: BLE001 — transport boundary
+                last = exc
+                _time.sleep(delay)
+                delay *= 2
+                continue
+            if status in (200, 206):
+                return content
+            if status in (429, 500, 502, 503, 504):
+                last = DriveError(f"download {file_id}: HTTP {status}")
+                _time.sleep(delay)
+                delay *= 2
+                continue
             raise DriveError(f"download {file_id}: HTTP {status}")
-        return content
+        raise last or DriveError(f"download {file_id} failed")
 
     def rename(self, file_id: str, new_name: str) -> dict:
         status, _, content = self.transport(

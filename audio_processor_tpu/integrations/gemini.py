@@ -23,14 +23,26 @@ from typing import Any, Callable
 
 logger = logging.getLogger(__name__)
 
-# same ladder order as the reference (audio_processor.py:440-441)
-DEFAULT_MODELS = (
+# the reference's ladder order (audio_processor.py:440-441), kept for
+# documentation/parity.  Its first two entries are RETIRED preview
+# endpoints — the 404-skip below survives them, but every call would pay
+# two dead round trips first, so the serving default reorders live models
+# ahead of the retired ids (GEMINI_MODELS env overrides entirely).
+REFERENCE_MODELS = (
     "gemini-2.5-pro-exp-03-25",
     "gemini-2.5-flash-preview-04-17",
     "gemini-1.5-pro",
     "gemini-2.0-flash",
     "gemini-1.5-flash",
     "gemini-2.0-flash-lite",
+)
+DEFAULT_MODELS = (
+    "gemini-1.5-pro",
+    "gemini-2.0-flash",
+    "gemini-1.5-flash",
+    "gemini-2.0-flash-lite",
+    "gemini-2.5-pro-exp-03-25",
+    "gemini-2.5-flash-preview-04-17",
 )
 FLASH_MODELS = tuple(m for m in DEFAULT_MODELS if "flash" in m)
 
@@ -45,10 +57,12 @@ class QuotaExhausted(GeminiError):
     pass
 
 
-def _default_http(url: str, payload: dict, timeout: float) -> tuple[int, dict]:
+def _default_http(
+    url: str, headers: dict, payload: dict, timeout: float
+) -> tuple[int, dict]:
     import requests
 
-    resp = requests.post(url, json=payload, timeout=timeout)
+    resp = requests.post(url, headers=headers, json=payload, timeout=timeout)
     try:
         body = resp.json()
     except ValueError:
@@ -60,11 +74,17 @@ class GeminiClient:
     def __init__(
         self,
         api_key: str | None = None,
-        models: tuple[str, ...] = DEFAULT_MODELS,
-        http: Callable[[str, dict, float], tuple[int, dict]] | None = None,
+        models: tuple[str, ...] | None = None,
+        http: Callable[[str, dict, dict, float], tuple[int, dict]] | None = None,
         timeout: float = 120.0,
     ):
         self.api_key = api_key or os.environ.get("GEMINI_API_KEY", "")
+        if models is None:
+            env = os.environ.get("GEMINI_MODELS", "")
+            models = (
+                tuple(m.strip() for m in env.split(",") if m.strip())
+                if env.strip() else DEFAULT_MODELS
+            )
         self.models = models
         self.http = http or _default_http
         self.timeout = timeout
@@ -80,10 +100,14 @@ class GeminiClient:
         on other errors raise (reference semantics, :447-469)."""
         last_exc: Exception | None = None
         for model in models or self.models:
-            url = f"{API_ROOT}/models/{model}:generateContent?key={self.api_key}"
+            # key rides the x-goog-api-key HEADER, never the URL: transport
+            # exceptions embed the URL (str(exc) includes the query string)
+            # and those strings land in server logs
+            url = f"{API_ROOT}/models/{model}:generateContent"
+            headers = {"x-goog-api-key": self.api_key}
             payload = {"contents": [{"parts": [{"text": prompt}]}]}
             try:
-                status, body = self.http(url, payload, self.timeout)
+                status, body = self.http(url, headers, payload, self.timeout)
             except Exception as exc:  # transport error: try next model
                 logger.warning("gemini %s transport error: %s", model, exc)
                 last_exc = exc

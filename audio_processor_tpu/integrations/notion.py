@@ -201,12 +201,15 @@ class NotionClient:
         tail.append(nf._block("heading_2", "🎙️ Full transcript"))
         tail.extend(nf.transcript_toggle_blocks("\n".join(transcript_lines)))
 
-        for batch in nf.batch_blocks(tail):
+        batches = nf.batch_blocks(tail)
+        for i, batch in enumerate(batches):
             self._request(
                 "PATCH",
                 f"{API_ROOT}/blocks/{page_id}/children",
                 {"children": batch},
             )
-            if self.batch_pause_s:
+            # pace BETWEEN batches only — a flat sleep after the final
+            # (often only) batch added dead wall time to every job
+            if self.batch_pause_s and i + 1 < len(batches):
                 time.sleep(self.batch_pause_s)
         return page_id, page_url

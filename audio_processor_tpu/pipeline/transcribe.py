@@ -651,6 +651,14 @@ class Transcriber:
                     self._row_compression_ratio(tokens[i])
                     > self.compression_ratio_threshold
                 )
+        if self.no_speech_threshold is not None:
+            # openai's decode_with_fallback exemption: a window whisper
+            # itself flags as no-speech NEVER retries (needs_fallback =
+            # False) — it will be gated to silence, and running the ladder
+            # both wastes rungs x best_of decodes and can launder a lucky
+            # high-temperature sample past the silence gate as text
+            nsp = np.asarray(result.no_speech_prob)[:n_real]
+            failed &= ~(nsp > self.no_speech_threshold)
         return failed
 
     def _silent_rows(self, nsp: np.ndarray, avg_lp: np.ndarray) -> np.ndarray:
@@ -814,62 +822,22 @@ class Transcriber:
             "temperature": np.full(n_real, self.temperature, np.float64),
         }
         if self.enable_fallback:
-            failed = self._failed_rows(result, tokens, n_real)
-            for temp in self._ladder:
-                if not failed.any():
-                    break
-                # COMPACTED retry: gather only the failed rows (padded to a
-                # power-of-two bucket for compile-count hygiene) instead of
-                # re-decoding the whole slab — one bad chunk in a 64-row
-                # slab costs a 1-row decode per rung, not 64.
-                idx = np.flatnonzero(failed)
-                # best_of expands every retry row best_of-fold inside the
-                # decode (T>0 rungs) — cap the sub-batch so
-                # bucket * best_of never exceeds the HBM-tuned slab cap
-                # (medium's cache OOMs past 48 rows; 48*5 would be fatal)
-                retry_cap = self._retry_cap
-                logger.info(
-                    "quality fallback: %d/%d chunks re-decoding at T=%.1f "
-                    "(sub-batches of <=%d x best_of=%d)",
-                    len(idx), n_real, temp, retry_cap, self.best_of,
+            # openai keeps initial_prompt through its per-window temperature
+            # retries; idx is ascending so the meeting's first window
+            # (original row 0) compacts to retry row 0 — exactly where the
+            # prompted program applies the prompt
+            def redecode(sub_states, part, temp, lo):
+                return self._run_decode(
+                    sub_states, temp, seed=int(temp * 10),
+                    first_row_prompt=bool(
+                        first_slab and lo == 0 and part[0] == 0
+                    ),
                 )
-                failed[:] = False
-                for lo in range(0, len(idx), retry_cap):
-                    part = idx[lo : lo + retry_cap]
-                    bucket = min(_bucket(len(part)), retry_cap)
-                    if self.mesh is not None:
-                        # shard_map'ed TP kernel + dp sharding need the
-                        # batch divisible by the data axis (main slabs are
-                        # rounded the same way)
-                        bucket = mesh_lib.round_up_batch(bucket, self.mesh)
-                    pad_idx = np.zeros(bucket, np.int64)
-                    pad_idx[: len(part)] = part
-                    sub_states = jnp.take(
-                        audio_states, jnp.asarray(pad_idx), axis=0
-                    )
-                    # openai keeps initial_prompt through its per-window
-                    # temperature retries; idx is ascending so the
-                    # meeting's first window (original row 0) compacts to
-                    # retry row 0 — exactly where the prompted program
-                    # applies the prompt
-                    retry = self._run_decode(
-                        sub_states, temp, seed=int(temp * 10),
-                        first_row_prompt=bool(
-                            first_slab and lo == 0 and part[0] == 0
-                        ),
-                    )
-                    retry_tokens = np.array(retry.tokens)[: len(part)]
-                    tokens[part] = retry_tokens
-                    r_len = np.asarray(retry.lengths)[: len(part)]
-                    meta["avg_logprob"][part] = (
-                        np.asarray(retry.sum_logprob)[: len(part)] / (r_len + 1)
-                    )
-                    meta["no_speech_prob"][part] = np.asarray(
-                        retry.no_speech_prob
-                    )[: len(part)]
-                    meta["temperature"][part] = temp
-                    refailed = self._failed_rows(retry, retry_tokens, len(part))
-                    failed[part[refailed]] = True
+
+            self._quality_retry(
+                result, tokens, n_real, audio_states, meta, redecode,
+                "quality fallback",
+            )
 
         # no-speech gate: a chunk is silence iff nospeech prob is high AND
         # the decode was low-confidence (both conditions, as openai-whisper).
@@ -888,6 +856,59 @@ class Transcriber:
             [self._row_compression_ratio(r) for r in tokens], np.float64
         )
         return tokens, meta
+
+    def _quality_retry(
+        self, result, tokens, n_real, states, meta, redecode, label
+    ) -> None:
+        """Compacted temperature-ladder retries (openai's
+        decode_with_fallback), the ONE loop both the parallel and the
+        conditioned paths run: gather only the failed rows (padded to a
+        power-of-two bucket for compile-count hygiene) instead of
+        re-decoding the whole slab — one bad chunk in a 64-row slab costs
+        a 1-row decode per rung, not 64.  ``meta`` arrays track the
+        ACCEPTING decode's stats in place; ``redecode(sub_states, part,
+        temp, lo)`` dispatches one padded sub-batch.
+
+        best_of expands every retry row best_of-fold inside the decode
+        (T>0 rungs) — _retry_cap keeps bucket x best_of within the
+        HBM-tuned slab budget (medium's cache OOMs past 48 rows).
+        """
+        failed = self._failed_rows(result, tokens, n_real)
+        for temp in self._ladder:
+            if not failed.any():
+                break
+            idx = np.flatnonzero(failed)
+            retry_cap = self._retry_cap
+            logger.info(
+                "%s: %d/%d chunks re-decoding at T=%.1f "
+                "(sub-batches of <=%d x best_of=%d)",
+                label, len(idx), n_real, temp, retry_cap, self.best_of,
+            )
+            failed[:] = False
+            for lo in range(0, len(idx), retry_cap):
+                part = idx[lo : lo + retry_cap]
+                bucket = min(_bucket(len(part)), retry_cap)
+                if self.mesh is not None:
+                    # shard_map'ed TP kernel + dp sharding need the batch
+                    # divisible by the data axis (main slabs are rounded
+                    # the same way)
+                    bucket = mesh_lib.round_up_batch(bucket, self.mesh)
+                pad_idx = np.zeros(bucket, np.int64)
+                pad_idx[: len(part)] = part
+                sub_states = jnp.take(states, jnp.asarray(pad_idx), axis=0)
+                retry = redecode(sub_states, part, temp, lo)
+                retry_tokens = np.array(retry.tokens)[: len(part)]
+                tokens[part] = retry_tokens
+                r_len = np.asarray(retry.lengths)[: len(part)]
+                meta["avg_logprob"][part] = (
+                    np.asarray(retry.sum_logprob)[: len(part)] / (r_len + 1)
+                )
+                meta["no_speech_prob"][part] = np.asarray(
+                    retry.no_speech_prob
+                )[: len(part)]
+                meta["temperature"][part] = temp
+                refailed = self._failed_rows(retry, retry_tokens, len(part))
+                failed[part[refailed]] = True
 
     # -- seek-based window advance (boundary-straddle repair) ----------------
 
@@ -1214,56 +1235,28 @@ class Transcriber:
 
                 if self.enable_fallback:
                     # same quality gate + compacted retry as the parallel
-                    # path; conditioning stops above T=0.5, matching
-                    # openai-whisper's prompt_reset_on_temperature.  Beam
-                    # rows that fail retry through SAMPLING at T>0 — the
-                    # exact decode_with_fallback ladder openai runs
-                    failed = self._failed_rows(result, tokens, n_real)
-                    for temp in self._ladder:
-                        if not failed.any():
-                            break
-                        idx = np.flatnonzero(failed)
-                        # cap sub-batches so bucket * best_of stays within
-                        # the HBM-tuned slab cap (same bound as the
-                        # parallel path's retry loop)
-                        retry_cap = self._retry_cap
-                        logger.info(
-                            "conditioned fallback: %d/%d chunks re-decoding "
-                            "at T=%.1f (sub-batches of <=%d x best_of=%d)",
-                            len(idx), n_real, temp, retry_cap, self.best_of,
+                    # path (ONE shared loop); conditioning stops above
+                    # T=0.5, matching openai-whisper's
+                    # prompt_reset_on_temperature.  Beam rows that fail
+                    # retry through SAMPLING at T>0 — the exact
+                    # decode_with_fallback ladder openai runs
+                    def redecode(sub_states, part, temp, lo2):
+                        sub_hists = [
+                            hists[i] if temp <= 0.5 else [] for i in part
+                        ]
+                        return run_prompted(
+                            sub_states, sub_hists, temp, int(temp * 10)
                         )
-                        failed[:] = False
-                        for lo2 in range(0, len(idx), retry_cap):
-                            part = idx[lo2 : lo2 + retry_cap]
-                            rb = min(_bucket(len(part)), retry_cap)
-                            if self.mesh is not None:
-                                rb = mesh_lib.round_up_batch(rb, self.mesh)
-                            pad_idx = np.zeros(rb, np.int64)
-                            pad_idx[: len(part)] = part
-                            sub_states = jnp.take(
-                                states, jnp.asarray(pad_idx), axis=0
-                            )
-                            sub_hists = [
-                                hists[i] if temp <= 0.5 else [] for i in part
-                            ]
-                            retry = run_prompted(
-                                sub_states, sub_hists, temp, int(temp * 10)
-                            )
-                            retry_tokens = np.array(retry.tokens)[: len(part)]
-                            tokens[part] = retry_tokens
-                            r_len = np.asarray(retry.lengths)[: len(part)]
-                            avg_lp[part] = (
-                                np.asarray(retry.sum_logprob)[: len(part)]
-                                / (r_len + 1)
-                            )
-                            nsp[part] = np.asarray(
-                                retry.no_speech_prob
-                            )[: len(part)]
-                            row_temp[part] = temp
-                            refailed = self._failed_rows(
-                                retry, retry_tokens, len(part)
-                            )
-                            failed[part[refailed]] = True
+
+                    retry_meta = {
+                        "avg_logprob": avg_lp,
+                        "no_speech_prob": nsp,
+                        "temperature": row_temp,
+                    }
+                    self._quality_retry(
+                        result, tokens, n_real, states, retry_meta,
+                        redecode, "conditioned fallback",
+                    )
 
                 if self.no_speech_threshold is not None:
                     # gate on the accepting decode's stats (nsp/avg_lp
@@ -1352,10 +1345,9 @@ class Transcriber:
             audio = np.asarray(
                 frontend.resample(jnp.asarray(audio), sample_rate)
             )
-        chunk = np.zeros((1, CHUNK_SAMPLES), np.int16)
-        piece = audio[:CHUNK_SAMPLES]
-        chunk[0, : len(piece)] = _f32_to_i16(piece)
-        states = self._frontend_encode(self.params, jnp.asarray(chunk))
+        states = self._frontend_encode(
+            self.params, self._chunk_slab(audio, [0], 1)
+        )
         _, probs = decode_lib.detect_language(self.params, self.cfg, states)
         probs = np.asarray(probs)[0]
         from ..models.whisper.tokenizer import (

@@ -24,19 +24,29 @@ def _gemini_response(text):
 def test_gemini_ladder_skips_quota():
     calls = []
 
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         calls.append(url)
+        assert headers["x-goog-api-key"] == "k"  # key in the HEADER,
+        assert "key=" not in url  # never the URL (it leaks into logs)
         if "gemini-2.5-pro" in url:
             return 429, {"error": {"message": "Resource exhausted"}}
         return 200, _gemini_response("ok!")
 
-    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    c = gemini_lib.GeminiClient(
+        api_key="k", models=gemini_lib.REFERENCE_MODELS, http=http
+    )
     assert c.generate("hi") == "ok!"
     assert len(calls) == 2  # first model skipped on quota
 
 
+def test_gemini_models_env_override(monkeypatch):
+    monkeypatch.setenv("GEMINI_MODELS", "my-model-a, my-model-b")
+    c = gemini_lib.GeminiClient(api_key="k", http=lambda *a: (200, {}))
+    assert c.models == ("my-model-a", "my-model-b")
+
+
 def test_gemini_hard_error_raises():
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         return 400, {"error": {"message": "Invalid request"}}
 
     c = gemini_lib.GeminiClient(api_key="k", http=http)
@@ -45,7 +55,7 @@ def test_gemini_hard_error_raises():
 
 
 def test_gemini_all_exhausted():
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         return 429, {"error": {"message": "quota"}}
 
     c = gemini_lib.GeminiClient(api_key="k", http=http)
@@ -62,7 +72,7 @@ def test_extract_json_object_nested_and_fenced():
 
 
 def test_identify_speakers_full_flow():
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         return 200, _gemini_response('{"SPEAKER_00": "Alice", "SPEAKER_01": ""}')
 
     c = gemini_lib.GeminiClient(api_key="k", http=http)
@@ -75,7 +85,7 @@ def test_identify_speakers_full_flow():
 
 
 def test_identify_speakers_failure_returns_identity():
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         raise ConnectionError("down")
 
     c = gemini_lib.GeminiClient(api_key="k", http=http)
@@ -169,7 +179,7 @@ def test_markdown_unclosed_fence_does_not_crash():
 def test_gemini_summary_includes_attachment_context():
     seen = {}
 
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         seen["prompt"] = payload["contents"][0]["parts"][0]["text"]
         return 200, _gemini_response('{"title": "T", "summary": "S", "todos": []}')
 
@@ -375,18 +385,20 @@ def test_gemini_ladder_skips_retired_model():
     retired its experimental endpoint)."""
     calls = []
 
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         calls.append(url)
         if "gemini-2.5" in url:
             return 404, {"error": {"message": "model not found"}}
         return 200, _gemini_response("alive")
 
-    c = gemini_lib.GeminiClient(api_key="k", http=http)
+    c = gemini_lib.GeminiClient(
+        api_key="k", models=gemini_lib.REFERENCE_MODELS, http=http
+    )
     assert c.generate("hi") == "alive"
     assert len(calls) >= 2
     # genuinely invalid requests still raise immediately
     c2 = gemini_lib.GeminiClient(
-        api_key="k", http=lambda u, p, t: (400, {"error": {"message": "bad"}})
+        api_key="k", http=lambda u, h, p, t: (400, {"error": {"message": "bad"}})
     )
     with pytest.raises(gemini_lib.GeminiError):
         c2.generate("hi")
@@ -398,7 +410,7 @@ def test_identify_speakers_samples_whole_meeting():
     the exact reference defect this module documents fixing)."""
     seen = {}
 
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         seen["prompt"] = payload["contents"][0]["parts"][0]["text"]
         return 200, _gemini_response('{"SPEAKER_01": "Zed"}')
 

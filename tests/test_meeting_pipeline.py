@@ -16,7 +16,7 @@ from audio_processor_tpu.utils import wavio
 
 
 def _fake_gemini():
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         prompt = payload["contents"][0]["parts"][0]["text"]
         if "mapping each speaker code" in prompt:
             text = '{"SPEAKER_00": "Alice"}'
@@ -248,7 +248,7 @@ def test_all_attachments_reach_summary_prompt(wav_file, processor_parts, tmp_pat
 
     prompts = []
 
-    def http(url, payload, timeout):
+    def http(url, headers, payload, timeout):
         prompt = payload["contents"][0]["parts"][0]["text"]
         prompts.append(prompt)
         if "mapping each speaker code" in prompt:

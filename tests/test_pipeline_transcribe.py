@@ -1131,12 +1131,35 @@ def test_quality_gate_divisor_matches_openai():
     result = SimpleNamespace(
         lengths=np.array([0, 3]),
         sum_logprob=np.array([-1.8, -1.8]),
+        no_speech_prob=np.zeros(2),
     )
     tokens = np.full((2, 8), eot, np.int64)
     failed = t._failed_rows(result, tokens, 2)
     # row 0: -1.8 / (0+1) = -1.8 < -1.0 -> fails (a 2-divisor would pass)
     # row 1: -1.8 / (3+1) = -0.45 -> passes
     assert failed.tolist() == [True, False]
+
+
+def test_quality_gate_no_speech_exemption():
+    """openai's decode_with_fallback: a window whisper itself flags as
+    no-speech never retries (needs_fallback=False) — the ladder must not
+    launder a lucky high-temperature sample past the silence gate."""
+    from types import SimpleNamespace
+
+    t = Transcriber.random_init(
+        "test", compute_dtype="float32", max_new_tokens=8,
+        logprob_threshold=-1.0, compression_ratio_threshold=None,
+        enable_fallback=True,
+    )
+    eot = t.special.eot
+    result = SimpleNamespace(
+        lengths=np.array([2, 2]),
+        sum_logprob=np.array([-9.0, -9.0]),  # both fail the logprob gate
+        no_speech_prob=np.array([0.9, 0.1]),  # row 0 is whisper-silence
+    )
+    tokens = np.full((2, 8), eot, np.int64)
+    failed = t._failed_rows(result, tokens, 2)
+    assert failed.tolist() == [False, True]
 
 
 def test_language_out_of_model_range_fails_loudly():
