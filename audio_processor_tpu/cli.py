@@ -185,17 +185,19 @@ def cmd_transcribe(args) -> None:
             print(f"-- {out['duration']:.1f}s audio, {out['rtf_x']:.1f}x realtime",
                   file=sys.stderr)
 
-    if (
-        len(args.audio) > 1
-        and on_segment is None
-        and not args.clip_timestamps
-    ):
-        # several inputs, no per-file live/clip options: ONE shared-slab
+    if len(args.audio) > 1 and not args.clip_timestamps:
+        # several inputs, no per-file clip options: ONE shared-slab
         # batched decode (Transcriber.transcribe_batch) — identical
-        # per-file results, far better slab occupancy for short clips
+        # per-file results, far better slab occupancy for short clips.
+        # --verbose rides the batch too (per-file live callback).
         audios = [ingest.load_audio(p) for p in args.audio]
         outs = t.transcribe_batch(
-            audios, remove_silence=not args.keep_silence
+            audios, remove_silence=not args.keep_silence,
+            on_segment=(
+                (lambda fi, seg: on_segment(
+                    dict(seg, text=f"{args.audio[fi]}:{seg['text']}")))
+                if on_segment is not None else None
+            ),
         )
         for path, out in zip(args.audio, outs):
             emit(path, out)

@@ -1641,6 +1641,7 @@ class Transcriber:
         *,
         sample_rate: int = 16_000,
         remove_silence: bool = True,
+        on_segment: Callable[[int, dict], None] | None = None,
     ) -> list[dict]:
         """Transcribe SEVERAL independent recordings in SHARED decode slabs.
 
@@ -1659,8 +1660,10 @@ class Transcriber:
 
         word_timestamps rides the shared slabs too (encoder states are
         retained per slab and re-gathered per file for the alignment
-        pass).  Falls back to sequential per-file transcribe() calls when
-        an option needs per-file decode state INSIDE the slab: rolling
+        pass), and on_segment — called as on_segment(file_idx, segment)
+        as each window's decode drains — gives per-file live streaming.
+        Falls back to sequential per-file transcribe() calls when an
+        option needs per-file decode state INSIDE the slab: rolling
         conditioning context, or a first-window-only initial_prompt.
 
         The reference serves every request through one sequential
@@ -1677,9 +1680,13 @@ class Transcriber:
         if not self.supports_shared_slabs:
             return [
                 self.transcribe(
-                    a, sample_rate=sample_rate, remove_silence=remove_silence
+                    a, sample_rate=sample_rate, remove_silence=remove_silence,
+                    on_segment=(
+                        (lambda seg, fi=fi: on_segment(fi, seg))
+                        if on_segment is not None else None
+                    ),
                 )
-                for a in audios
+                for fi, a in enumerate(audios)
             ]
 
         # per-file preprocessing — exactly the transcribe() head
@@ -1763,6 +1770,22 @@ class Transcriber:
                         meta_by_file[fi][k][ci] = meta[k][j]
                 if self.word_timestamps:
                     kept_slab_states.append((states, batch_pairs))
+                if on_segment is not None:
+                    # live segments per file as its windows drain (the
+                    # single-file path's on_segment, keyed by file index)
+                    by_file: dict[int, list[int]] = {}
+                    for j, (fi, _) in enumerate(batch_pairs):
+                        by_file.setdefault(fi, []).append(j)
+                    for fi, js in by_file.items():
+                        self._emit_live_segments(
+                            lambda seg, fi=fi: on_segment(fi, seg),
+                            toks[js],
+                            np.asarray(
+                                [batch_pairs[j][1] for j in js], np.float64
+                            ),
+                            len(trimmed[fi]) / 16_000.0,
+                            time_maps[fi],
+                        )
 
             for lo in range(0, len(pairs), slab):
                 batch_pairs = pairs[lo : lo + slab]

@@ -130,3 +130,23 @@ def test_batch_language_detection_groups(speech_like_audio, rng):
     ]
     for b, s in zip(batch, seq):
         assert _comparable(b) == _comparable(s)
+
+
+def test_batch_on_segment_streams_per_file(t, rng):
+    """on_segment(file_idx, seg) fires as each window drains, with the
+    same segments the final per-file results carry."""
+    files = [
+        rng.normal(0, 0.1, 10 * 16_000).astype(np.float32),
+        rng.normal(0, 0.1, 35 * 16_000).astype(np.float32),
+    ]
+    live: dict[int, list[dict]] = {0: [], 1: []}
+    outs = t.transcribe_batch(
+        files, remove_silence=False,
+        on_segment=lambda fi, seg: live[fi].append(seg),
+    )
+    for fi, out in enumerate(outs):
+        want = [
+            (s["start"], s["end"], s["text"]) for s in out["segments"]
+        ]
+        got = sorted((s["start"], s["end"], s["text"]) for s in live[fi])
+        assert got == sorted(want)
