@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -251,7 +252,7 @@ class Diarizer:
 
     def diarize(
         self,
-        audio: np.ndarray,
+        audio: np.ndarray | str,
         sample_rate: int = 16_000,
         *,
         num_speakers: int | None = None,
@@ -273,6 +274,15 @@ class Diarizer:
         pyannote's ``pipeline(audio, return_embeddings=True)`` form: one
         L2-normalised centroid row per SPEAKER_XX (None when no speech).
         """
+        if isinstance(audio, (str, os.PathLike)):
+            # pyannote's pipeline("audio.wav") form — the reference's
+            # actual call passes a PATH (audio_processor.py:1105)
+            from . import ingest
+
+            audio = ingest.load_audio(
+                str(audio), target_sr=self.seg_cfg.sample_rate
+            )
+            sample_rate = self.seg_cfg.sample_rate
         if num_speakers is not None:
             if min_speakers is not None or max_speakers is not None:
                 raise ValueError(

@@ -146,6 +146,20 @@ def _f32_to_i16(x: np.ndarray) -> np.ndarray:
     return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
 
 
+def _load_if_path(audio, sample_rate: int):
+    """openai's ``transcribe(audio: str | np.ndarray)`` convention: a path
+    (or PathLike) decodes through the ingest stack to 16 kHz mono float32
+    (whisper/transcribe.py accepts str and calls load_audio; the reference
+    inherits that surface at app/services/audio_processor.py:1076)."""
+    import os
+
+    if isinstance(audio, (str, os.PathLike)):
+        from . import ingest
+
+        return ingest.load_audio(str(audio)), 16_000
+    return audio, sample_rate
+
+
 def _bucket(n: int, max_bucket: int = 64) -> int:
     """Round a chunk count up to the next power of two (compile-count cap).
 
@@ -1326,7 +1340,7 @@ class Transcriber:
             )
 
     def detect_language(
-        self, audio: np.ndarray, sample_rate: int = 16_000
+        self, audio: "np.ndarray | str", sample_rate: int = 16_000
     ) -> dict:
         """openai's ``model.detect_language`` surface on the first 30 s.
 
@@ -1340,6 +1354,7 @@ class Transcriber:
                 "detect_language requires a multilingual model "
                 "(this config has no language tokens)"
             )
+        audio, sample_rate = _load_if_path(audio, sample_rate)
         audio = np.asarray(audio, np.float32)
         if sample_rate != 16_000:
             audio = np.asarray(
@@ -1370,7 +1385,7 @@ class Transcriber:
 
     def transcribe(
         self,
-        audio: np.ndarray,
+        audio: "np.ndarray | str",
         *,
         sample_rate: int = 16_000,
         remove_silence: bool = True,
@@ -1380,6 +1395,11 @@ class Transcriber:
         on_segment: Callable[[dict], None] | None = None,
     ) -> dict:
         """Full transcription of arbitrary-length mono audio.
+
+        ``audio`` may also be a file path (str/PathLike), decoded through
+        the ingest stack — openai's ``transcribe(audio: str | ndarray)``
+        convention, which the reference uses with a path
+        (app/services/audio_processor.py:1076).
 
         on_segment: live segment stream (openai-whisper's verbose=True
         printing, audio_processor.py:1076 inherits it) — called with each
@@ -1403,6 +1423,7 @@ class Transcriber:
         import time as _time
 
         t0 = _time.perf_counter()
+        audio, sample_rate = _load_if_path(audio, sample_rate)
         self._active_language = None  # re-detected per call
         duration_s = len(audio) / sample_rate
 
@@ -1637,7 +1658,7 @@ class Transcriber:
 
     def transcribe_batch(
         self,
-        audios: list[np.ndarray],
+        audios: "list[np.ndarray | str]",
         *,
         sample_rate: int = 16_000,
         remove_silence: bool = True,
@@ -1695,11 +1716,12 @@ class Transcriber:
         durations_s: list[float] = []
         n_chunks_per: list[int] = []
         for audio in audios:
+            audio, sr = _load_if_path(audio, sample_rate)
             audio = np.asarray(audio, np.float32)
-            duration_s = len(audio) / sample_rate
-            if sample_rate != 16_000:
+            duration_s = len(audio) / sr
+            if sr != 16_000:
                 audio = np.asarray(
-                    frontend.resample(jnp.asarray(audio), sample_rate)
+                    frontend.resample(jnp.asarray(audio), sr)
                 )
             if remove_silence and len(audio) > 2 * 16_000:
                 audio, intervals = frontend.trim_silence_host(audio)

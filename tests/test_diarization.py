@@ -369,3 +369,16 @@ def test_embedding_odd_mel_count():
         params, cfg, jnp.zeros((1, cfg.crop_samples), jnp.float32)
     )
     assert out.shape == (1, cfg.embed_dim)
+
+
+def test_diarizer_accepts_path(rng, tmp_path):
+    """pyannote's pipeline("audio.wav") form — the reference's actual
+    call passes a path (audio_processor.py:1105)."""
+    from audio_processor_tpu.utils import wavio
+
+    d = Diarizer.random_init(window_step_s=5.0)
+    sr = 16_000
+    audio = rng.normal(0, 0.2, 12 * sr).astype(np.float32)
+    p = tmp_path / "meeting.wav"
+    wavio.write_wav(str(p), audio, sr)
+    assert d.diarize(str(p)) == d.diarize(audio)

@@ -150,3 +150,22 @@ def test_batch_on_segment_streams_per_file(t, rng):
         ]
         got = sorted((s["start"], s["end"], s["text"]) for s in live[fi])
         assert got == sorted(want)
+
+
+def test_path_inputs(t, rng, tmp_path):
+    """openai's transcribe(audio: str) convention: a file path decodes
+    through the ingest stack and matches the array call exactly; paths
+    and arrays mix freely in transcribe_batch (the reference passes
+    PATHS to its engines, audio_processor.py:1076,1105)."""
+    from audio_processor_tpu.utils import wavio
+
+    audio = rng.normal(0, 0.1, 5 * 16_000).astype(np.float32)
+    p = tmp_path / "clip.wav"
+    wavio.write_wav(str(p), audio, 16_000)
+
+    from_path = t.transcribe(str(p))
+    from_array = t.transcribe(audio)
+    assert _comparable(from_path) == _comparable(from_array)
+
+    batch = t.transcribe_batch([str(p), audio])
+    assert _comparable(batch[0]) == _comparable(batch[1])
