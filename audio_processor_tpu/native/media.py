@@ -56,6 +56,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ]
+        if hasattr(lib, "aptpu_decode_media_prefix"):
+            lib.aptpu_decode_media_prefix.restype = ctypes.c_int64
+            lib.aptpu_decode_media_prefix.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ]
         lib.aptpu_media_free.restype = None
         lib.aptpu_media_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.aptpu_media_info.restype = ctypes.c_int
@@ -78,19 +84,33 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode(path: str, target_sr: int = 16_000) -> tuple[np.ndarray, int]:
-    """Any supported container/codec -> (mono float32 @ target_sr, rate)."""
+def decode(
+    path: str, target_sr: int = 16_000, max_samples: int | None = None
+) -> tuple[np.ndarray, int]:
+    """Any supported container/codec -> (mono float32 @ target_sr, rate).
+
+    max_samples bounds the decode: demuxing stops once that many output
+    samples exist (a 30 s probe of a long recording decodes ~30 s, not
+    the file).  A pre-prefix .so decodes fully and slices — same result.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native media library not available")
     buf = ctypes.POINTER(ctypes.c_float)()
-    n = lib.aptpu_decode_media(path.encode(), target_sr, ctypes.byref(buf))
+    if max_samples is not None and hasattr(lib, "aptpu_decode_media_prefix"):
+        n = lib.aptpu_decode_media_prefix(
+            path.encode(), target_sr, int(max_samples), ctypes.byref(buf)
+        )
+    else:
+        n = lib.aptpu_decode_media(path.encode(), target_sr, ctypes.byref(buf))
     if n < 0:
         raise ValueError(f"native media decode failed for {path!r}")
     try:
         out = np.ctypeslib.as_array(buf, shape=(n,)).copy()
     finally:
         lib.aptpu_media_free(buf)
+    if max_samples is not None:
+        out = out[: int(max_samples)]
     return out, target_sr
 
 

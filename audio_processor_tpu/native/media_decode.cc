@@ -108,23 +108,27 @@ bool convert_frame(DecodeCtx* c, const AVFrame* frame, int64_t target_sr,
   return true;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode any container/codec to mono float32 at target_sr.
-// On success returns sample count and stores a malloc'd buffer in *out
-// (free with aptpu_media_free); on failure returns -1.
-int64_t aptpu_decode_media(const char* path, int64_t target_sr,
-                           float** out) try {
+// Shared decode loop.  max_samples == 0 decodes the full stream;
+// max_samples > 0 stops demuxing as soon as that many output samples
+// exist (a 30 s language-detect probe of a 3 h m4a decodes ~30 s, not
+// the whole file) and truncates the result to exactly max_samples.
+int64_t decode_media_impl(const char* path, int64_t target_sr,
+                          int64_t max_samples, float** out) {
   if (!path || !out || target_sr <= 0 || target_sr > 768000) return -1;
+  if (max_samples < 0) return -1;
   *out = nullptr;
   DecodeCtx c;
   if (!open_input(&c, path, target_sr)) return -1;
 
   std::vector<float> samples;
   samples.reserve(1 << 20);
+  bool capped = false;
   for (;;) {
+    if (max_samples > 0 &&
+        static_cast<int64_t>(samples.size()) >= max_samples) {
+      capped = true;
+      break;
+    }
     const int rd = av_read_frame(c.fmt, c.pkt);
     if (rd == AVERROR_EOF) break;
     // a mid-file demux error is NOT end-of-stream: returning the partial
@@ -152,20 +156,44 @@ int64_t aptpu_decode_media(const char* path, int64_t target_sr,
     }
     av_packet_unref(c.pkt);
   }
-  // flush decoder, then the resampler's tail
-  avcodec_send_packet(c.dec, nullptr);
-  while (avcodec_receive_frame(c.dec, c.frame) == 0) {
-    if (!convert_frame(&c, c.frame, target_sr, &samples)) return -1;
+  if (!capped) {
+    // flush decoder, then the resampler's tail
+    avcodec_send_packet(c.dec, nullptr);
+    while (avcodec_receive_frame(c.dec, c.frame) == 0) {
+      if (!convert_frame(&c, c.frame, target_sr, &samples)) return -1;
+    }
+    if (!convert_frame(&c, nullptr, target_sr, &samples)) return -1;
   }
-  if (!convert_frame(&c, nullptr, target_sr, &samples)) return -1;
 
-  const int64_t n = static_cast<int64_t>(samples.size());
+  int64_t n = static_cast<int64_t>(samples.size());
+  if (max_samples > 0 && n > max_samples) n = max_samples;
   if (n == 0) return -1;
   float* buf = static_cast<float*>(std::malloc(n * sizeof(float)));
   if (!buf) return -1;
   std::memcpy(buf, samples.data(), n * sizeof(float));
   *out = buf;
   return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode any container/codec to mono float32 at target_sr.
+// On success returns sample count and stores a malloc'd buffer in *out
+// (free with aptpu_media_free); on failure returns -1.
+int64_t aptpu_decode_media(const char* path, int64_t target_sr,
+                           float** out) try {
+  return decode_media_impl(path, target_sr, 0, out);
+} catch (...) {
+  return -1;
+}
+
+// Decode at most max_samples output samples (0 = unlimited) — the
+// bounded-probe form used by detect_language(path).
+int64_t aptpu_decode_media_prefix(const char* path, int64_t target_sr,
+                                  int64_t max_samples, float** out) try {
+  return decode_media_impl(path, target_sr, max_samples, out);
 } catch (...) {
   return -1;
 }

@@ -252,7 +252,7 @@ class Diarizer:
 
     def diarize(
         self,
-        audio: np.ndarray | str,
+        audio: "np.ndarray | str | os.PathLike",
         sample_rate: int = 16_000,
         *,
         num_speakers: int | None = None,
@@ -274,15 +274,6 @@ class Diarizer:
         pyannote's ``pipeline(audio, return_embeddings=True)`` form: one
         L2-normalised centroid row per SPEAKER_XX (None when no speech).
         """
-        if isinstance(audio, (str, os.PathLike)):
-            # pyannote's pipeline("audio.wav") form — the reference's
-            # actual call passes a PATH (audio_processor.py:1105)
-            from . import ingest
-
-            audio = ingest.load_audio(
-                str(audio), target_sr=self.seg_cfg.sample_rate
-            )
-            sample_rate = self.seg_cfg.sample_rate
         if num_speakers is not None:
             if min_speakers is not None or max_speakers is not None:
                 raise ValueError(
@@ -292,6 +283,14 @@ class Diarizer:
         else:
             min_spk = self.min_speakers if min_speakers is None else min_speakers
             max_spk = self.max_speakers if max_speakers is None else max_speakers
+        # pyannote's pipeline("audio.wav") form — the reference's actual
+        # call passes a PATH (audio_processor.py:1105).  After argument
+        # validation, so invalid calls fail before paying a media decode.
+        from . import ingest
+
+        audio, sample_rate = ingest.load_if_path(
+            audio, sample_rate, target_sr=self.seg_cfg.sample_rate
+        )
         if sample_rate != self.seg_cfg.sample_rate:
             from ..ops import frontend
 

@@ -34,21 +34,38 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
-    """Decode any supported audio file to mono float32 at target_sr."""
+def load_audio(
+    path: str, target_sr: int = TARGET_SR, max_s: float | None = None
+) -> np.ndarray:
+    """Decode any supported audio file to mono float32 at target_sr.
+
+    ``max_s`` bounds the decode to the first max_s seconds — bounded
+    probes (detect_language's 30 s window) on multi-hour recordings stop
+    demuxing/converting at the cap instead of decoding the whole file.
+    """
+
+    def cap(samples: np.ndarray) -> np.ndarray:
+        if max_s is not None:
+            return samples[: int(max_s * target_sr)]
+        return samples
+
+    max_samples = None if max_s is None else int(max_s * target_sr)
     ext = os.path.splitext(path)[1].lower()
     if ext in (".wav", ".wave"):
-        # fastest path: native C++ decode+resample in one pass
+        # fastest path: native C++ decode+resample in one pass.  The
+        # native WAV ABI has no prefix form — WAV decode is a single
+        # memcpy-grade pass, so decode-then-slice is fine; the pure-
+        # Python fallback slices the payload before conversion.
         try:
             from ..native import audio_io
 
             if audio_io.available():
                 samples, _ = audio_io.decode(path, target_sr)
-                return samples
+                return cap(samples)
         except Exception as exc:  # noqa: BLE001 — fall back to pure Python
             logger.debug("native decode unavailable (%s)", exc)
         try:
-            return _load_wav(path, target_sr)
+            return cap(_load_wav(path, target_sr, max_s=max_s))
         except ValueError as exc:
             logger.warning("WAV decode failed (%s); trying media decoders", exc)
     # compressed containers: in-process codec-library decode first
@@ -57,15 +74,15 @@ def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
         from ..native import media
 
         if media.available():
-            samples, _ = media.decode(path, target_sr)
-            return samples
+            samples, _ = media.decode(path, target_sr, max_samples=max_samples)
+            return cap(samples)
     except Exception as exc:  # noqa: BLE001 — keep falling back: the host
         # ffmpeg binary may carry codecs the linked libav build lacks
         # (the docstring's promised last resort)
         media_error = exc
         logger.debug("native media decode failed (%s)", exc)
     if ffmpeg_available():
-        return _load_via_ffmpeg(path, target_sr)
+        return cap(_load_via_ffmpeg(path, target_sr, max_s=max_s))
     if media_error is not None:
         raise ValueError(
             f"cannot decode {path!r}: no decodable audio stream"
@@ -75,8 +92,32 @@ def load_audio(path: str, target_sr: int = TARGET_SR) -> np.ndarray:
     )
 
 
-def _load_wav(path: str, target_sr: int) -> np.ndarray:
-    samples, rate = wavio.read_wav_mono(path)
+def load_if_path(
+    audio: "np.ndarray | str | os.PathLike",
+    sample_rate: int,
+    target_sr: int = TARGET_SR,
+    max_s: float | None = None,
+) -> tuple[np.ndarray, int]:
+    """openai/pyannote path-argument convention, shared by every surface
+    that accepts ``audio: ndarray | str`` (openai-whisper's
+    ``transcribe(audio)`` and pyannote's ``pipeline("audio.wav")`` — the
+    reference passes PATHS to both engines,
+    app/services/audio_processor.py:1076,1105).
+
+    A str/PathLike decodes through this ingest stack at ``target_sr``
+    (bounded by ``max_s``); an array passes through untouched with the
+    caller's ``sample_rate``.  Returns ``(audio, sample_rate)``.
+    """
+    if isinstance(audio, (str, os.PathLike)):
+        return load_audio(str(audio), target_sr, max_s=max_s), target_sr
+    return audio, sample_rate
+
+
+def _load_wav(
+    path: str, target_sr: int, max_s: float | None = None
+) -> np.ndarray:
+    # cap at the SOURCE rate (read_wav slices pre-conversion), resample after
+    samples, rate = wavio.read_wav_mono(path, max_s=max_s)
     return _resample_np(samples, rate, target_sr)
 
 
@@ -88,10 +129,13 @@ def _resample_np(samples: np.ndarray, rate: int, target_sr: int) -> np.ndarray:
     return np.asarray(frontend.resample(jnp.asarray(samples, jnp.float32), rate, target_sr))
 
 
-def _load_via_ffmpeg(path: str, target_sr: int) -> np.ndarray:
+def _load_via_ffmpeg(
+    path: str, target_sr: int, max_s: float | None = None
+) -> np.ndarray:
     """ffmpeg -> s16le pipe -> numpy (no temp WAV round-trip)."""
     cmd = [
         "ffmpeg", "-nostdin", "-threads", "0", "-i", path,
+        *([] if max_s is None else ["-t", f"{max_s:.3f}"]),
         "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le",
         "-ar", str(target_sr), "-",
     ]

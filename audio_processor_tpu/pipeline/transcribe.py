@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -25,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import ingest
 from ..models.whisper import decode as decode_lib
 from ..models.whisper import model as model_lib
 from ..models.whisper.config import WhisperConfig, get_config
@@ -144,20 +146,6 @@ def _f32_to_i16(x: np.ndarray) -> np.ndarray:
     One definition for every slab/patch assembly site — the grid windows
     and the seek-repair patch windows must quantise identically."""
     return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
-
-
-def _load_if_path(audio, sample_rate: int):
-    """openai's ``transcribe(audio: str | np.ndarray)`` convention: a path
-    (or PathLike) decodes through the ingest stack to 16 kHz mono float32
-    (whisper/transcribe.py accepts str and calls load_audio; the reference
-    inherits that surface at app/services/audio_processor.py:1076)."""
-    import os
-
-    if isinstance(audio, (str, os.PathLike)):
-        from . import ingest
-
-        return ingest.load_audio(str(audio)), 16_000
-    return audio, sample_rate
 
 
 def _bucket(n: int, max_bucket: int = 64) -> int:
@@ -1340,7 +1328,9 @@ class Transcriber:
             )
 
     def detect_language(
-        self, audio: "np.ndarray | str", sample_rate: int = 16_000
+        self,
+        audio: "np.ndarray | str | os.PathLike",
+        sample_rate: int = 16_000,
     ) -> dict:
         """openai's ``model.detect_language`` surface on the first 30 s.
 
@@ -1354,7 +1344,9 @@ class Transcriber:
                 "detect_language requires a multilingual model "
                 "(this config has no language tokens)"
             )
-        audio, sample_rate = _load_if_path(audio, sample_rate)
+        # path inputs: only the first 30 s window is scored, so bound the
+        # decode instead of paying a whole-file decode for the probe
+        audio, sample_rate = ingest.load_if_path(audio, sample_rate, max_s=30.0)
         audio = np.asarray(audio, np.float32)
         if sample_rate != 16_000:
             audio = np.asarray(
@@ -1385,7 +1377,7 @@ class Transcriber:
 
     def transcribe(
         self,
-        audio: "np.ndarray | str",
+        audio: "np.ndarray | str | os.PathLike",
         *,
         sample_rate: int = 16_000,
         remove_silence: bool = True,
@@ -1423,7 +1415,7 @@ class Transcriber:
         import time as _time
 
         t0 = _time.perf_counter()
-        audio, sample_rate = _load_if_path(audio, sample_rate)
+        audio, sample_rate = ingest.load_if_path(audio, sample_rate)
         self._active_language = None  # re-detected per call
         duration_s = len(audio) / sample_rate
 
@@ -1658,7 +1650,7 @@ class Transcriber:
 
     def transcribe_batch(
         self,
-        audios: "list[np.ndarray | str]",
+        audios: "list[np.ndarray | str | os.PathLike]",
         *,
         sample_rate: int = 16_000,
         remove_silence: bool = True,
@@ -1716,7 +1708,7 @@ class Transcriber:
         durations_s: list[float] = []
         n_chunks_per: list[int] = []
         for audio in audios:
-            audio, sr = _load_if_path(audio, sample_rate)
+            audio, sr = ingest.load_if_path(audio, sample_rate)
             audio = np.asarray(audio, np.float32)
             duration_s = len(audio) / sr
             if sr != 16_000:

@@ -34,11 +34,14 @@ def _iter_chunks(data: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
+def read_wav(path: str, max_s: float | None = None) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 samples in [-1, 1] of shape (frames, ch), rate).
 
     Supports PCM 8/16/24/32-bit and IEEE float32/float64, plus the
     WAVE_FORMAT_EXTENSIBLE wrapper — a superset of stdlib ``wave``.
+    ``max_s`` caps the result to the first max_s seconds: the data payload
+    is sliced BEFORE sample conversion, so a bounded probe of a long file
+    skips the float conversion of everything past the cap.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -73,6 +76,9 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: invalid sample rate {rate}")
     if channels < 1:
         raise ValueError(f"{path}: invalid channel count {channels}")
+    if max_s is not None and max_s >= 0:
+        frame_bytes = channels * max(bits // 8, 1)
+        payload = payload[: int(max_s * rate) * frame_bytes]
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = (np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -109,9 +115,11 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return x, rate
 
 
-def read_wav_mono(path: str) -> tuple[np.ndarray, int]:
+def read_wav_mono(
+    path: str, max_s: float | None = None
+) -> tuple[np.ndarray, int]:
     """Read a WAV file and downmix to mono float32 (frames,)."""
-    x, rate = read_wav(path)
+    x, rate = read_wav(path, max_s=max_s)
     return x.mean(axis=1, dtype=np.float32), rate
 
 

@@ -373,7 +373,10 @@ def test_embedding_odd_mel_count():
 
 def test_diarizer_accepts_path(rng, tmp_path):
     """pyannote's pipeline("audio.wav") form — the reference's actual
-    call passes a path (audio_processor.py:1105)."""
+    call passes a path (audio_processor.py:1105).  Compared against the
+    DECODED wav (write_wav quantizes to 16-bit PCM, so the pre-write
+    float array is not what the path branch sees)."""
+    from audio_processor_tpu.pipeline import ingest
     from audio_processor_tpu.utils import wavio
 
     d = Diarizer.random_init(window_step_s=5.0)
@@ -381,4 +384,16 @@ def test_diarizer_accepts_path(rng, tmp_path):
     audio = rng.normal(0, 0.2, 12 * sr).astype(np.float32)
     p = tmp_path / "meeting.wav"
     wavio.write_wav(str(p), audio, sr)
-    assert d.diarize(str(p)) == d.diarize(audio)
+    decoded = ingest.load_audio(str(p), target_sr=sr)
+    assert d.diarize(str(p)) == d.diarize(decoded)
+
+
+def test_diarizer_path_invalid_args_fail_before_decode(tmp_path):
+    """num_speakers vs min/max exclusivity raises BEFORE the path decode
+    (no point paying a media decode for a guaranteed ValueError)."""
+    import pytest
+
+    d = Diarizer.random_init(window_step_s=5.0)
+    missing = tmp_path / "never_written.wav"  # decode would raise OSError
+    with pytest.raises(ValueError, match="num_speakers"):
+        d.diarize(str(missing), num_speakers=2, min_speakers=1)

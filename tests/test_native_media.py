@@ -116,3 +116,32 @@ def test_stereo_mp3_style_downmix(tmp_path):
     assert abs(len(y) - 32000) < 200
     spec = _spectrum(y, n=16384, skip=2000)
     assert abs(np.argmax(spec) * 16000 / 16384 - 300) < 4
+
+
+def test_bounded_decode_max_samples(tmp_path):
+    """max_samples stops the demux at the cap and the prefix matches the
+    full decode sample-for-sample (detect_language's 30 s probe path)."""
+    wav, m4a = _twin(tmp_path, seconds=6)
+    full, _ = media.decode(m4a, 16_000)
+    cap = 16_000  # 1 s
+    part, _ = media.decode(m4a, 16_000, max_samples=cap)
+    assert len(part) == cap
+    np.testing.assert_array_equal(part, full[:cap])
+
+
+def test_ingest_max_s_bounds_every_decoder(tmp_path):
+    """ingest.load_audio(max_s=...) returns exactly the first max_s
+    seconds for WAV (native + pure-Python) and compressed inputs."""
+    from audio_processor_tpu.pipeline import ingest
+
+    wav, m4a = _twin(tmp_path, seconds=6)
+    for path in (wav, m4a):
+        full = ingest.load_audio(path)
+        part = ingest.load_audio(path, max_s=2.0)
+        assert len(part) == 2 * 16_000
+        np.testing.assert_array_equal(part, full[: 2 * 16_000])
+    # pure-Python WAV reader slices the payload pre-conversion
+    x, rate = wavio.read_wav_mono(wav, max_s=2.0)
+    assert len(x) == 2 * 44_100
+    x_full, _ = wavio.read_wav_mono(wav)
+    np.testing.assert_array_equal(x, x_full[: 2 * 44_100])

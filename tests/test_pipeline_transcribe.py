@@ -1173,3 +1173,35 @@ def test_language_out_of_model_range_fails_loudly():
         Transcriber.random_init(
             "tiny", compute_dtype="float32", max_new_tokens=4, language=idx
         )
+
+
+def test_detect_language_path_input_bounded(rng, tmp_path):
+    """detect_language(path) decodes only the probe window (max_s=30)
+    through the ingest stack and matches the array call on the decoded
+    samples (openai's model.detect_language surface with whisper's
+    str-accepting transcribe convention)."""
+    import dataclasses
+
+    import jax
+    from audio_processor_tpu.models.whisper import model as model_lib
+    from audio_processor_tpu.pipeline import ingest
+    from audio_processor_tpu.utils import wavio
+
+    # the base "test" config is English-only; give it language tokens
+    cfg = dataclasses.replace(
+        get_config("test"), name="ml-test", n_vocab=51865, n_text_layer=1,
+        n_audio_layer=1,
+    )
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    t = Transcriber(params=params, cfg=cfg, compute_dtype="float32",
+                    max_new_tokens=4, enable_fallback=False)
+
+    audio = rng.normal(0, 0.2, 40 * 16_000).astype(np.float32)
+    p = tmp_path / "probe.wav"
+    wavio.write_wav(str(p), audio, 16_000)
+    decoded = ingest.load_audio(str(p))  # full decode for the oracle
+
+    from_path = t.detect_language(str(p))
+    from_array = t.detect_language(decoded[: 30 * 16_000])
+    assert from_path["language"] == from_array["language"]
+    assert from_path["probabilities"] == from_array["probabilities"]

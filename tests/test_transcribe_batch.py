@@ -156,16 +156,23 @@ def test_path_inputs(t, rng, tmp_path):
     """openai's transcribe(audio: str) convention: a file path decodes
     through the ingest stack and matches the array call exactly; paths
     and arrays mix freely in transcribe_batch (the reference passes
-    PATHS to its engines, audio_processor.py:1076,1105)."""
+    PATHS to its engines, audio_processor.py:1076,1105).
+
+    The comparison array is the DECODED wav (write_wav quantizes to
+    16-bit PCM, so comparing against the pre-write float array would
+    hinge on quantization-insensitive decodes — coincidence, not
+    contract)."""
+    from audio_processor_tpu.pipeline import ingest
     from audio_processor_tpu.utils import wavio
 
     audio = rng.normal(0, 0.1, 5 * 16_000).astype(np.float32)
     p = tmp_path / "clip.wav"
     wavio.write_wav(str(p), audio, 16_000)
+    decoded = ingest.load_audio(str(p))
 
     from_path = t.transcribe(str(p))
-    from_array = t.transcribe(audio)
+    from_array = t.transcribe(decoded)
     assert _comparable(from_path) == _comparable(from_array)
 
-    batch = t.transcribe_batch([str(p), audio])
+    batch = t.transcribe_batch([str(p), decoded])
     assert _comparable(batch[0]) == _comparable(batch[1])
