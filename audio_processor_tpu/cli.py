@@ -600,8 +600,12 @@ def cmd_calibrate_alignment_heads(args) -> None:
     states = t._frontend_encode(t.params, t._chunk_slab(audio, [0], 1))
     result = t._run_decode(states)
     tokens = np.array(result.tokens)[:1]
+    # calibrate under the SAME sot prefix serving aligns with (the mask
+    # must score the maps word_timestamps will actually serve)
+    lang = t._active_language if t._active_language is not None else t.language
     pairs = align.calibrate_alignment_heads(
-        t.params, t.cfg, states[:1], tokens, t.special, top_k=args.top_k
+        t.params, t.cfg, states[:1], tokens, t.special, top_k=args.top_k,
+        sot_sequence=t._sot_seq(lang),
     )
     print(json.dumps({"alignment_heads": [list(p) for p in pairs]}))
     if args.write:

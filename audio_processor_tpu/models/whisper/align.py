@@ -26,10 +26,10 @@ from .model import (
     Params,
     _merge_heads,
     _split_heads,
-    attention,
     layer_norm,
     linear,
     mlp,
+    self_attention,
 )
 
 AUDIO_FRAME_S = 0.02  # one encoder position = 20 ms
@@ -174,11 +174,11 @@ def _decoder_block(bp, cfg, x, audio_states, causal):
     (B, H, T, Ta)).  The ONE definition both the serving accumulator scan
     and the calibration all-maps scan run — calibration must measure the
     exact maps word_timestamps serves."""
-    xn = layer_norm(bp["attn_ln"], x)
-    q = _split_heads(linear(bp["attn"]["q"], xn), cfg.n_text_head)
-    k = _split_heads(linear(bp["attn"]["k"], xn), cfg.n_text_head)
-    v = _split_heads(linear(bp["attn"]["v"], xn), cfg.n_text_head)
-    x = x + linear(bp["attn"]["out"], _merge_heads(attention(q, k, v, causal)))
+    # the ONE self-attention definition (model.self_attention) — a local
+    # clone here would silently drift when model.py's attention changes
+    x = x + self_attention(
+        bp["attn"], layer_norm(bp["attn_ln"], x), cfg.n_text_head, causal
+    )
 
     xa = layer_norm(bp["cross_attn_ln"], x)
     qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
@@ -282,6 +282,7 @@ def calibrate_alignment_heads(
     token_rows: np.ndarray,  # (B, T) decoded text tokens, EOT-padded
     st: SpecialTokens,
     top_k: int = 6,
+    sot_sequence: tuple[int, ...] | None = None,
 ) -> tuple[tuple[int, int], ...]:
     """Measure which (layer, head) pairs track the audio timeline.
 
@@ -292,19 +293,36 @@ def calibrate_alignment_heads(
     or non-monotonic heads score low), averaged over batch rows, and the
     top_k heads win.  Feed the result to dataclasses.replace(cfg,
     alignment_heads=...) or convert.save_params for persistence.
+
+    The teacher-forced rows are rebuilt as ``[*sot_sequence,
+    <|notimestamps|>, *text, <|eot|>]`` — the EXACT layout
+    word_timestamps serves — so the measured maps are the served maps
+    (raw decode rows carry timestamps and no prefix, which would shift
+    every position and score different attention than serving uses).
+    Pass the generation ``sot_sequence`` for full parity.
     """
+    prefix = list(sot_sequence) if sot_sequence else [st.sot]
+    prefix.append(st.no_timestamps)
+    texts = [
+        [int(tok) for tok in row if tok < st.eot] for row in token_rows
+    ]
+    b = len(texts)
+    width = len(prefix) + max((len(x) for x in texts), default=0) + 1
+    forced = np.full((b, width), st.eot, np.int64)
+    for i, text in enumerate(texts):
+        forced[i, : len(prefix)] = prefix
+        forced[i, len(prefix) : len(prefix) + len(text)] = text
     maps = np.asarray(
         all_head_attention_maps(
-            params, cfg, jnp.asarray(token_rows, jnp.int32), audio_states
+            params, cfg, jnp.asarray(forced, jnp.int32), audio_states
         )
     )  # (L, B, H, T, Ta)
-    n_layers, b, n_heads = maps.shape[:3]
+    n_layers, _, n_heads = maps.shape[:3]
+    lo = len(prefix)
     scores = np.zeros((n_layers, n_heads), np.float64)
     counts = np.zeros((n_layers, n_heads), np.int64)
     for row_i in range(b):
-        text_pos = [
-            i for i, tok in enumerate(token_rows[row_i]) if tok < st.eot
-        ]
+        text_pos = list(range(lo, lo + len(texts[row_i])))
         if len(text_pos) < 2:
             continue
         for l in range(n_layers):
@@ -325,8 +343,10 @@ def calibrate_alignment_heads(
 def _median_filter(x: np.ndarray, width: int) -> np.ndarray:
     """openai's median_filter (whisper/timing.py): odd-width running median
     along the last axis with reflect padding.  Identity when the axis is
-    too short to reflect-pad (matches openai's early-return)."""
-    if width <= 1 or x.shape[-1] <= width:
+    too short to reflect-pad — openai's early-return is
+    ``shape[-1] <= pad_width`` (= width // 2), NOT <= width: a 4-7 frame
+    micro-chunk still gets filtered."""
+    if width <= 1 or x.shape[-1] <= width // 2:
         return x
     pad = width // 2
     xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
@@ -436,6 +456,15 @@ def word_timestamps(
         [int(tok) for tok in token_rows[i] if tok < st.eot] for i in range(b)
     ]
     width = len(prefix) + max((len(x) for x in texts), default=0) + 1
+    # bucket the token width too: width is a traced shape of the jitted
+    # teacher-forced scan, and every distinct max text length would
+    # otherwise recompile the program once per slab.  Power-of-two bucket
+    # capped at the decoder context (extra rows are EOT under the causal
+    # mask — rows at/below the terminator are unaffected).
+    bucket = 1 << max(0, width - 1).bit_length()
+    if cfg.n_text_ctx:
+        bucket = min(bucket, cfg.n_text_ctx)
+    width = max(width, bucket)
     forced = np.full((b, width), st.eot, np.int64)
     for i, text in enumerate(texts):
         forced[i, : len(prefix)] = prefix
@@ -476,16 +505,20 @@ def word_timestamps(
         # text rows + the terminator eot row (its aligned frame is the
         # last word's end boundary, exactly openai's final jump time)
         lo = len(prefix)
-        m = attn[row_i][lo : lo + len(text) + 1]  # (n_text + 1, Ta)
         nf = n_audio
         if content_frames is not None:
             nf = max(2, min(n_audio, int(content_frames[row_i])))
-        m = m[:, :nf]
+        # per-frame z-score statistics come from the FULL fed token axis
+        # (prefix rows included, exactly openai's std_mean BEFORE its row
+        # crop — the prefix rows' early-frame mass shifts the per-column
+        # stats); rows crop to text+terminator only afterwards.  Width-
+        # bucket EOT padding rows stay out of the stats.
+        mfull = attn[row_i][: lo + len(text) + 1, :nf]
         # crop + renormalise == softmax over the content frames only
-        m = m / np.maximum(m.sum(-1, keepdims=True), 1e-9)
-        mean = m.mean(axis=-2, keepdims=True)
-        std = np.maximum(m.std(axis=-2, keepdims=True), 1e-9)
-        m = _median_filter((m - mean) / std, 7)
+        mfull = mfull / np.maximum(mfull.sum(-1, keepdims=True), 1e-9)
+        mean = mfull.mean(axis=-2, keepdims=True)
+        std = np.maximum(mfull.std(axis=-2, keepdims=True), 1e-9)
+        m = _median_filter(((mfull - mean) / std)[lo:], 7)
         starts = dtw_path_from_cost(-m)
         offset = float(chunk_offsets_s[row_i])
         # openai's split: unicode units -> (language-dependent) words;

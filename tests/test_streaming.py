@@ -165,3 +165,69 @@ def test_flush_tiny_tail_resets_window_state():
     list(st.flush())
     assert st._emitted_words == [] and st._prev_words == []
     assert st._partial_mark == 0
+
+
+def test_single_segment_local_agreement_confirms():
+    """Continuous speech usually decodes as ONE segment; agreement spans
+    the whole hypothesis, so two consecutive decodes agreeing on a word
+    prefix emit it before the window closes (excluding the trailing
+    segment confirmed nothing until 30 s in the common case)."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([
+        [_seg(0.0, 4.0, "hello world")],
+        [_seg(0.0, 8.0, "hello world how are")],
+    ])
+    st = StreamingTranscriber(t, partial_step_s=4.0)
+    out = list(st.feed(np.zeros(4 * 16_000, np.float32)))
+    assert out == []  # first sighting: nothing to agree with yet
+    out = list(st.feed(np.zeros(4 * 16_000, np.float32)))
+    assert [s["text"] for s in out] == ["hello world"]
+
+
+def test_feed_buffers_eagerly_without_consuming_result():
+    """feed() is NOT a lazy generator: the block lands in the buffer even
+    when the caller ignores the return value (window mode returns [] for
+    ~30 s, so discarding it is a natural call pattern)."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([])
+    st = StreamingTranscriber(t)
+    st.feed(np.zeros(1000, np.float32))  # result deliberately discarded
+    assert len(st._buffer) == 1000
+
+
+def test_source_rate_buffering_one_resample_per_window():
+    """Non-16k input buffers at the SOURCE rate and windows cut in the
+    raw timeline resample whole — one contiguous resample per window,
+    not one per mic callback block (per-block FIR edges + per-block ceil
+    drift)."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    sr = 32_000
+    t = _ScriptedTranscriber([[_seg(0.0, 5.0, "x"), _seg(5.0, 30.0, "y")]])
+    st = StreamingTranscriber(t, sample_rate=sr)
+    # 30 s of raw audio in ragged 0.7 s blocks
+    fed = 0
+    while fed < 30 * sr:
+        n = min(int(0.7 * sr), 30 * sr - fed)
+        st.feed(np.zeros(n, np.float32))
+        fed += n
+    assert len(t.calls) == 1  # exactly one decode at the window boundary
+    assert abs(t.calls[0] - 480_000) <= 2  # resampled to ~30 s @ 16 k
+    assert st._emitted_s == 30.0  # clock advances by RAW duration
+
+
+def test_flush_discarded_tail_advances_clock():
+    """A sub-0.5 s tail dropped by flush still advances the global clock:
+    audio fed afterwards is stamped at the true stream time."""
+    from audio_processor_tpu.pipeline.streaming import StreamingTranscriber
+
+    t = _ScriptedTranscriber([[_seg(0.0, 1.0, "later")]])
+    st = StreamingTranscriber(t)
+    st.feed(np.zeros(int(0.4 * 16_000), np.float32))
+    assert st.flush() == []
+    assert st._emitted_s == pytest.approx(0.4)
+    # next full window's segments are offset by the discarded tail
+    out = st.feed(np.zeros(30 * 16_000, np.float32))
+    assert out[0]["start"] == pytest.approx(0.4)
