@@ -67,7 +67,6 @@ class SpecialTokens:
 
     @classmethod
     def for_config(cls, cfg: WhisperConfig) -> "SpecialTokens":
-        multilingual = cfg.n_vocab >= 51865
         if cfg.n_vocab >= 51865:
             eot = 50257
             num_languages = cfg.n_vocab - 51765 - 1  # 99 (v2) or 100 (v3)
@@ -356,6 +355,8 @@ def decoder_forward_cached(
     kv_bits: int = 8,  # cross-cache precision when kernel-layout quantized
     compute_dtype=None,  # activation dtype; required when self-KV is int8
     tp_mesh=None,  # model-parallel Mesh: int4 kernel runs per-shard
+    kernel_layout: bool | None = None,  # static: cross cache in kernel layout
+    logit_positions: tuple[int, ...] | None = None,
 ) -> tuple[jnp.ndarray, Cache]:
     """Run the decoder over T new tokens, appending K/V to the cache at pos.
 
@@ -367,6 +368,18 @@ def decoder_forward_cached(
     decode): a row whose real tokens start at physical slot `pad` gets
     positional embeddings indexed from 0 at that slot (pos_offset=pad) and
     never attends to the padding (min_valid=pad).
+
+    kernel_layout: whether the quantized cross cache is stored in the
+    Pallas kernel layout (init_cache's kernel_layout) — the decode impls
+    pass the same static flag they gave init_cache.  None falls back to
+    shape inference (axis 2 == heads), which is unambiguous for real
+    configs (Ta=1500 != H) but can misread toy configs where Ta == H.
+
+    logit_positions: prefill optimisation — unembed ONLY these (static,
+    negative-ok) token positions instead of all T.  The prompt prefill
+    reads just the sot slot and the last position; materialising the full
+    (B, T, V) float32 logits for a long conditioned prompt is a multi-GB
+    transient XLA does not narrow away.
     """
     p = params["decoder"]
     b, t = tokens.shape
@@ -394,6 +407,11 @@ def decoder_forward_cached(
 
     t_valid = pos + jnp.arange(t) + 1  # each new token sees cache[: pos+i+1]
     quantized = cache.cross_k_scale is not None
+    if kernel_layout is None:
+        # legacy shape inference: axis 2 is heads only in kernel layout
+        # (Ta != H for real configs; impls pass the flag explicitly)
+        kernel_layout = quantized and cache.cross_k.shape[2] == cfg.n_text_head
+    kernel_layout = quantized and kernel_layout
     blocks = p["blocks"]
 
     # fori_loop over layers with IN-PLACE cache writes.  A scan with the
@@ -455,8 +473,6 @@ def decoder_forward_cached(
         # --- cross-attention against precomputed encoder K/V
         xa = layer_norm(bp["cross_attn_ln"], x)
         qx = _split_heads(linear(bp["cross_attn"]["q"], xa), cfg.n_text_head)
-        # kernel layout iff axis 2 is heads (see init_cache); Ta != H always
-        kernel_layout = quantized and cache.cross_k.shape[2] == cfg.n_text_head
         if quantized:
             # fold K's dequant scale into q, V's after the probs matmul —
             # the int8 cache streams at half the bytes, zero extra FLOPs
@@ -521,6 +537,9 @@ def decoder_forward_cached(
         0, cfg.n_text_layer, body,
         (x, cache.self_k, cache.self_v, cache.self_k_scale, cache.self_v_scale),
     )
+    if logit_positions is not None:
+        # gather the needed hidden rows BEFORE the unembedding matmul
+        x = x[:, [q % t for q in logit_positions]]
     x = layer_norm(p["ln"], x)
     logits = jnp.dot(
         x, p["token_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
@@ -646,6 +665,7 @@ def _sample_loop(
     compute_dtype=None,
     max_initial_ts_index: int | None = 50,
     tp_mesh=None,
+    kernel_layout: bool = False,
 ):
     """The greedy/sampling while_loop shared by plain and prompted decode.
 
@@ -737,6 +757,7 @@ def _sample_loop(
             params, cfg, next_tok[:, None], step_cache, start_pos + s.step,
             pos_offset=pos_offset, min_valid=min_valid, kv_bits=kv_bits,
             compute_dtype=compute_dtype, tp_mesh=tp_mesh,
+            kernel_layout=kernel_layout,
         )
         return LoopState(
             step=s.step + 1,
@@ -844,15 +865,17 @@ def _greedy_decode_impl(
     )
     kv_bits_eff = kv_bits if kernel_layout else 8
 
-    # --- prefill the SOT sequence
+    # --- prefill the SOT sequence (unembed only the sot slot + last —
+    # full-width prefill logits are a large dead transient)
     prompt = jnp.tile(jnp.asarray(sot_sequence, jnp.int32)[None, :], (b, 1))
     logits, cache = decoder_forward_cached(
         params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
-        compute_dtype=dtype, tp_mesh=tp_mesh,
+        compute_dtype=dtype, tp_mesh=tp_mesh, kernel_layout=kernel_layout,
+        logit_positions=(0, -1),
     )
     sot_probs = jax.nn.softmax(logits[:, 0], axis=-1)
     no_speech_prob = sot_probs[:, st.no_speech] if st.no_speech < cfg.n_vocab else jnp.zeros((b,))
-    last_logits = logits[:, -1]
+    last_logits = logits[:, 1]
 
     tokens, lengths, sum_logprob = _sample_loop(
         params, cfg, st, cache, last_logits,
@@ -869,6 +892,7 @@ def _greedy_decode_impl(
         compute_dtype=dtype,
         max_initial_ts_index=max_initial_ts_index,
         tp_mesh=tp_mesh,
+        kernel_layout=kernel_layout,
     )
     if group > 1:
         return _rank_groups(
@@ -959,11 +983,12 @@ def _prompted_greedy_impl(
     logits, cache = decoder_forward_cached(
         params, cfg, prompt_tokens.astype(jnp.int32), cache, jnp.int32(0),
         pos_offset=pad_len, min_valid=pad_len, kv_bits=kv_bits_eff,
-        compute_dtype=dtype, tp_mesh=tp_mesh,
+        compute_dtype=dtype, tp_mesh=tp_mesh, kernel_layout=kernel_layout,
+        logit_positions=(p_len - sot_len, -1),
     )
     # every row's suffix is the same sot sequence -> <|sot|> sits at a
     # fixed physical slot; no-speech prob reads the logits AT that slot
-    sot_probs = jax.nn.softmax(logits[:, p_len - sot_len], axis=-1)
+    sot_probs = jax.nn.softmax(logits[:, 0], axis=-1)
     no_speech_prob = (
         sot_probs[:, st.no_speech]
         if st.no_speech < cfg.n_vocab
@@ -971,7 +996,7 @@ def _prompted_greedy_impl(
     )
 
     tokens, lengths, sum_logprob = _sample_loop(
-        params, cfg, st, cache, logits[:, -1],
+        params, cfg, st, cache, logits[:, 1],
         start_pos=jnp.int32(p_len),
         max_new_tokens=max_new_tokens,
         use_timestamps=use_timestamps,
@@ -987,6 +1012,7 @@ def _prompted_greedy_impl(
         compute_dtype=dtype,
         max_initial_ts_index=max_initial_ts_index,
         tp_mesh=tp_mesh,
+        kernel_layout=kernel_layout,
     )
     if group > 1:
         return _rank_groups(
@@ -1050,6 +1076,7 @@ def build_prompt_rows(
         "cfg", "max_new_tokens", "beam_size", "sot_sequence", "dtype_name",
         "use_timestamps", "quantize_cross_kv", "use_pallas_kernel", "kv_bits",
         "patience", "max_initial_ts_index", "space_blank_id", "tp_mesh",
+        "quantize_self_kv",
     ),
 )
 def beam_decode(
@@ -1073,6 +1100,7 @@ def beam_decode(
     max_initial_ts_index: int | None = 50,
     space_blank_id: int | None = None,
     tp_mesh=None,
+    quantize_self_kv: bool = False,
 ) -> DecodeResult:
     """Batched beam search with openai-whisper's BeamSearchDecoder
     semantics, fully on-device (one jit region).
@@ -1125,6 +1153,7 @@ def beam_decode(
         quantize_cross_kv=quantize_cross_kv,
         kernel_layout=kernel_layout,
         kv_bits=kv_bits,
+        quantize_self_kv=quantize_self_kv,
     )
     kv_bits_eff = kv_bits if kernel_layout else 8
 
@@ -1139,18 +1168,19 @@ def beam_decode(
             jnp.asarray(sot_sequence, jnp.int32)[None, :], (b * k, 1)
         )
         row_kw = {}
+    sot_slot = prompt_len - len(sot_sequence)
     logits, cache = decoder_forward_cached(
         params, cfg, prompt, cache, jnp.int32(0), kv_bits=kv_bits_eff,
-        compute_dtype=dtype, tp_mesh=tp_mesh, **row_kw,
+        compute_dtype=dtype, tp_mesh=tp_mesh, kernel_layout=kernel_layout,
+        logit_positions=(sot_slot, -1), **row_kw,
     )
-    first_logits = logits[:, -1]  # (B*K, V)
+    first_logits = logits[:, 1]  # (B*K, V)
     # P(<|nospeech|>) at the <|sot|> slot, exactly as the greedy paths
     # compute it (openai's no_speech gate applies identically under beam
     # search — DecodingTask._main_loop reads it from the prefill
     # regardless of decoder).  Beams are identical at prefill; beam 0's
     # row represents the element.
-    sot_slot = prompt_len - len(sot_sequence)
-    sot_probs = jax.nn.softmax(logits[:, sot_slot].astype(jnp.float32), axis=-1)
+    sot_probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), axis=-1)
     no_speech_prob = (
         sot_probs[:, st.no_speech]
         if st.no_speech < cfg.n_vocab
@@ -1281,20 +1311,27 @@ def beam_decode(
             m_fin, s.fin_count + jnp.sum(take_it, axis=-1, dtype=jnp.int32)
         )
 
-        # reorder cache rows: flat row index = b_idx * K + src_beam
+        # reorder cache rows: flat row index = b_idx * K + src_beam.
+        # The int8 self-cache's per-token scales are row state too — a
+        # beam switch that permuted values but not scales would dequantise
+        # with another beam's magnitudes.
         row_idx = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)  # (B*K,)
-        self_k = jnp.take(s.cache.self_k, row_idx, axis=1)
-        self_v = jnp.take(s.cache.self_v, row_idx, axis=1)
+        reorder = lambda a: (  # noqa: E731
+            None if a is None else jnp.take(a, row_idx, axis=1)
+        )
         cache = Cache(
-            self_k, self_v, s.cache.cross_k, s.cache.cross_v,
+            reorder(s.cache.self_k), reorder(s.cache.self_v),
+            s.cache.cross_k, s.cache.cross_v,
             s.cache.cross_k_scale, s.cache.cross_v_scale,
+            self_k_scale=reorder(s.cache.self_k_scale),
+            self_v_scale=reorder(s.cache.self_v_scale),
         )
 
         step_tok = next_tok.reshape(b * k, 1)
         logits, cache = decoder_forward_cached(
             params, cfg, step_tok, cache, prompt_len + s.step,
             kv_bits=kv_bits_eff, compute_dtype=dtype, tp_mesh=tp_mesh,
-            **row_kw,
+            kernel_layout=kernel_layout, **row_kw,
         )
         return BeamState(
             step=s.step + 1,
@@ -1605,8 +1642,17 @@ def tokens_to_segments(
         if cur_text:
             text = decode_text(cur_text).strip()
             if text:
-                start = cur_start or 0.0
-                end = min(max(float(chunk_dur), start + 0.02), chunk_length_s)
+                # cur_start is always set before cur_text gains a token
+                # (the elif above); no falsy-0.0 fallback — it would both
+                # be unreachable and silently rewrite a legitimate 0.0
+                start = cur_start
+                # clamp keeps end > start even when the unclosed segment
+                # opens exactly at chunk_length_s (a max-timestamp token
+                # followed by text): zero-length segments degrade fusion
+                end = min(
+                    max(float(chunk_dur), start + 0.02),
+                    max(chunk_length_s, start + 0.02),
+                )
                 segments.append(
                     {
                         "seek": seek,

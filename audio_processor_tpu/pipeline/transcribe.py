@@ -697,6 +697,7 @@ class Transcriber:
             quantize_cross_kv=self.quantize_cross_kv,
             kv_bits=self.cross_kv_bits,
             tp_mesh=self._tp_mesh,
+            quantize_self_kv=self.quantize_self_kv,
             **kw,
         )
 

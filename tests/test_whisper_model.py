@@ -648,3 +648,20 @@ def test_conv_bias_keeps_compute_dtype():
     mel = jnp.zeros((1, CFG.n_mels, 2 * CFG.n_audio_ctx), jnp.float32)
     states = model.encode(params, CFG, mel, compute_dtype=jnp.bfloat16)
     assert states.dtype == jnp.bfloat16
+
+
+def test_beam_int8_self_kv_tracks_float(hf_pair, mel):
+    """beam_decode honors quantize_self_kv (it used to silently ignore
+    it): tokens track the float-cache beam, and the beam-switch cache
+    reorder permutes the per-token scales together with the int8 values
+    (mismatched scales would dequantise with another beam's magnitudes)."""
+    _, params = hf_pair
+    st = decode.SpecialTokens.for_config(CFG)
+    audio = model.encode(params, CFG, jnp.asarray(mel))
+    kw = dict(sot_sequence=tuple(st.sot_sequence()), beam_size=3,
+              max_new_tokens=8)
+    a = decode.beam_decode(params, CFG, audio, **kw)
+    b = decode.beam_decode(params, CFG, audio, quantize_self_kv=True, **kw)
+    assert b.tokens.shape == a.tokens.shape
+    agreement = (np.asarray(a.tokens) == np.asarray(b.tokens)).mean()
+    assert agreement >= 0.7, agreement
