@@ -251,7 +251,17 @@ def silence_mask(
 
     pad_frames dilates the speech region (0.25 s at default hop) so word
     onsets/offsets survive.  Pure jnp; static shapes.
+
+    frame_length/hop are fixed at the Whisper STFT geometry (400/160):
+    frame_signal's gather-free block slicing is built on exactly that
+    ratio, so other values would silently frame at the wrong positions —
+    refused loudly instead.
     """
+    if (frame_length, hop) != (N_FFT, HOP_LENGTH):
+        raise ValueError(
+            f"silence_mask supports only the Whisper frame geometry "
+            f"({N_FFT}/{HOP_LENGTH}); got {frame_length}/{hop}"
+        )
     n_frames = max(audio.shape[-1] // hop, 1)
     half = frame_length // 2
     padded = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(half, half)])
@@ -326,7 +336,15 @@ def _silence_keep_mask_np(
     Deliberately avoids np.cumsum: its sequential scan runs ~160 ns/elem on
     this VM's single core (9 s for an hour of audio); the reshape-sum below
     is pure vectorised reductions (~50 ms).
+
+    Same fixed-geometry contract as silence_mask: the 5-blocks-of-hop//2
+    framing assumes frame_length == 2.5 * hop (the 400/160 Whisper STFT).
     """
+    if (frame_length, hop) != (N_FFT, HOP_LENGTH):
+        raise ValueError(
+            f"_silence_keep_mask_np supports only the Whisper frame "
+            f"geometry ({N_FFT}/{HOP_LENGTH}); got {frame_length}/{hop}"
+        )
     n_frames = max(len(audio) // hop, 1)
     half = frame_length // 2
     block = hop // 2  # 80; frame f = blocks [2f, 2f+5) of the padded signal

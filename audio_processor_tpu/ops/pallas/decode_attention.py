@@ -361,13 +361,15 @@ def cross_attention_int4_reference(
     """jnp twin operating on the packed (offset-binary) arrays."""
     dh = q.shape[-1]
     tq = q.shape[1]
-    x_k = k4.astype(jnp.int32)
+    # the ONE nibble-unpack definition (shared with the kernel) — the
+    # reference must decode the exact format the kernel reads
+    lo_k, hi_k = _unpack_nibbles_u(k4)
     k_full = (
-        jnp.concatenate([x_k & 0xF, (x_k >> 4) & 0xF], axis=3) - 8
+        jnp.concatenate([lo_k, hi_k], axis=3) - 8
     ).astype(jnp.float32)  # (B, H, Dh, Tpad) in [evens, odds] order
-    x_v = v4.astype(jnp.int32)
+    lo_v, hi_v = _unpack_nibbles_u(v4)
     v_full = (
-        jnp.concatenate([x_v & 0xF, (x_v >> 4) & 0xF], axis=2) - 8
+        jnp.concatenate([lo_v, hi_v], axis=2) - 8
     ).astype(jnp.float32)  # (B, H, Tpad, Dh) in [evens, odds] order
     scores = jnp.einsum("bqhd,bhdt->bhqt", q.astype(jnp.float32), k_full) / math.sqrt(dh)
     tpad = k_full.shape[3]

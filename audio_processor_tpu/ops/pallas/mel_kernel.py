@@ -74,9 +74,8 @@ def log_mel_pallas(
     half = frontend.N_FFT // 2
 
     padded = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
-    need = 2 * HOP + n_frames * HOP  # 320 + 480000
-    if padded.shape[1] < need:
-        padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    # the k=2 view needs 2*HOP + n_frames*HOP samples; the reflect pad
+    # (2*half = 400 > 320) always covers it since n_frames*HOP <= n_samples
 
     views = [
         padded[:, k * HOP : k * HOP + n_frames * HOP].reshape(b, n_frames, HOP)
