@@ -48,10 +48,13 @@ def _worker_id() -> str:
 def _worker_is_alive(worker: str) -> bool:
     """Best-effort liveness of a job's owning process.
 
-    Another HOST's workers can't be probed — assume alive and leave their
-    jobs alone (hosts recover their own orphans at startup).  On this
-    host, a dead pid means the job is orphaned.  (A recycled pid can
-    false-positive; the cost is only a delayed orphan sweep.)
+    Another HOST's workers can't be probed by pid — the HEARTBEAT check in
+    recover_orphans covers them (a container recreate gets a NEW hostname,
+    so "hosts recover their own orphans at startup" never fires for the
+    dead name; without the staleness sweep such jobs would stay
+    'processing' forever).  On this host, a dead pid means the job is
+    orphaned.  (A recycled pid can false-positive; the cost is only a
+    delayed orphan sweep.)
     """
     host, _, pid_s = worker.rpartition(":")
     if host != socket.gethostname():
@@ -124,6 +127,7 @@ class JobEngine:
         self._futures: dict[str, Any] = {}
         self._futures_lock = threading.Lock()
         self._shutdown = False
+        self._heartbeat_thread: threading.Thread | None = None
         atexit.register(self.shutdown)
 
     # -- lifecycle ----------------------------------------------------------
@@ -144,6 +148,9 @@ class JobEngine:
             # owner tag: startup orphan recovery must not fail jobs that a
             # LIVE sibling worker / another host is still running
             "worker": _worker_id(),
+            # stamped by the owner's heartbeat thread while in flight —
+            # cross-host orphan recovery keys off its staleness
+            "heartbeat_at": _utcnow(),
             **info,
         }
         self.store.create(job_id, record)
@@ -166,6 +173,48 @@ class JobEngine:
         future = self.executor.submit(self._run_job, job_id, fn, failure_result)
         with self._futures_lock:
             self._futures[job_id] = future
+        # the done callback is the authoritative cleanup: it fires for
+        # cancelled futures (whose _run_job never executes) and closes the
+        # submit/finish race (a fast job can complete before the insert
+        # above — the callback then runs immediately in this thread)
+        future.add_done_callback(
+            lambda _f, jid=job_id: self._drop_future(jid)
+        )
+        self._ensure_heartbeat()
+
+    def _drop_future(self, job_id: str) -> None:
+        with self._futures_lock:
+            self._futures.pop(job_id, None)
+
+    # heartbeat cadence / cross-host staleness threshold (seconds)
+    HEARTBEAT_S = float(os.environ.get("APTPU_HEARTBEAT_S", "30"))
+    ORPHAN_STALE_S = float(os.environ.get("APTPU_ORPHAN_STALE_S", "900"))
+
+    def _ensure_heartbeat(self) -> None:
+        """Start the owner heartbeat thread on first submit.
+
+        While this process has in-flight jobs, their records get a fresh
+        heartbeat_at every HEARTBEAT_S — the signal recover_orphans on a
+        DIFFERENT host (new container hostname) uses to tell a live
+        long-running job from one whose owner died."""
+        if self._heartbeat_thread is not None and self._heartbeat_thread.is_alive():
+            return
+        t = threading.Thread(
+            target=self._heartbeat_loop, name="job-heartbeat", daemon=True
+        )
+        self._heartbeat_thread = t
+        t.start()
+
+    def _heartbeat_loop(self) -> None:
+        while not self._shutdown:
+            time.sleep(self.HEARTBEAT_S)
+            with self._futures_lock:
+                job_ids = list(self._futures)
+            for job_id in job_ids:
+                try:
+                    self.store.update(job_id, heartbeat_at=_utcnow())
+                except Exception:  # noqa: BLE001 — heartbeat must not die
+                    logger.debug("heartbeat update failed for %s", job_id)
 
     def _run_job(
         self,
@@ -236,11 +285,31 @@ class JobEngine:
         are left untouched — only verifiably dead owners are swept.
         """
         n = 0
+        now = time.time()
         for rec in self.store.list():
             if rec.get("status") in ACTIVE_STATUSES:
                 worker = rec.get("worker")
                 if worker and _worker_is_alive(worker):
-                    continue
+                    # pid-alive is definitive only on THIS host; a foreign
+                    # hostname (e.g. the dead pre-recreate container, which
+                    # never comes back under its old name) is judged by
+                    # heartbeat staleness instead
+                    host = worker.rpartition(":")[0]
+                    if host == socket.gethostname():
+                        continue
+                    stamp = (
+                        rec.get("heartbeat_at")
+                        or rec.get("updated_at")
+                        or rec.get("created_at")
+                    )
+                    try:
+                        age = now - datetime.fromisoformat(stamp).timestamp()
+                    except (TypeError, ValueError):
+                        # unknown age: conservatively assume the foreign
+                        # owner is alive rather than fail its job
+                        age = 0.0
+                    if age < self.ORPHAN_STALE_S:
+                        continue
                 self.store.update(
                     rec["id"],
                     status=JOB_STATUS["FAILED"],
@@ -310,7 +379,22 @@ class JobEngine:
         return jobs
 
     def active_count(self) -> int:
-        return len(self.list_jobs("active"))
+        """Active-job count for /api/health, cached briefly.
+
+        Health is the hottest endpoint (LB probes every few seconds) and
+        an exact count needs a full store scan; a 2 s-stale count is fine
+        for a load-balancer signal."""
+        now = time.monotonic()
+        cached = getattr(self, "_active_cache", None)
+        if cached is not None and now - cached[0] < self._METRICS_TTL_S:
+            return cached[1]
+        count = sum(
+            1
+            for rec in self.store.list()
+            if rec.get("status") in ACTIVE_STATUSES
+        )
+        self._active_cache = (now, count)
+        return count
 
     def prune_old_jobs(self, days: float = 30.0) -> int:
         """Delete TERMINAL jobs whose last update is older than ``days``.
@@ -351,7 +435,7 @@ class JobEngine:
         now = time.monotonic()
         cached = getattr(self, "_metrics_cache", None)
         if cached is not None and now - cached[0] < self._METRICS_TTL_S:
-            return cached[1]
+            return self._copy_metrics(cached[1])
         records = self.store.list()
         by_status: dict[str, int] = {}
         rtfs: list[float] = []
@@ -376,7 +460,14 @@ class JobEngine:
                 k: round(sum(v) / len(v), 3) for k, v in stage_totals.items()
             }
         self._metrics_cache = (now, out)
-        return out
+        return self._copy_metrics(out)
+
+    @staticmethod
+    def _copy_metrics(m: dict) -> dict:
+        """Callers annotate the returned dict (/api/metrics adds keys);
+        handing out the cached object would let one request's additions
+        poison the cache and race another thread's json.dumps."""
+        return {k: (dict(v) if isinstance(v, dict) else v) for k, v in m.items()}
 
     # -- cancellation -------------------------------------------------------
 

@@ -29,25 +29,21 @@ class Services:
     # (audio_processor.py:133-150 + the before_request restore); here each
     # user_id gets its own client.
     oauth_drives: dict = field(default_factory=dict)
-    _last_user: str | None = None
 
     @property
     def oauth_drive(self):
-        """Single-user compatibility accessor (the '__default__' client)."""
-        if "__default__" in self.oauth_drives:
-            return self.oauth_drives["__default__"]
-        if len(self.oauth_drives) == 1:
-            return next(iter(self.oauth_drives.values()))
-        return None
+        """Single-user compatibility accessor — STRICTLY the '__default__'
+        client.  No sole-logged-in-user fallback: handing a context-free
+        caller some real user's client would reintroduce exactly the
+        cross-user credential leak drive_for exists to close."""
+        return self.oauth_drives.get("__default__")
 
     @oauth_drive.setter
     def oauth_drive(self, client) -> None:
         if client is None:
             self.oauth_drives.clear()
-            self._last_user = None
         else:
             self.oauth_drives["__default__"] = client
-            self._last_user = "__default__"
 
     def drive_for(self, user_id: str | None):
         """This user's client; falls back ONLY to the explicit default —
@@ -79,18 +75,14 @@ class Services:
 
         key = user_id or "__default__"
         self.oauth_drives[key] = DriveClient.from_google_credentials(creds)
-        self._last_user = key
 
     def clear_credentials(self, user_id: str | None = None) -> None:
         """Defined properly here — the reference calls a method that doesn't
         exist and swallows the AttributeError (auth_routes.py:698-701)."""
         if user_id is None:
             self.oauth_drives.clear()
-            self._last_user = None
         else:
             self.oauth_drives.pop(user_id, None)
-            if self._last_user == user_id:
-                self._last_user = None
 
 
 def build_services(

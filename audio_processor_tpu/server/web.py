@@ -155,12 +155,26 @@ class Request:
 
     @property
     def host_url(self) -> str:
-        scheme = self.headers.get("X-Forwarded-Proto") or self.environ.get(
-            "wsgi.url_scheme", "http"
-        )
-        host = self.headers.get("X-Forwarded-Host") or self.headers.get(
-            "Host", "localhost"
-        )
+        """Effective external base URL.
+
+        X-Forwarded-Proto/Host are CLIENT-SUPPLIED unless a proxy strips
+        them, and this URL feeds the OAuth redirect_uri — so they are
+        honored only behind a declared proxy (APTPU_TRUST_PROXY_HEADERS=1;
+        EXTERNAL_URL remains the explicit override for tunnels).  Only the
+        first value of a comma-joined multi-hop header is used.
+        """
+        trust_proxy = os.environ.get(
+            "APTPU_TRUST_PROXY_HEADERS", ""
+        ).lower() in ("1", "true", "yes")
+        scheme = self.environ.get("wsgi.url_scheme", "http")
+        host = self.headers.get("Host", "localhost")
+        if trust_proxy:
+            fwd_proto = self.headers.get("X-Forwarded-Proto")
+            fwd_host = self.headers.get("X-Forwarded-Host")
+            if fwd_proto:
+                scheme = fwd_proto.split(",")[0].strip()
+            if fwd_host:
+                host = fwd_host.split(",")[0].strip()
         return f"{scheme}://{host}/"
 
 
@@ -186,10 +200,13 @@ class Response:
         path: str = "/",
         http_only: bool = True,
         same_site: str = "Lax",
+        secure: bool = False,
     ) -> None:
         c = f"{name}={value}; Path={path}; SameSite={same_site}"
         if http_only:
             c += "; HttpOnly"
+        if secure:
+            c += "; Secure"
         if max_age is not None:
             c += f"; Max-Age={max_age}"
         self._cookies.append(c)
@@ -306,23 +323,42 @@ def redirect(location: str, status: int = 302) -> Response:
 # ---------------------------------------------------------------------------
 
 class Session(dict):
+    """dict with write-back tracking: EVERY mutating method must set
+    ``modified`` — an untracked mutation is silently never saved to the
+    cookie (the change evaporates on the next request)."""
+
     def __init__(self, data: dict | None = None):
         super().__init__(data or {})
         self.modified = False
-        self.cleared = False
 
     def __setitem__(self, k, v):
         super().__setitem__(k, v)
+        self.modified = True
+
+    def __delitem__(self, k):
+        super().__delitem__(k)
         self.modified = True
 
     def pop(self, k, *a):
         self.modified = True
         return super().pop(k, *a)
 
+    def popitem(self):
+        self.modified = True
+        return super().popitem()
+
+    def setdefault(self, k, default=None):
+        if k not in self:
+            self.modified = True
+        return super().setdefault(k, default)
+
+    def update(self, *a, **kw):
+        super().update(*a, **kw)
+        self.modified = True
+
     def clear(self):
         super().clear()
         self.modified = True
-        self.cleared = True
 
 
 class SessionCodec:
@@ -349,7 +385,23 @@ class SessionCodec:
         payload = json.dumps(dict(session), separators=(",", ":")).encode()
         sig = hmac.new(self.key, payload, hashlib.sha256).hexdigest()
         value = base64.urlsafe_b64encode(payload).decode() + "." + sig
-        response.set_cookie(self.COOKIE, value, max_age=30 * 24 * 3600)
+        response.set_cookie(
+            self.COOKIE, value, max_age=30 * 24 * 3600,
+            secure=_cookie_secure(),
+        )
+
+
+def _cookie_secure() -> bool:
+    """Mark the session cookie Secure when the deployment is HTTPS-facing:
+    forced via APTPU_COOKIE_SECURE, or inferred from an https EXTERNAL_URL
+    (the tunnel/proxy scenario) — otherwise the 30-day authenticated
+    cookie rides any plaintext http request to the same host."""
+    forced = os.environ.get("APTPU_COOKIE_SECURE", "").lower()
+    if forced in ("1", "true", "yes"):
+        return True
+    if forced in ("0", "false", "no"):
+        return False
+    return os.environ.get("EXTERNAL_URL", "").lower().startswith("https://")
 
 
 # ---------------------------------------------------------------------------
@@ -448,9 +500,25 @@ class App:
             response = jsonify({"error": "Internal server error"}, 500)
         if request.session is not None and request.session.modified:
             self.session_codec.save(request.session, response)
-        if request.method == "HEAD" and not isinstance(
-            response, StreamingResponse
-        ):
+        if request.method == "HEAD":
+            if isinstance(response, StreamingResponse):
+                # HEAD must not stream a body (protocol violation) or pin
+                # a worker thread + SSE slot for the stream's lifetime:
+                # close the generator (running its finally blocks), fire
+                # the slot-release hook, and answer headers-only
+                try:
+                    close = getattr(response.iterator, "close", None)
+                    if close is not None:
+                        close()
+                finally:
+                    if response.on_close is not None:
+                        cb, response.on_close = response.on_close, None
+                        cb()
+                plain = Response(
+                    b"", status=response.status, headers=response.headers
+                )
+                plain._cookies = response._cookies
+                response = plain
             response.body = b""  # HEAD: headers only (static/errors too)
         return response.wsgi(start_response)
 

@@ -732,9 +732,18 @@ def test_prune_old_jobs_and_metrics_cache(tmp_path):
         engine.store.update("pending-old",
                             updated_at="2020-01-01T00:00:00+00:00")
         assert engine.prune_old_jobs(30) == 0
-        # metrics cache: second call within TTL returns the same object
+        # metrics cache: calls within the TTL agree but hand out COPIES —
+        # /api/metrics annotates the returned dict, and a shared cached
+        # object would be poisoned by one caller and race another's
+        # json.dumps
         m1 = engine.metrics()
         m2 = engine.metrics()
-        assert m1 is m2
+        assert m1 == m2
+        assert m1 is not m2
+        m1["v1_dynamic_batching"] = {"batches": 1}
+        m1["jobs_by_status"]["injected"] = 99
+        m3 = engine.metrics()
+        assert "v1_dynamic_batching" not in m3
+        assert "injected" not in m3["jobs_by_status"]
     finally:
         engine.shutdown(wait=False)

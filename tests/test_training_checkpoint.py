@@ -106,3 +106,63 @@ def test_orphan_recovery_spares_live_owners(tmp_path):
         assert engine.get_job_status("legacy")["status"] == "failed"
     finally:
         engine.shutdown(wait=False)
+
+
+def test_orphan_recovery_sweeps_stale_foreign_hosts(tmp_path):
+    """A container recreate gets a NEW hostname, so the dead owner's jobs
+    can never be recovered by 'its own host' — cross-host sweeping keys
+    off heartbeat staleness: fresh heartbeat = alive, stale = orphaned."""
+    from audio_processor_tpu.runtime.job_engine import JobEngine, _utcnow
+    from audio_processor_tpu.runtime.job_store import SqliteJobStore
+
+    store = SqliteJobStore(str(tmp_path / "jobs3.db"))
+    store.create("fresh-foreign", {
+        "id": "fresh-foreign", "status": "processing",
+        "worker": "old-container:1", "heartbeat_at": _utcnow(),
+    })
+    store.create("stale-foreign", {
+        "id": "stale-foreign", "status": "processing",
+        "worker": "old-container:1",
+        "heartbeat_at": "2020-01-01T00:00:00+00:00",
+    })
+    engine = JobEngine(max_workers=1, store=store)
+    try:
+        assert engine.recover_orphans() == 1
+        assert engine.get_job_status("fresh-foreign")["status"] == "processing"
+        assert engine.get_job_status("stale-foreign")["status"] == "failed"
+    finally:
+        engine.shutdown(wait=False)
+
+
+def test_cancelled_pending_job_releases_future(tmp_path):
+    """fut.cancel() on a queued job means _run_job never executes — the
+    done callback (not _run_job's finally) must drop the Future, or every
+    cancelled-while-pending job leaks its closure for the process life."""
+    import threading
+    import time
+
+    from audio_processor_tpu.runtime.job_engine import JobEngine
+
+    engine = JobEngine(max_workers=1)
+    release = threading.Event()
+    try:
+        engine.create_job("blocker")
+        engine.submit("blocker", lambda ctx: release.wait(10) or {"ok": True})
+        engine.create_job("queued")
+        engine.submit("queued", lambda ctx: {"ok": True})
+        out = engine.cancel_job("queued")
+        assert out["success"]
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            with engine._futures_lock:
+                if "queued" not in engine._futures:
+                    break
+            time.sleep(0.01)
+        with engine._futures_lock:
+            assert "queued" not in engine._futures
+        assert engine.get_job_status("queued")["status"] == "cancelled"
+    finally:
+        release.set()
+        engine.shutdown(wait=True)
+        with engine._futures_lock:
+            assert engine._futures == {}

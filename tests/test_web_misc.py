@@ -81,8 +81,14 @@ def test_streaming_resamples_input():
     )
     rng = np.random.default_rng(0)
     list(st.feed(rng.normal(0, 0.1, 8000 * 3).astype(np.float32)))
-    # 3 s at 8 kHz -> 3 s at 16 kHz in the buffer
-    assert abs(len(st._buffer) - 48000) < 50
+    # the buffer holds SOURCE-rate samples (3 s at 8 kHz): windows are
+    # cut in the raw timeline and resampled whole at decode time, so mic
+    # blocks never pass through the resampler individually
+    assert len(st._buffer) == 8000 * 3
+    assert st._chunk_src == 8000 * 30
+    # the decode path sees 16 kHz audio
+    out = st._to_16k(st._buffer)
+    assert abs(len(out) - 48000) < 2
 
 
 def test_dev_server_thread_pool_is_bounded():
@@ -259,3 +265,99 @@ def test_head_answered_by_get_handler():
 
     status, _, _ = call_app(app, "HEAD", "/only-post")
     assert status == 405
+
+
+def test_head_on_streaming_route_releases_and_strips():
+    """HEAD to an SSE route must answer headers-only — streaming a body on
+    HEAD is a protocol violation, and the generator would pin a worker
+    thread + SSE slot for the stream's lifetime.  The slot-release hook
+    and the generator's finally both run."""
+    from audio_processor_tpu.server.web import StreamingResponse
+
+    app = App()
+    events = []
+
+    @app.route("/events")
+    def stream(request):
+        def gen():
+            try:
+                yield b"data: 1\n\n"
+                yield b"data: 2\n\n"
+            finally:
+                events.append("gen-finally")
+        return StreamingResponse(gen(), on_close=lambda: events.append("slot"))
+
+    status, data, headers = call_app(app, "HEAD", "/events")
+    assert status == 200
+    assert data == b""
+    # on_close (the slot release) fires; the generator's finally does not
+    # because close() on a never-started generator skips the body —
+    # which is exactly why slot releases ride on_close, not finally
+    assert events == ["slot"]
+    # GET still streams
+    status, data, _ = call_app(app, "GET", "/events")
+    assert b"data: 1" in data and b"data: 2" in data
+
+
+def test_session_tracks_all_mutation_forms():
+    """del / update / setdefault / popitem write back to the cookie like
+    __setitem__ does — an untracked mutation silently evaporates."""
+    from audio_processor_tpu.server.web import Session
+
+    for mutate in (
+        lambda s: s.__delitem__("a"),
+        lambda s: s.update(b=2),
+        lambda s: s.setdefault("c", 3),
+        lambda s: s.popitem(),
+    ):
+        s = Session({"a": 1})
+        assert not s.modified
+        mutate(s)
+        assert s.modified, mutate
+    # setdefault on an EXISTING key changes nothing -> no spurious write
+    s = Session({"a": 1})
+    s.setdefault("a", 9)
+    assert not s.modified
+
+
+def test_host_url_ignores_forwarded_headers_unless_trusted(monkeypatch):
+    """X-Forwarded-Proto/Host are client-supplied: they feed the OAuth
+    redirect_uri, so they are honored only behind a declared proxy."""
+    import io as _io
+
+    from audio_processor_tpu.server.web import Request
+
+    environ = {
+        "REQUEST_METHOD": "GET", "PATH_INFO": "/", "QUERY_STRING": "",
+        "wsgi.url_scheme": "http", "wsgi.input": _io.BytesIO(b""),
+        "HTTP_HOST": "real.example",
+        "HTTP_X_FORWARDED_PROTO": "https",
+        "HTTP_X_FORWARDED_HOST": "evil.example, hop2",
+    }
+    monkeypatch.delenv("APTPU_TRUST_PROXY_HEADERS", raising=False)
+    assert Request(environ).host_url == "http://real.example/"
+    monkeypatch.setenv("APTPU_TRUST_PROXY_HEADERS", "1")
+    # trusted: first hop only of a comma-joined multi-proxy header
+    assert Request(environ).host_url == "https://evil.example/"
+
+
+def test_session_cookie_secure_follows_deployment(monkeypatch):
+    """The 30-day authenticated session cookie carries Secure whenever the
+    deployment is HTTPS-facing (EXTERNAL_URL) or forced via env."""
+    app = App(secret_key="s")
+
+    @app.route("/login")
+    def login(request):
+        request.session["user"] = "u"
+        return Response(b"ok")
+
+    monkeypatch.delenv("APTPU_COOKIE_SECURE", raising=False)
+    monkeypatch.setenv("EXTERNAL_URL", "https://meet.example")
+    _, _, headers = call_app(app, "GET", "/login")
+    assert "Secure" in headers["Set-Cookie"][0]
+    monkeypatch.setenv("EXTERNAL_URL", "http://lan-box:5000")
+    _, _, headers = call_app(app, "GET", "/login")
+    assert "Secure" not in headers["Set-Cookie"][0]
+    monkeypatch.setenv("APTPU_COOKIE_SECURE", "1")
+    _, _, headers = call_app(app, "GET", "/login")
+    assert "Secure" in headers["Set-Cookie"][0]
