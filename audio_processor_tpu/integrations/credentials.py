@@ -97,10 +97,15 @@ class SqliteKV:
 
 
 class RedisKV:
-    def __init__(self, host: str, port: int, db: int):
+    def __init__(
+        self, host: str, port: int, db: int, password: str | None = None
+    ):
         import redis
 
-        self.client = redis.Redis(host=host, port=port, db=db, decode_responses=True)
+        self.client = redis.Redis(
+            host=host, port=port, db=db, password=password,
+            decode_responses=True,
+        )
         self.client.ping()
 
     def set(self, key, value, ttl_s):
@@ -130,10 +135,19 @@ def make_kv(url: str | None = None):
         if url.startswith("sqlite://"):
             return SqliteKV(url[len("sqlite://"):] or "credentials.db")
         if url.startswith("redis://"):
-            rest = url[len("redis://"):]
-            hostport, _, db = rest.partition("/")
-            host, _, port = hostport.partition(":")
-            return RedisKV(host or "localhost", int(port or 6379), int(db or 0))
+            # urlsplit handles the standard auth form
+            # redis://[:password@]host[:port][/db] — the old manual
+            # partition crashed on '@' (int('secret@host:6379'))
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(url)
+            db_s = parts.path.lstrip("/")
+            return RedisKV(
+                parts.hostname or "localhost",
+                parts.port or 6379,
+                int(db_s or 0),
+                password=parts.password,
+            )
         raise ValueError(f"unknown credential store url {url!r}")
     try:
         return RedisKV(
@@ -216,7 +230,14 @@ class CredentialStore:
             and creds.expiry - datetime.now(timezone.utc).replace(tzinfo=None)
             < timedelta(seconds=REFRESH_MARGIN_S)
         )
-        if needs_refresh and creds.refresh_token:
+        if needs_refresh:
+            if not creds.refresh_token:
+                # unrefreshable: expired (or about to) with no way back —
+                # handing these out would mark sessions authenticated and
+                # 401 every Drive call; None sends the user to re-login
+                if creds.expired:
+                    return None
+                return creds  # inside the margin but still valid
             try:
                 import google.auth.transport.requests
 

@@ -103,22 +103,21 @@ class DriveClient:
 
         delay = 1.0
         last: Exception | None = None
-        for _ in range(retries):
+        for attempt in range(retries):
+            if attempt:  # backoff BEFORE a retry, never after the last try
+                _time.sleep(delay)
+                delay *= 2
             try:
                 status, _, content = self.transport(
                     "GET", url, self._headers(), params, None
                 )
             except Exception as exc:  # noqa: BLE001 — transport boundary
                 last = exc
-                _time.sleep(delay)
-                delay *= 2
                 continue
             if status == 200:
                 return json.loads(content)
             if status in (429, 500, 502, 503, 504):
                 last = DriveError(f"GET {url}: HTTP {status}")
-                _time.sleep(delay)
-                delay *= 2
                 continue
             raise DriveError(f"GET {url}: HTTP {status}: {content[:200]!r}")
         raise last or DriveError(f"GET {url} failed")
@@ -166,7 +165,10 @@ class DriveClient:
             while True:
                 delay = 1.0
                 last: Exception | None = None
-                for _ in range(retries):
+                for attempt in range(retries):
+                    if attempt:  # backoff before a retry, not after the last
+                        _time.sleep(delay)
+                        delay *= 2
                     h = dict(self._headers())
                     h["Range"] = f"bytes={offset}-{offset + CHUNK - 1}"
                     try:
@@ -176,15 +178,17 @@ class DriveClient:
                         )
                     except Exception as exc:  # noqa: BLE001 — transport
                         last = exc
-                        _time.sleep(delay)
-                        delay *= 2
                         continue
+                    if status == 416:
+                        # Range Not Satisfiable: a ZERO-BYTE file at
+                        # offset 0 (valid — write the empty file), or
+                        # end-of-file on a later chunk
+                        status, resp_headers, content = 206, {}, b""
+                        break
                     if status in (200, 206):
                         break
                     if status in (429, 500, 502, 503, 504):
                         last = DriveError(f"download {file_id}: HTTP {status}")
-                        _time.sleep(delay)
-                        delay *= 2
                         continue
                     raise DriveError(f"download {file_id}: HTTP {status}")
                 else:
@@ -205,7 +209,10 @@ class DriveClient:
 
         delay = 1.0
         last: Exception | None = None
-        for _ in range(retries):
+        for attempt in range(retries):
+            if attempt:  # backoff before a retry, not after the last try
+                _time.sleep(delay)
+                delay *= 2
             try:
                 status, _, content = self.transport(
                     "GET", f"{API_ROOT}/files/{file_id}",
@@ -213,15 +220,11 @@ class DriveClient:
                 )
             except Exception as exc:  # noqa: BLE001 — transport boundary
                 last = exc
-                _time.sleep(delay)
-                delay *= 2
                 continue
             if status in (200, 206):
                 return content
             if status in (429, 500, 502, 503, 504):
                 last = DriveError(f"download {file_id}: HTTP {status}")
-                _time.sleep(delay)
-                delay *= 2
                 continue
             raise DriveError(f"download {file_id}: HTTP {status}")
         raise last or DriveError(f"download {file_id} failed")
@@ -243,7 +246,9 @@ class DriveClient:
         (reference :253-272)."""
         parent = "root"
         for segment in [s for s in path.split("/") if s]:
-            safe = segment.replace("'", "\\'")
+            # backslashes must double BEFORE quote-escaping, or a name
+            # like Q3\Reports injects a stray escape into the query
+            safe = segment.replace("\\", "\\\\").replace("'", "\\'")
             q = (
                 f"name = '{safe}' and mimeType = 'application/vnd.google-apps.folder'"
                 f" and '{parent}' in parents and trashed = false"

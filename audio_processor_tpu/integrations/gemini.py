@@ -44,8 +44,6 @@ DEFAULT_MODELS = (
     "gemini-2.5-pro-exp-03-25",
     "gemini-2.5-flash-preview-04-17",
 )
-FLASH_MODELS = tuple(m for m in DEFAULT_MODELS if "flash" in m)
-
 API_ROOT = "https://generativelanguage.googleapis.com/v1beta"
 
 
@@ -158,7 +156,11 @@ class GeminiClient:
             "map the code to itself.\n\nTranscript excerpts:\n" + lines
         )
         try:
-            text = self.generate(prompt, models=FLASH_MODELS or self.models)
+            # flash-tier subset of the CONFIGURED ladder (reference uses
+            # flash models for this cheap task, :959) — the module-level
+            # FLASH_MODELS ignored a GEMINI_MODELS / constructor override
+            flash = tuple(m for m in self.models if "flash" in m)
+            text = self.generate(prompt, models=flash or self.models)
             mapping = extract_json_object(text) or {}
             out = {}
             for s in speakers:

@@ -79,13 +79,14 @@ class NotionClient:
         delay = 1.0
         last: Exception | None = None
         for attempt in range(retries):
+            if attempt:  # backoff before a retry, never after the last try
+                time.sleep(delay)
+                delay *= 2
             try:
                 status, body = self.http(method, url, self._headers(), payload, self.timeout)
             except Exception as exc:  # transport error
                 last = exc
                 logger.warning("notion transport error (try %d): %s", attempt + 1, exc)
-                time.sleep(delay)
-                delay *= 2
                 continue
             if status in (200, 201):
                 return body
@@ -93,8 +94,6 @@ class NotionClient:
                 raise NotionAuthError(f"HTTP {status}: {body.get('message', '')}")
             last = NotionError(f"HTTP {status}: {body.get('message', '')}")
             logger.warning("notion error (try %d): %s", attempt + 1, last)
-            time.sleep(delay)
-            delay *= 2
         raise last or NotionError("notion request failed")
 
     # -- page assembly ------------------------------------------------------
@@ -134,7 +133,9 @@ class NotionClient:
                 "object": "block",
                 "type": "callout",
                 "callout": {
-                    "rich_text": nf.rich_text(summary[: nf.MAX_TEXT_LEN]),
+                    # no pre-truncation: rich_text splits long content
+                    # into multiple <=2000-char text objects
+                    "rich_text": nf.rich_text(summary),
                     "icon": {"type": "emoji", "emoji": "💡"},
                 },
             }

@@ -31,7 +31,12 @@ _INLINE_RE = re.compile(
     r"(?P<code>`[^`]+`)"
     r"|(?P<bolditalic>\*\*\*[^*]+\*\*\*)"
     r"|(?P<bold>\*\*[^*]+\*\*)"
-    r"|(?P<italic>\*[^*\s][^*]*\*|_[^_\s][^_]*_)"
+    # underscore emphasis follows CommonMark's no-intraword rule
+    # ((?<!\w) / (?!\w) flanks + non-space at both inner edges):
+    # engineering notes are full of snake_case identifiers, and the
+    # unflanked pattern turned 'speaker_map to file_id' into italics
+    r"|(?P<italic>\*[^*\s][^*]*\*"
+    r"|(?<!\w)_[^_\s](?:[^_]*[^_\s])?_(?!\w))"
     r"|(?P<strike>~~[^~]+~~)"
     r"|(?P<link>\[[^\]]+\]\([^)]+\))"
 )
@@ -132,7 +137,13 @@ def markdown_to_blocks(markdown: str) -> list[dict]:
                     "object": "block",
                     "type": "code",
                     "code": {
-                        "rich_text": [_text_obj(code[:MAX_TEXT_LEN])],
+                        # split, don't truncate: the 2000-char cap is per
+                        # text OBJECT, and one code block takes many
+                        "rich_text": [
+                            _text_obj(code[j : j + MAX_TEXT_LEN])
+                            for j in range(0, len(code), MAX_TEXT_LEN)
+                        ]
+                        or [_text_obj("")],
                         "language": lang,
                     },
                 }
@@ -283,6 +294,33 @@ def transcript_toggle_blocks(transcript: str, title: str = "Full transcript") ->
     return toggles
 
 
+def _block_weight(block: dict) -> int:
+    """Blocks a request really carries: the block plus its nested children
+    (a transcript toggle holds up to 90 paragraph children — counting it
+    as 1 let a single batch blow Notion's total-block/payload limits)."""
+    n = 1
+    body = block.get(block.get("type"), {})
+    for child in body.get("children", []) or []:
+        n += _block_weight(child)
+    return n
+
+
 def batch_blocks(blocks: list[dict], batch_size: int = MAX_BLOCKS_PER_REQUEST) -> list[list[dict]]:
-    """Split a block list into API-request-sized batches (<=90 each)."""
-    return [blocks[i : i + batch_size] for i in range(0, len(blocks), batch_size)]
+    """Split a block list into API-request-sized batches.
+
+    Batches are bounded by total WEIGHT (top-level + nested children,
+    <= batch_size); an oversized single block still ships alone as its
+    own request."""
+    batches: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_w = 0
+    for block in blocks:
+        w = _block_weight(block)
+        if cur and cur_w + w > batch_size:
+            batches.append(cur)
+            cur, cur_w = [], 0
+        cur.append(block)
+        cur_w += w
+    if cur:
+        batches.append(cur)
+    return batches

@@ -481,3 +481,156 @@ def test_drive_download_retries_transient_errors(tmp_path):
         assert f.read() == inner.content["f1"]
     # the retried attempt minted a FRESH Authorization header
     assert len(set(state["tokens"])) >= 2
+
+
+def test_identify_speakers_honors_model_override():
+    """identify_speakers must use the flash subset of the CONFIGURED
+    ladder — the module-level FLASH_MODELS default ignored a
+    GEMINI_MODELS / constructor override, so a user whose default models
+    were retired silently lost all speaker names."""
+    calls = []
+
+    def http(url, headers, payload, timeout):
+        calls.append(url)
+        return 200, _gemini_response('{"SPEAKER_00": "Alice"}')
+
+    c = gemini_lib.GeminiClient(
+        api_key="k", models=("custom-flash-x", "custom-pro-y"), http=http
+    )
+    segs = [{"speaker": "SPEAKER_00", "text": "hi"}]
+    out = c.identify_speakers(segs)
+    assert out == {"SPEAKER_00": "Alice"}
+    assert "custom-flash-x" in calls[0]
+    # no flash model configured -> full configured ladder, never defaults
+    calls.clear()
+    c2 = gemini_lib.GeminiClient(api_key="k", models=("only-pro",), http=http)
+    c2.identify_speakers(segs)
+    assert "only-pro" in calls[0]
+
+
+def test_underscore_emphasis_skips_snake_case():
+    """CommonMark's no-intraword-underscore rule: snake_case identifiers
+    survive; flanked _italics_ still annotate."""
+    objs = nf.rich_text("rename speaker_map to file_id now")
+    assert len(objs) == 1  # untouched plain run
+    assert objs[0]["text"]["content"] == "rename speaker_map to file_id now"
+    objs = nf.rich_text("really _important_ point")
+    kinds = [(o["text"]["content"], o.get("annotations")) for o in objs]
+    assert ("important", {"italic": True}) in kinds
+
+
+def test_code_fence_splits_long_content():
+    """>2000-char fenced code splits into multiple <=2000-char text
+    objects instead of silently truncating."""
+    code = "x = 1\n" * 600  # 3600 chars
+    blocks = nf.markdown_to_blocks(f"```python\n{code}```")
+    cb = [b for b in blocks if b["type"] == "code"][0]
+    texts = [t["text"]["content"] for t in cb["code"]["rich_text"]]
+    assert all(len(t) <= 2000 for t in texts)
+    assert "".join(texts) == code.rstrip("\n") or "".join(texts) == code
+
+
+def test_batch_blocks_weighs_nested_children():
+    """A transcript toggle carries up to 90 children: batches bound the
+    TOTAL carried blocks, and an oversized single block ships alone."""
+    light = [{"object": "block", "type": "paragraph",
+              "paragraph": {"rich_text": []}} for _ in range(4)]
+    heavy = {
+        "object": "block", "type": "toggle",
+        "toggle": {"rich_text": [], "children": [
+            {"object": "block", "type": "paragraph",
+             "paragraph": {"rich_text": []}} for _ in range(89)
+        ]},
+    }
+    batches = nf.batch_blocks(light[:2] + [heavy] + light[2:], batch_size=90)
+    # the toggle (weight 90) cannot share a batch with anything
+    assert [len(b) for b in batches] == [2, 1, 2]
+    assert batches[1][0]["type"] == "toggle"
+    # pure-light lists still pack densely
+    assert [len(b) for b in nf.batch_blocks(light, batch_size=90)] == [4]
+
+
+def test_drive_zero_byte_file_downloads_empty(tmp_path):
+    """A 0-byte Drive file answers 416 to the first Range request; that is
+    a valid empty file, not an error."""
+    transport = FakeDriveTransport()
+    transport.files["empty"] = {"id": "empty", "name": "empty.m4a",
+                                "mimeType": "audio/mp4", "size": "0"}
+    transport.content["empty"] = b""
+    orig = transport.__call__
+
+    def call(method, url, headers, params=None, body=None, timeout=120.0):
+        if "empty" in url and (params or {}).get("alt") == "media" \
+                and headers.get("Range"):
+            return 416, {}, b""
+        return orig(method, url, headers, params, body, timeout)
+
+    transport.__call__ = call  # instance attr shadows for our use
+    d = drive_lib.DriveClient(token_provider=lambda: "tok", transport=call)
+    dest = str(tmp_path / "empty.m4a")
+    assert d.download("empty", dest) == dest
+    assert open(dest, "rb").read() == b""
+
+
+def test_drive_query_escapes_backslashes():
+    seen = []
+
+    def call(method, url, headers, params=None, body=None, timeout=120.0):
+        seen.append((params or {}).get("q", ""))
+        return 200, {}, json.dumps({"files": [{"id": "x"}]}).encode()
+
+    d = drive_lib.DriveClient(token_provider=lambda: "tok", transport=call)
+    d.find_folder_id_by_path("Q3\\Reports'2026")
+    assert "Q3\\\\Reports\\'2026" in seen[0]
+
+
+def test_expired_unrefreshable_credentials_return_none(tmp_path):
+    """Expired credentials with no refresh_token are dead: returning them
+    marked sessions authenticated and 401'd every Drive call."""
+    from datetime import datetime, timedelta
+
+    from google.oauth2.credentials import Credentials
+
+    store = cred_lib.CredentialStore(kv=cred_lib.MemoryKV())
+    creds = Credentials(
+        token="t", refresh_token=None, token_uri="u",
+        client_id="c", client_secret="s", scopes=["x"],
+    )
+    creds.expiry = datetime.utcnow() - timedelta(hours=1)
+    store.save_credentials("u1", creds)
+    assert store.get_valid_credentials("u1") is None
+    # still-valid-but-inside-OUR-margin unrefreshable creds remain usable
+    # (past our 300 s refresh margin but before google-auth's own ~210 s
+    # expiry skew threshold)
+    creds.expiry = datetime.utcnow() + timedelta(seconds=280)
+    store.save_credentials("u2", creds)
+    got = store.get_valid_credentials("u2")
+    assert got is not None and got.token == "t"
+
+
+def test_make_kv_parses_redis_auth_url(monkeypatch):
+    """redis://:password@host:port/db must parse (it used to crash on
+    int('secret@host:6379')); connection failure falls through to the
+    caller as a redis error, not a ValueError."""
+    from audio_processor_tpu.integrations import credentials as cred_lib
+
+    captured = {}
+
+    class FakeRedis:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+        def ping(self):
+            return True
+
+    import sys
+    import types
+
+    fake_mod = types.SimpleNamespace(Redis=lambda **kw: FakeRedis(**kw))
+    monkeypatch.setitem(sys.modules, "redis", fake_mod)
+    kv = cred_lib.make_kv("redis://:sekrit@redis-host:6380/2")
+    assert kv is not None
+    assert captured["host"] == "redis-host"
+    assert captured["port"] == 6380
+    assert captured["db"] == 2
+    assert captured["password"] == "sekrit"
