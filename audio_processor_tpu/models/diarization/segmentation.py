@@ -284,8 +284,11 @@ def _lstm_scan(p, x, reverse: bool):
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def segment_windows(params: Params, cfg: SegmentationConfig, audio: jnp.ndarray):
+@partial(jax.jit, static_argnames=("cfg", "hard"))
+def segment_windows(
+    params: Params, cfg: SegmentationConfig, audio: jnp.ndarray,
+    hard: bool = False,
+):
     """Jitted batched forward + powerset -> per-speaker probabilities.
 
     Accepts float32 waveforms or int16 (dequantised on device — int16 is
@@ -294,10 +297,18 @@ def segment_windows(params: Params, cfg: SegmentationConfig, audio: jnp.ndarray)
     Returns (B, num_frames, num_speakers) activation in [0, 1]: probability
     that each local speaker is active, obtained by summing softmaxed
     powerset classes through the fixed membership matrix.
+
+    hard=True instead ARGMAX-decodes the powerset class per frame and maps
+    it to binary multilabel rows — pyannote-3.1's ``to_multilabel`` hard
+    decode, the parity path for converted checkpoints (a frame whose
+    marginal P(spk) exceeds onset while the argmax class is 'no speech'
+    diverges from pyannote under the soft decode).
     """
     if audio.dtype == jnp.int16:
         audio = audio.astype(jnp.float32) / 32768.0
     logits = forward(params, cfg, audio)
-    probs = jax.nn.softmax(logits, axis=-1)
     member = jnp.asarray(powerset_matrix(cfg))  # (7, 3)
+    if hard:
+        return member[jnp.argmax(logits, axis=-1)]
+    probs = jax.nn.softmax(logits, axis=-1)
     return probs @ member

@@ -148,14 +148,20 @@ def forward(params: Params, cfg: TpuSegmentationConfig, audio: jnp.ndarray) -> j
     return _lin(params["classifier"], x)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def segment_windows(params: Params, cfg: TpuSegmentationConfig, audio: jnp.ndarray):
-    """Same contract as segmentation.segment_windows: (B, F, n_speakers)."""
+@partial(jax.jit, static_argnames=("cfg", "hard"))
+def segment_windows(
+    params: Params, cfg: TpuSegmentationConfig, audio: jnp.ndarray,
+    hard: bool = False,
+):
+    """Same contract as segmentation.segment_windows: (B, F, n_speakers);
+    hard=True argmax-decodes the powerset (pyannote's to_multilabel)."""
     from .segmentation import powerset_matrix
 
     if audio.dtype == jnp.int16:
         audio = audio.astype(jnp.float32) / 32768.0
     logits = forward(params, cfg, audio)
-    probs = jax.nn.softmax(logits, axis=-1)
     member = jnp.asarray(powerset_matrix(cfg))  # duck-typed cfg fields
+    if hard:
+        return member[jnp.argmax(logits, axis=-1)]
+    probs = jax.nn.softmax(logits, axis=-1)
     return probs @ member

@@ -35,10 +35,9 @@ from ..models.diarization import segmentation as seg_lib
 logger = logging.getLogger(__name__)
 
 
-def _bucket_pow2(n: int, cap: int = 128) -> int:
-    if n >= cap:
-        return -(-n // cap) * cap
-    return 1 << max(0, n - 1).bit_length()
+# slab bucketing policy shared with the transcription pipeline — ONE
+# definition so the two pipelines' compile-count behavior cannot diverge
+from .transcribe import _bucket as _bucket_pow2  # noqa: E402
 
 
 @dataclass
@@ -60,6 +59,11 @@ class Diarizer:
     min_cluster_size: int = 0
     max_batch: int = 128
     seg_fn: Any = None  # segment_windows impl; default pyannote-compatible
+    # pyannote-3.1 ARGMAX powerset decode (to_multilabel) instead of the
+    # marginal-probability soft decode: the parity mode for CONVERTED
+    # pyannote checkpoints (from_npz turns it on).  The bundled/trained
+    # nets keep the soft decode their onset was calibrated against.
+    hard_decode: bool = False
     # provenance flags: False = random weights.  Serving a random net is a
     # test/bench mode only — jobs surface it loudly (meeting.py marks the
     # result "diarizer": "untrained:...") instead of completing with
@@ -131,14 +135,17 @@ class Diarizer:
         onset = dt.load_onset(seg_path)
         if onset is not None:
             kw.setdefault("onset", onset)
-        emb_cfg = emb_lib.EmbeddingConfig()
         if "emb_params" in kw:
             kw.setdefault("emb_trained", True)
+            kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
         else:
+            # resolve the cfg FIRST so random params are initialised from
+            # the cfg the instance will actually serve (a caller-supplied
+            # emb_cfg with default-cfg params is a shape mismatch)
+            emb_cfg = kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
             kw["emb_params"] = emb_lib.init_params(
                 emb_cfg, jax.random.PRNGKey(emb_seed)
             )
-        kw.setdefault("emb_cfg", emb_cfg)
         return cls(
             seg_params=seg_params,
             seg_cfg=seg_cfg,
@@ -161,21 +168,26 @@ class Diarizer:
         APTPU_DIARIZER_PATH / APTPU_EMBEDDING_PATH for production weights
         (the reference's pyannote role, app/services/audio_processor.py:885).
         """
-        import os
-
         base = os.path.join(os.path.dirname(__file__), os.pardir, "assets")
         seg_path = os.path.join(base, cls.BUNDLED_SEG)
         emb_path = os.path.join(base, cls.BUNDLED_EMB)
         if not (os.path.exists(seg_path) and os.path.exists(emb_path)):
             return None
-        from ..training import embedding_trainer as et
+        if "emb_params" in kw:
+            # caller brings their own trained embedding net: the bundled
+            # AHC threshold was calibrated for the BUNDLED embedding
+            # space and must not be applied to a different one (and the
+            # bundled net need not be loaded at all)
+            kw.setdefault("emb_trained", True)
+        else:
+            from ..training import embedding_trainer as et
 
-        emb_params, emb_cfg = et.load_params(emb_path)
-        kw.setdefault("emb_params", emb_params)
-        kw.setdefault("emb_cfg", emb_cfg)
-        thr = et.load_cluster_threshold(emb_path)
-        if thr is not None:
-            kw.setdefault("cluster_threshold", thr)
+            emb_params, emb_cfg = et.load_params(emb_path)
+            kw["emb_params"] = emb_params
+            kw.setdefault("emb_cfg", emb_cfg)
+            thr = et.load_cluster_threshold(emb_path)
+            if thr is not None:
+                kw.setdefault("cluster_threshold", thr)
         kw.setdefault("provenance", "bundled-synthetic")
         return cls.from_tpu_segmentation(seg_path, **kw)
 
@@ -189,6 +201,7 @@ class Diarizer:
         kw.setdefault("emb_params", emb_params)  # trained override wins
         kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
         kw.setdefault("provenance", "converted")
+        kw.setdefault("hard_decode", True)  # pyannote-3.1 to_multilabel
         return cls(
             seg_params=seg_params,
             seg_cfg=seg_lib.SegmentationConfig(),
@@ -200,19 +213,25 @@ class Diarizer:
     # ------------------------------------------------------------------
 
     def _windows(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Uniform-stride windows as a ZERO-COPY strided view.
+
+        The audio zero-pads up to the last grid-aligned window so every
+        start sits on the stride — a fancy-index gather materialised an
+        (n_windows, window) index matrix + full copy, ~4x the audio size
+        in transient host memory on multi-hour recordings.  Downstream
+        slab batching copies per-slab anyway.
+        """
         w = self.seg_cfg.window_samples
         step = int(self.window_step_s * self.seg_cfg.sample_rate)
         n = len(audio)
-        starts = np.arange(0, max(n - w, 0) + 1, step, dtype=np.int64)
-        if starts.size == 0 or starts[-1] + w < n:
-            starts = np.append(starts, max(n - w, 0))
-        # one strided gather instead of a per-window copy loop (host time
-        # scales with total window samples either way, but the fancy-index
-        # runs in C and dodges len(starts) python iterations + allocs)
-        audio_pad = audio if n >= w else np.pad(audio, (0, w - n))
-        out = audio_pad[starts[:, None] + np.arange(w)[None, :]].astype(
-            np.float32, copy=False
+        n_win = 1 + max(0, -(-(n - w) // step))
+        padded_len = (n_win - 1) * step + w
+        audio = np.asarray(audio, np.float32)
+        audio_pad = (
+            np.pad(audio, (0, padded_len - n)) if padded_len > n else audio
         )
+        out = np.lib.stride_tricks.sliding_window_view(audio_pad, w)[::step]
+        starts = np.arange(n_win, dtype=np.int64) * step
         return out, starts.astype(np.float64) / self.seg_cfg.sample_rate
 
     @staticmethod
@@ -238,6 +257,13 @@ class Diarizer:
 
     def _segment_all(self, windows: np.ndarray) -> np.ndarray:
         """(B, W) -> (B, F, n_spk) activations, batched in pow2 slabs."""
+        if self.hard_decode:
+            return self._batched(
+                windows,
+                lambda x: self.seg_fn(
+                    self.seg_params, self.seg_cfg, x, hard=True
+                ),
+            )
         return self._batched(
             windows, lambda x: self.seg_fn(self.seg_params, self.seg_cfg, x)
         )
@@ -283,6 +309,12 @@ class Diarizer:
         else:
             min_spk = self.min_speakers if min_speakers is None else min_speakers
             max_spk = self.max_speakers if max_speakers is None else max_speakers
+            if max_spk is not None and min_spk is not None and min_spk > max_spk:
+                # an inverted range would silently let the min re-cut
+                # override the max cut in clustering
+                raise ValueError(
+                    f"min_speakers ({min_spk}) > max_speakers ({max_spk})"
+                )
         # pyannote's pipeline("audio.wav") form — the reference's actual
         # call passes a PATH (audio_processor.py:1105).  After argument
         # validation, so invalid calls fail before paying a media decode.

@@ -315,9 +315,12 @@ def test_stitch_unions_same_cluster_slots():
     def fake_seg(params, cfg, windows):
         b = windows.shape[0]
         probs = np.zeros((b, n_frames, 3), np.float32)
-        probs[:, :, 0] = 0.9   # slot 0: real speaker
-        probs[:, :, 1] = 0.06  # slot 1: the same voice leaking, above the
-        # min_speech_s bar only via frame count, below onset alone
+        probs[:, :, 0] = 0.9   # slot 0: real speaker, the whole window
+        # slot 1: the same voice leaking ABOVE onset for the first half of
+        # the window only — it must become an owner, or the union branch
+        # is dead and mean-vs-max is indistinguishable (the old 0.06 leak
+        # never passed the active-frame gate)
+        probs[:, : n_frames // 2, 1] = 0.6
         return jnp.asarray(probs)
 
     d.seg_fn = fake_seg
@@ -332,10 +335,12 @@ def test_stitch_unions_same_cluster_slots():
         turns = d.diarize(audio)
     finally:
         cl_mod.agglomerative_cluster = orig
-    # mean would give (0.9+0.06)/2 = 0.48 < onset 0.5 -> no turns;
-    # max keeps 0.9 -> the speech survives
+    # averaging the two same-cluster slots would give (0.9+0.0)/2 = 0.45
+    # < onset on the second half of every window and truncate the turn;
+    # the max union keeps 0.9 end to end
     assert turns, "same-cluster slot averaging deleted the speech"
     assert {t["speaker"] for t in turns} == {"SPEAKER_00"}
+    assert max(t["end"] for t in turns) > 8.0, turns
 
 
 def test_cluster_min_clusters_does_not_resurrect_dissolved():
@@ -397,3 +402,100 @@ def test_diarizer_path_invalid_args_fail_before_decode(tmp_path):
     missing = tmp_path / "never_written.wav"  # decode would raise OSError
     with pytest.raises(ValueError, match="num_speakers"):
         d.diarize(str(missing), num_speakers=2, min_speakers=1)
+
+
+def test_min_speakers_cannot_exceed_max():
+    d = Diarizer.random_init(window_step_s=5.0)
+    with pytest.raises(ValueError, match="min_speakers"):
+        d.diarize(np.zeros(16000, np.float32), min_speakers=4, max_speakers=2)
+
+
+def test_bundled_keeps_caller_threshold_for_caller_embeddings():
+    """bundled(emb_params=<user net>) must NOT adopt the bundled AHC
+    threshold — it was calibrated for the BUNDLED embedding space."""
+    from audio_processor_tpu.training import embedding_trainer as et
+
+    cfg = EMB_CFG
+    params = emb_lib.init_params(cfg, jax.random.PRNGKey(3))
+    d = Diarizer.bundled(emb_params=params, emb_cfg=cfg)
+    if d is None:
+        pytest.skip("bundled assets not present")
+    assert d.emb_trained
+    assert d.emb_params is params
+    # the instance threshold is the class default, not the bundled one
+    bundled_thr = et.load_cluster_threshold(
+        d.__class__.BUNDLED_EMB
+        if "/" in d.__class__.BUNDLED_EMB
+        else __import__("os").path.join(
+            __import__("os").path.dirname(
+                __import__("audio_processor_tpu.pipeline.diarize",
+                           fromlist=["x"]).__file__),
+            "..", "assets", d.__class__.BUNDLED_EMB)
+    )
+    if bundled_thr is not None and bundled_thr != Diarizer.cluster_threshold:
+        assert d.cluster_threshold == Diarizer.cluster_threshold
+
+
+def test_from_tpu_segmentation_inits_params_for_caller_cfg(tmp_path):
+    """A caller-supplied emb_cfg must shape the random emb_params — the
+    old code initialised from the DEFAULT cfg and kept the caller's,
+    a latent shape mismatch."""
+    from audio_processor_tpu.models.diarization import segmentation_tpu as seg_tpu
+    from audio_processor_tpu.training import diarization_trainer as dt
+
+    seg_cfg = seg_tpu.TpuSegmentationConfig(window_s=2.0, d_model=32,
+                                            n_head=2, n_layer=1)
+    seg_params = seg_tpu.init_params(seg_cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "seg.npz")
+    dt.save_params(path, seg_params, seg_cfg)
+
+    small = emb_lib.EmbeddingConfig(base_channels=8, blocks=(1, 1, 1, 1),
+                                    embed_dim=32, crop_s=1.0)
+    d = Diarizer.from_tpu_segmentation(path, emb_cfg=small)
+    assert d.emb_cfg is small
+    # forward must run without shape errors under the caller's cfg
+    out = emb_lib.embed_crops(
+        d.emb_params, d.emb_cfg,
+        jnp.zeros((1, small.crop_samples), jnp.float32),
+    )
+    assert out.shape == (1, small.embed_dim)
+
+
+def test_hard_decode_matches_powerset_argmax(rng):
+    """hard_decode=True argmax-decodes the powerset per frame (pyannote's
+    to_multilabel): a frame whose marginal crosses onset while the argmax
+    class is 'no speech' stays silent."""
+    from audio_processor_tpu.models.diarization.segmentation import (
+        SegmentationConfig, powerset_matrix, segment_windows,
+    )
+    from audio_processor_tpu.models.diarization import segmentation as seg_mod
+
+    cfg = SegmentationConfig()
+    member = powerset_matrix(cfg)
+
+    # craft logits where P([])=0.45, P([0])=0.25, P([0,1])=0.30: marginal
+    # P(spk0)=0.55 > 0.5 but argmax is the empty class
+    p = np.full(member.shape[0], 1e-6)
+    idx_empty = next(i for i, row in enumerate(member) if row.sum() == 0)
+    rows = [tuple(np.nonzero(r)[0].tolist()) for r in member]
+    idx_s0 = rows.index((0,))
+    idx_s01 = rows.index((0, 1))
+    p[idx_empty], p[idx_s0], p[idx_s01] = 0.45, 0.25, 0.30
+    logits = np.log(p / p.sum())
+
+    fake_logits = np.broadcast_to(
+        logits, (1, cfg.num_frames, member.shape[0])
+    ).astype(np.float32)
+
+    orig_forward = seg_mod.forward
+    try:
+        seg_mod.forward = lambda params, c, audio: jnp.asarray(fake_logits)
+        soft = np.asarray(segment_windows({}, cfg, jnp.zeros((1, 16000))))
+        hard = np.asarray(
+            segment_windows({}, cfg, jnp.zeros((1, 16000)), hard=True)
+        )
+    finally:
+        seg_mod.forward = orig_forward
+    assert soft[0, 0, 0] > 0.5          # marginal crosses onset
+    assert hard[0, 0].sum() == 0        # pyannote decodes silence
+    assert set(np.unique(hard)) <= {0.0, 1.0}
