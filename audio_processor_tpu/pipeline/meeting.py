@@ -58,6 +58,11 @@ class MeetingProcessor:
     # smaller-model retry, mirroring the reference's medium->small fallback
     # on transcription failure (audio_processor.py:1056-1098)
     fallback_transcriber: Any | None = None
+    # DEPLOYMENT-level Drive capability (SA client OR OAuth login config).
+    # The local-path gate must key off this, not the per-job client: on an
+    # OAuth-only Drive deployment an ANONYMOUS caller has no oauth_drive,
+    # and a per-job check would hand exactly that caller local-file reads.
+    drive_capable: bool = False
 
     def process(
         self,
@@ -83,7 +88,11 @@ class MeetingProcessor:
             # always a Drive id, api_routes.py:36-57): otherwise any API
             # caller could read server-local files into the Gemini prompt
             # and the Notion page.  APTPU_ALLOW_LOCAL_FILES=1 opts back in.
-            allow_local = read_drive is None or os.environ.get(
+            # Keyed off deployment capability (drive_capable), NOT the
+            # per-job read_drive — see the field comment.
+            allow_local = (
+                not (self.drive_capable or read_drive is not None)
+            ) or os.environ.get(
                 "APTPU_ALLOW_LOCAL_FILES", ""
             ).lower() in ("1", "true", "yes")
             is_local = allow_local and os.path.exists(file_id)

@@ -337,6 +337,13 @@ def build_services(
         engine.prune_old_jobs(
             float(os.environ.get("APTPU_JOB_RETENTION_DAYS", "30"))
         )
+    # Drive capability is a DEPLOYMENT property: a service account OR an
+    # OAuth login config means Drive users exist, so server-local file_id
+    # paths stay refused even for anonymous callers (who have no per-job
+    # Drive client — the old per-job check let exactly them through)
+    from ..server.auth import load_client_config
+
+    drive_capable = drive is not None or load_client_config() is not None
     processor = MeetingProcessor(
         transcriber=transcriber,
         diarizer=diarizer,
@@ -344,6 +351,7 @@ def build_services(
         gemini=gemini,
         notion=notion,
         fallback_transcriber=fallback,
+        drive_capable=drive_capable,
     )
     return Services(
         engine=engine, processor=processor, credential_store=credential_store

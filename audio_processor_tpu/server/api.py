@@ -46,6 +46,42 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
     bp = Blueprint("api", url_prefix=url_prefix)
     engine = services.engine
 
+    def _job_visible(request: Request, status: dict | None) -> bool:
+        """Per-user job scoping (on by default; APTPU_SCOPE_JOBS_TO_USER=0
+        restores the reference's everyone-sees-everything posture).
+
+        Jobs carry the submitting user_id; another user's session must not
+        read their transcript/result (the reference leaks all jobs to all
+        callers).  Ownerless jobs (anonymous/CLI) stay visible to all;
+        Bearer-key callers are operators and see everything.
+        """
+        if status is None:
+            return False
+        if os.environ.get(
+            "APTPU_SCOPE_JOBS_TO_USER", "1"
+        ).lower() in ("0", "false", "no"):
+            return True
+        owner = status.get("user_id")
+        if owner is None:
+            return True
+        from .security import bearer_key_ok, configured_keys
+
+        keys = configured_keys()
+        if keys and bearer_key_ok(request, keys):
+            return True
+        sess_user = request.session.get("user_id") if request.session else None
+        return sess_user == owner
+
+    def _project(j: dict) -> dict:
+        """The compact listing view /jobs and /jobs/debug share."""
+        return {
+            "id": j["id"],
+            "status": j["status"],
+            "progress": j["progress"],
+            "created_at": j["created_at"],
+            "updated_at": j["updated_at"],
+        }
+
     @bp.route("/health")
     def health(request: Request):
         return {
@@ -62,6 +98,8 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
         file_id = data.get("file_id")
         if not file_id:
             return {"success": False, "error": "Missing file_id parameter"}, 400
+        if not isinstance(file_id, str):
+            return {"success": False, "error": "file_id must be a string"}, 400
         attachment_file_ids = data.get("attachment_file_ids")
         if attachment_file_ids is not None:
             if not isinstance(attachment_file_ids, list):
@@ -93,28 +131,24 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
     @bp.route("/job/<job_id>")
     def job_status(request: Request, job_id: str):
         status = engine.get_job_status(job_id)
-        if status is None:
+        if not _job_visible(request, status):
+            # 404 for both missing and foreign jobs: existence is private
             return {"success": False, "error": f"Job {job_id} not found"}, 404
         return {"success": True, "job": status}
 
     @bp.route("/jobs")
     def jobs(request: Request):
         filter_status = request.query.get("filter", "active")
-        if filter_status not in ("active", "all", "completed", "failed"):
+        if filter_status not in ("active", "all", "completed", "failed", "cancelled"):
             return {
                 "success": False,
-                "error": "Invalid filter parameter. Use 'active', 'all', 'completed', or 'failed'",
+                "error": "Invalid filter parameter. Use 'active', 'all', 'completed', 'failed', or 'cancelled'",
             }, 400
         listed = engine.list_jobs(filter_status)
         jobs_map = {
-            j["id"]: {
-                "id": j["id"],
-                "status": j["status"],
-                "progress": j["progress"],
-                "created_at": j["created_at"],
-                "updated_at": j["updated_at"],
-            }
+            j["id"]: _project(j)
             for j in listed
+            if _job_visible(request, j)
         }
         return {
             "success": True,
@@ -139,7 +173,7 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
 
     @bp.route("/job/<job_id>/cancel", methods=("POST",))
     def cancel(request: Request, job_id: str):
-        if engine.store.get(job_id) is None:
+        if not _job_visible(request, engine.get_job_status(job_id)):
             return {"success": False, "error": "Job not found"}, 404
         result = engine.cancel_job(job_id)
         if not result.get("success"):
@@ -154,17 +188,22 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
         job_ids = data["job_ids"]
         if not isinstance(job_ids, list):
             return {"success": False, "error": "job_ids must be an array"}, 400
+        if not all(isinstance(j, str) for j in job_ids):
+            return {
+                "success": False,
+                "error": "All items in job_ids must be strings",
+            }, 400
         statuses = {}
         for jid in job_ids:
             st = engine.get_job_status(jid)
-            if st is not None:
+            if st is not None and _job_visible(request, st):
                 statuses[jid] = st
         return {"success": True, "jobs": statuses}
 
     @bp.route("/jobs/<job_id>/result")
     def job_result(request: Request, job_id: str):
         status = engine.get_job_status(job_id)
-        if status is None:
+        if not _job_visible(request, status):
             return {"success": False, "error": f"Job {job_id} not found"}, 404
         if status.get("status") != "completed":
             return {"success": False, "error": "Job not completed yet"}, 400
@@ -179,7 +218,7 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
 
         from .web import StreamingResponse
 
-        if engine.store.get(job_id) is None:
+        if not _job_visible(request, engine.get_job_status(job_id)):
             return {"success": False, "error": "Job not found"}, 404
         sse_max = int(os.environ.get("APTPU_SSE_MAX_SUBSCRIBERS", "8"))
         with _sse_lock:
@@ -270,13 +309,9 @@ def make_api_blueprint(services: Any, url_prefix: str = "/api") -> Blueprint:
     def jobs_debug(request: Request):
         listed = engine.list_jobs("all")
         jobs_info = {
-            j["id"]: {
-                "status": j["status"],
-                "progress": j["progress"],
-                "created_at": j["created_at"],
-                "updated_at": j["updated_at"],
-            }
+            j["id"]: {k: v for k, v in _project(j).items() if k != "id"}
             for j in listed
+            if _job_visible(request, j)
         }
         return {"success": True, "total_jobs": len(jobs_info), "jobs": jobs_info}
 

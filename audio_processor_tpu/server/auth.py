@@ -211,7 +211,13 @@ def make_auth_blueprint(
         state = request.query.get("state")
         if not code:
             return {"success": False, "error": "Missing authorization code"}, 400
-        if state != request.session.get("flow_state"):
+        # the state must EXIST and match: a fresh session has no
+        # flow_state, and `None != None` is False — an attacker-initiated
+        # code with no state would otherwise bind the victim's session to
+        # the attacker's account (login CSRF; same hard check as
+        # /api/auth/token)
+        expected = request.session.get("flow_state")
+        if not expected or state != expected:
             return {"success": False, "error": "State mismatch"}, 400
         redirect_uri = request.session.get("redirect_uri") or external_redirect_uri(request)
         try:
@@ -286,7 +292,10 @@ def make_auth_blueprint(
             return {"success": False, "error": "Not authenticated"}, 401
         return {"success": True, "user": request.session.get("user_info", {})}
 
-    @bp.route("/api/auth/logout", methods=("POST", "GET"))
+    # POST-only: logout deletes the stored refresh token, and SameSite=Lax
+    # cookies ride top-level GET navigations — a GET logout is forced
+    # logout + credential destruction by cross-site link (webui POSTs)
+    @bp.route("/api/auth/logout", methods=("POST",))
     def logout(request: Request):
         user_id = request.session.get("user_id")
         if user_id:

@@ -339,3 +339,39 @@ def test_local_paths_rejected_on_drive_backed_deployments(
         assert st["status"] == "completed", st.get("error")
     finally:
         engine.shutdown(wait=False)
+
+
+def test_local_paths_rejected_for_anonymous_on_oauth_only_deployments(
+    wav_file, processor_parts, monkeypatch
+):
+    """OAuth-only Drive deployment (no service account): an ANONYMOUS
+    caller has no per-job Drive client, and the old per-job gate handed
+    exactly that caller local-file reads.  The gate keys off the
+    DEPLOYMENT-level drive_capable flag instead."""
+    monkeypatch.delenv("APTPU_ALLOW_LOCAL_FILES", raising=False)
+    transcriber, diarizer = processor_parts
+    proc = MeetingProcessor(
+        transcriber=transcriber, diarizer=diarizer,
+        drive=None, gemini=None, notion=None,
+        drive_capable=True,  # OAuth login config exists
+    )
+    engine = JobEngine(max_workers=1)
+    try:
+        engine.create_job("anon1", file_id=wav_file)
+        engine.submit(
+            "anon1",
+            # user_id=None, oauth_drive=None: the anonymous caller
+            lambda ctx: proc.process(ctx, wav_file, None, None, None),
+            failure_result=build_failure_result,
+        )
+        for _ in range(300):
+            st = engine.get_job_status("anon1")
+            if st["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.1)
+        assert st["status"] == "failed", (
+            "anonymous caller read a server-local file on a Drive-capable "
+            "deployment"
+        )
+    finally:
+        engine.shutdown(wait=False)

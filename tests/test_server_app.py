@@ -205,3 +205,110 @@ def test_callback_error_param_cannot_split_headers(app_and_services):
     loc = headers["Location"][0]
     assert "\r" not in loc and "\n" not in loc
     assert loc.startswith("/login?error=denied")
+
+
+def test_callback_rejects_missing_state(app_and_services):
+    """Login CSRF: a fresh session has no flow_state, and an attacker-
+    initiated code with NO state param must not pass the state check
+    (None == None used to compare equal — the same hard check
+    /api/auth/token already had)."""
+    app, _ = app_and_services
+    status, data, _ = call_app(
+        app, "GET", "/api/auth/callback", query="code=good-code"
+    )
+    assert status == 400
+    assert "State" in data["error"]
+
+
+def test_logout_is_post_only(app_and_services):
+    """Logout deletes stored refresh tokens; SameSite=Lax cookies ride
+    top-level GET navigations, so GET logout = cross-site forced logout."""
+    app, _ = app_and_services
+    status, _, _ = call_app(app, "GET", "/api/auth/logout")
+    assert status == 405
+    status, _, _ = call_app(app, "POST", "/api/auth/logout")
+    assert status == 200
+
+
+def test_job_api_scoped_to_owner(app_and_services):
+    """Another user's session must not read a job's transcript/result —
+    jobs carry user_id, and foreign jobs 404 across every read surface
+    (the reference leaks all jobs to all callers)."""
+    app, services = app_and_services
+    engine = services.engine
+    engine.create_job("owned", user_id="u-77", file_name="secret.m4a")
+    engine.store.update("owned", status="completed",
+                        result={"segments": ["private"]})
+    engine.create_job("ownerless")
+
+    # anonymous caller: ownerless visible, owned invisible
+    status, data, _ = call_app(app, "GET", "/api/job/owned")
+    assert status == 404
+    status, data, _ = call_app(app, "GET", "/api/jobs/owned/result")
+    assert status == 404
+    status, data, _ = call_app(app, "POST", "/api/job/owned/cancel")
+    assert status == 404
+    status, data, _ = call_app(app, "GET", "/api/jobs", query="filter=all")
+    assert set(data["active_jobs"]) == {"ownerless"}
+    status, data, _ = call_app(
+        app, "POST", "/api/jobs/status/batch",
+        body={"job_ids": ["owned", "ownerless"]},
+    )
+    assert set(data["jobs"]) == {"ownerless"}
+
+    # the owner's session sees it (log in as u-77 via the token flow)
+    status, _, h = call_app(app, "GET", "/api/auth/google")
+    cookie = _cookie_of(h)
+    import urllib.parse as up
+
+    state = up.parse_qs(up.urlsplit(h["Location"][0]).query)["state"][0]
+    status, data, h2 = call_app(
+        app, "POST", "/api/auth/token",
+        body={"code": "good-code", "state": state},
+        headers={"Cookie": cookie},
+    )
+    assert status == 200 and data["success"]
+    cookie = _cookie_of(h2) or cookie
+    status, data, _ = call_app(
+        app, "GET", "/api/job/owned", headers={"Cookie": cookie}
+    )
+    assert status == 200 and data["job"]["id"] == "owned"
+    status, data, _ = call_app(
+        app, "GET", "/api/jobs/owned/result", headers={"Cookie": cookie}
+    )
+    assert status == 200 and data["result"]["segments"] == ["private"]
+
+
+def test_job_scoping_env_escape(app_and_services, monkeypatch):
+    """APTPU_SCOPE_JOBS_TO_USER=0 restores the reference posture."""
+    app, services = app_and_services
+    services.engine.create_job("owned2", user_id="someone-else")
+    monkeypatch.setenv("APTPU_SCOPE_JOBS_TO_USER", "0")
+    status, data, _ = call_app(app, "GET", "/api/job/owned2")
+    assert status == 200
+
+
+def test_process_rejects_non_string_file_id(app_and_services):
+    app, _ = app_and_services
+    status, data, _ = call_app(
+        app, "POST", "/api/process", body={"file_id": {"a": 1}}
+    )
+    assert status == 400
+    assert "string" in data["error"]
+
+
+def test_batch_status_rejects_non_string_ids(app_and_services):
+    app, _ = app_and_services
+    status, data, _ = call_app(
+        app, "POST", "/api/jobs/status/batch", body={"job_ids": [["x"]]}
+    )
+    assert status == 400
+
+
+def test_jobs_filter_accepts_cancelled(app_and_services):
+    app, services = app_and_services
+    services.engine.create_job("c1")
+    services.engine.store.update("c1", status="cancelled")
+    status, data, _ = call_app(app, "GET", "/api/jobs", query="filter=cancelled")
+    assert status == 200
+    assert set(data["active_jobs"]) == {"c1"}
