@@ -85,6 +85,25 @@ def initialize(
         )
         return jax.process_count() > 1
 
+    # explicit topology must be COMPLETE: a lone APTPU_COORDINATOR (or a
+    # lone APTPU_NUM_PROCESSES) would call initialize with None fields
+    # and crash startup with an opaque error instead of this one
+    missing = [
+        name
+        for name, val in (
+            ("APTPU_COORDINATOR", coordinator),
+            ("APTPU_NUM_PROCESSES", num_processes),
+            ("APTPU_PROCESS_ID", process_id),
+        )
+        if val is None
+    ]
+    if missing:
+        raise ValueError(
+            "explicit multihost topology is incomplete: set "
+            + ", ".join(missing)
+            + " (or unset APTPU_COORDINATOR/APTPU_NUM_PROCESSES entirely "
+            "for auto-detection)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
@@ -120,8 +139,25 @@ def make_multihost_mesh(model_parallel: int = 1) -> Mesh:
             f"count {n_local}: tensor-parallel groups must stay on one "
             "host's ICI domain"
         )
-    devices = np.asarray(jax.devices())  # process-major order
+    # jax.devices() order is NOT guaranteed process-contiguous (v4+ cube
+    # topologies interleave global ids across hosts): sort by
+    # (process_index, id) so the reshape's model-axis rows stay within one
+    # host, then ASSERT it — a silent cross-host TP row would put every
+    # sharded matmul's collectives on DCN, exactly what this mesh exists
+    # to prevent.
+    devices = np.asarray(
+        sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    )
     grid = devices.reshape(len(devices) // model_parallel, model_parallel)
+    if model_parallel > 1:
+        for row in grid:
+            procs = {d.process_index for d in row}
+            if len(procs) != 1:
+                raise AssertionError(
+                    f"model-parallel group spans processes {sorted(procs)}; "
+                    "device numbering is not host-contiguous on this "
+                    "topology — reduce model_parallel or adjust the layout"
+                )
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -21,13 +21,21 @@ def save_train_state(path: str, state: Any) -> None:
     """Save a TrainState pytree. Uses orbax when importable, else npz."""
     try:
         import orbax.checkpoint as ocp
-
-        ckpt = ocp.StandardCheckpointer()
-        ckpt.save(os.path.abspath(path), state, force=True)
-        ckpt.wait_until_finished()
-        return
-    except Exception as exc:  # noqa: BLE001 — fall back to flat npz
+    except ImportError as exc:
         logger.info("orbax unavailable (%s); using npz fallback", exc)
+    else:
+        try:
+            ckpt = ocp.StandardCheckpointer()
+            ckpt.save(os.path.abspath(path), state, force=True)
+            ckpt.wait_until_finished()
+            return
+        except Exception:  # noqa: BLE001 — fall back to flat npz
+            # a REAL save failure (disk full, permissions) is not
+            # "unavailable": log it loudly so the npz fallback doesn't
+            # mask a half-written orbax directory at `path`
+            logger.exception(
+                "orbax save FAILED for %s; writing npz fallback", path
+            )
     flat, treedef = jax.tree.flatten(state)
 
     def to_np(x):
@@ -50,12 +58,20 @@ def restore_train_state(path: str, template: Any) -> Any:
     TrainState with matching shapes/dtypes)."""
     try:
         import orbax.checkpoint as ocp
-
-        if os.path.isdir(path):
+    except ImportError:
+        ocp = None
+    if ocp is not None and os.path.isdir(path):
+        try:
             ckpt = ocp.StandardCheckpointer()
             return ckpt.restore(os.path.abspath(path), template)
-    except Exception as exc:  # noqa: BLE001
-        logger.info("orbax restore failed (%s); trying npz", exc)
+        except Exception:  # noqa: BLE001
+            # an orbax dir EXISTS but failed to restore — surface the real
+            # error before the npz attempt turns it into a confusing
+            # FileNotFoundError for an archive that never existed
+            logger.exception(
+                "orbax restore FAILED for existing checkpoint %s; "
+                "trying npz", path,
+            )
     npz_path = path if path.endswith(".npz") else path + ".npz"
     with np.load(npz_path) as z:
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]

@@ -14,7 +14,6 @@ calibration sweep for the binarisation threshold pipeline/diarize.py uses.
 from __future__ import annotations
 
 import itertools
-import math
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -24,7 +23,6 @@ import numpy as np
 import optax
 
 from ..models.diarization import segmentation_tpu as seg
-from ..models.diarization.segmentation import powerset_matrix
 
 Params = dict[str, Any]
 
@@ -93,10 +91,15 @@ class SegTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 3e-4, weight_decay: float = 0.01):
+def make_optimizer(lr=3e-4, weight_decay: float = 0.01):
+    from .train_step import _decay_mask
+
     return optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(lr, b1=0.9, b2=0.98, eps=1e-6, weight_decay=weight_decay),
+        optax.adamw(
+            lr, b1=0.9, b2=0.98, eps=1e-6, weight_decay=weight_decay,
+            mask=_decay_mask,
+        ),
     )
 
 
@@ -108,7 +111,8 @@ def init_train_state(
     return SegTrainState(params=params, opt_state=opt.init(params), step=jnp.int32(0))
 
 
-@partial(jax.jit, static_argnames=("cfg", "lr"), donate_argnames=("state",))
+# lr traced: schedules must not recompile per step
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def train_step(
     state: SegTrainState,
     cfg: seg.TpuSegmentationConfig,
@@ -116,7 +120,7 @@ def train_step(
     targets: jnp.ndarray,  # (B, num_frames, S)
     member: jnp.ndarray,
     lut: jnp.ndarray,
-    lr: float = 3e-4,
+    lr=3e-4,
 ) -> tuple[SegTrainState, jnp.ndarray]:
     def loss_fn(p):
         logits = seg.forward(p, cfg, audio)

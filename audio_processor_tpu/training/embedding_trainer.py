@@ -35,10 +35,15 @@ class EmbTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-4):
+def make_optimizer(lr=1e-3, weight_decay: float = 1e-4):
+    from .train_step import _decay_mask
+
     return optax.chain(
         optax.clip_by_global_norm(3.0),
-        optax.adamw(lr, b1=0.9, b2=0.98, eps=1e-6, weight_decay=weight_decay),
+        optax.adamw(
+            lr, b1=0.9, b2=0.98, eps=1e-6, weight_decay=weight_decay,
+            mask=_decay_mask,
+        ),
     )
 
 
@@ -93,7 +98,8 @@ def aam_softmax_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "lr", "margin", "scale"),
+    static_argnames=("cfg", "margin", "scale"),  # lr traced: schedules
+    # must not recompile per step
     donate_argnames=("state",),
 )
 def train_step(
@@ -101,7 +107,7 @@ def train_step(
     cfg: emb.EmbeddingConfig,
     audio: jnp.ndarray,
     labels: jnp.ndarray,
-    lr: float = 1e-3,
+    lr=1e-3,
     margin: float = 0.2,
     scale: float = 30.0,
 ) -> tuple[EmbTrainState, jnp.ndarray]:
@@ -151,6 +157,11 @@ def embedding_separation(
     off_diag = ~np.eye(len(labels), dtype=bool)
     intra = sims[same & off_diag]
     inter = sims[~same]
+    if intra.size == 0 or inter.size == 0:
+        # a batch where some speaker has a single crop (or only one
+        # speaker) has no intra/inter pairs — 0.0, not NaN, so threshold
+        # calibration consuming this never silently propagates NaN
+        return 0.0
     return float(intra.mean() - inter.mean())
 
 

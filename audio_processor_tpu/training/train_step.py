@@ -34,10 +34,22 @@ class Batch(NamedTuple):
     loss_mask: jnp.ndarray  # (B, T) 1.0 on real tokens
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01) -> optax.GradientTransformation:
+def _decay_mask(params):
+    """Decay matmul weights only: biases, LayerNorm/BatchNorm scales and
+    statistics are 1-D and standard recipes exclude them (decaying a BN
+    running var toward 0 monotonically amplifies activations)."""
+    import jax
+
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def make_optimizer(lr=1e-4, weight_decay: float = 0.01) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(lr, b1=0.9, b2=0.98, eps=1e-6, weight_decay=weight_decay),
+        optax.adamw(
+            lr, b1=0.9, b2=0.98, eps=1e-6, weight_decay=weight_decay,
+            mask=_decay_mask,
+        ),
     )
 
 
@@ -58,8 +70,10 @@ def loss_fn(params, cfg: WhisperConfig, batch: Batch, compute_dtype=jnp.float32)
     return jnp.sum(nll * batch.loss_mask) / denom
 
 
-@partial(jax.jit, static_argnames=("cfg", "lr"), donate_argnums=(0,))
-def train_step(state: TrainState, cfg: WhisperConfig, batch: Batch, lr: float = 1e-4):
+# lr is TRACED (not static): a schedule passing a new value per step must
+# not retrace/recompile the whole program each step
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(state: TrainState, cfg: WhisperConfig, batch: Batch, lr=1e-4):
     loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
     opt = make_optimizer(lr)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
@@ -90,6 +104,16 @@ def _place_opt_state(opt_state, mesh, pspec):
                 for x, s in zip(leaves, flat_param_specs)
             ]
             return jax.tree.unflatten(treedef, placed)
+        # loud, not silent: replicating mu/nu doubles per-device optimizer
+        # memory — the exact failure sharding them exists to prevent
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "optimizer-state leaf count %d != param-spec count %d — "
+            "mu/nu fall back to REPLICATED placement (2x f32 params per "
+            "device); the optax state layout has drifted from "
+            "whisper_param_spec", len(leaves), len(flat_param_specs),
+        )
         return jax.tree.map(
             lambda x: jax.device_put(x, NamedSharding(mesh, P())), subtree
         )
