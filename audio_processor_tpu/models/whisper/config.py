@@ -42,7 +42,13 @@ class WhisperConfig:
 
     @property
     def num_languages(self) -> int:
-        return self.n_vocab - 51765 - int(self.is_multilingual)
+        """Delegates to the ONE derivation (decode.SpecialTokens): the
+        naive n_vocab arithmetic returned nonsense negatives for toy and
+        custom vocabs, and callers picking it up over
+        special.num_languages would mis-validate every language."""
+        from .decode import SpecialTokens
+
+        return SpecialTokens.for_config(self).num_languages
 
 
 _PRESETS = {

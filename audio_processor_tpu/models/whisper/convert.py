@@ -20,7 +20,12 @@ from .model import Params
 def _t(x) -> np.ndarray:
     """torch tensor / array -> float32 numpy (no torch import needed here)."""
     if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
+        x = x.detach().cpu()
+        if hasattr(x, "float"):
+            # numpy cannot represent torch bfloat16 (TypeError: unsupported
+            # ScalarType) — bf16-saved fine-tunes upcast before .numpy()
+            x = x.float()
+        x = x.numpy()
     return np.asarray(x, dtype=np.float32)
 
 
@@ -57,9 +62,12 @@ def _hf_block(sd, prefix, cross: bool) -> dict:
 
 
 def _stack(blocks: list) -> dict:
-    import jax
+    # the ONE per-layer stacking definition (jnp.stack accepts numpy
+    # leaves directly; a local twin here risked drifting from model.py's
+    # leading-axis convention)
+    from .model import _stack_pytrees
 
-    return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *blocks)
+    return _stack_pytrees(blocks)
 
 
 def from_hf_state_dict(sd: Mapping[str, Any], cfg: WhisperConfig) -> Params:

@@ -115,8 +115,12 @@ try:
 
     _SPLIT_PATTERN = _regex.compile(_GPT2_PAT)
 except ImportError:  # pragma: no cover - regex ships with transformers
+    # the punctuation alternative must include "_" explicitly: "_" is a
+    # \w word char (so [^\s\w] excludes it) AND excluded from the letter
+    # class — with no alternative matching it, findall silently DELETED
+    # underscores from the encoded text (snake_case prompts corrupted)
     _SPLIT_PATTERN = re.compile(
-        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+""",
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+""",
         re.UNICODE,
     )
 
@@ -302,13 +306,42 @@ def load_tokenizer_file(path: str) -> BPETokenizer:
     import os
 
     if path.endswith(".json"):
-        merges = os.path.join(os.path.dirname(path), "merges.txt")
-        if not os.path.exists(merges):
+        import json as _json
+
+        with open(path, encoding="utf-8") as f:
+            data = _json.load(f)
+        if isinstance(data, dict) and "model" in data:
+            # HF tokenizer.json (the file checkpoint repos ship most
+            # prominently): vocab + merges live under data["model"] —
+            # previously this crashed deep in the constructor with an
+            # unhashable-type TypeError
+            model = data["model"]
+            vocab = model.get("vocab")
+            merges_raw = model.get("merges")
+            if not isinstance(vocab, dict) or merges_raw is None:
+                raise ValueError(
+                    f"{path} is a tokenizer.json without model.vocab/"
+                    "model.merges; pass vocab.json + merges.txt instead"
+                )
+            merges = [
+                tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+                for m in merges_raw
+            ]
+            return BPETokenizer(vocab, merges)
+        if not isinstance(data, dict) or not all(
+            isinstance(v, int) for v in data.values()
+        ):
+            raise ValueError(
+                f"{path} is not a vocab.json (token -> id map) or a "
+                "tokenizer.json; unsupported JSON tokenizer format"
+            )
+        merges_path = os.path.join(os.path.dirname(path), "merges.txt")
+        if not os.path.exists(merges_path):
             raise FileNotFoundError(
                 f"{path} looks like a HF vocab.json but no merges.txt "
-                f"found beside it ({merges})"
+                f"found beside it ({merges_path})"
             )
-        return BPETokenizer.from_vocab_files(path, merges)
+        return BPETokenizer.from_vocab_files(path, merges_path)
     return BPETokenizer.from_tiktoken(path)
 
 

@@ -173,3 +173,78 @@ def test_language_index_unknown_model_resolves_v3_codes():
     assert language_index("yue", num_languages=100) == 99
     with pytest.raises(ValueError):
         language_index("klingon", num_languages=None)
+
+
+def test_stdlib_fallback_pattern_keeps_underscores():
+    """The `re` fallback pre-tokenizer must not DELETE characters: '_' is
+    a \\w word char excluded from both the letter and punctuation
+    classes, so the old pattern silently dropped it (snake_case prompts
+    corrupted before reaching the model)."""
+    import re
+
+    from audio_processor_tpu.models.whisper import tokenizer as tok_mod
+
+    pat = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+""",
+        re.UNICODE,
+    )
+    text = "rename speaker_map to file_id; x_3 = 7"
+    assert "".join(pat.findall(text)) == text
+    # every char of arbitrary text must be covered (nothing deleted)
+    for sample in ("__init__", "a_b c-d", "_", "e.g._test_", "1_000"):
+        assert "".join(pat.findall(sample)) == sample
+
+
+def test_load_tokenizer_file_hf_tokenizer_json(tmp_path):
+    """HF tokenizer.json (the file checkpoint repos ship most visibly)
+    loads directly; an unrecognized JSON shape raises a clear error
+    instead of an unhashable-type TypeError."""
+    import json
+
+    from audio_processor_tpu.models.whisper.tokenizer import (
+        BPETokenizer, load_tokenizer_file,
+    )
+
+    # a tiny byte-level vocab: single printable chars + one merge
+    vocab = {chr(c): i for i, c in enumerate(range(33, 127))}
+    vocab["ab"] = len(vocab)
+    tj = tmp_path / "tokenizer.json"
+    tj.write_text(json.dumps({
+        "version": "1.0",
+        "model": {"type": "BPE", "vocab": vocab, "merges": ["a b"]},
+    }))
+    t = load_tokenizer_file(str(tj))
+    assert isinstance(t, BPETokenizer)
+    assert t.vocab["ab"] == len(vocab) - 1
+    assert t.ranks[("a", "b")] == 0
+
+    bad = tmp_path / "weird.json"
+    bad.write_text(json.dumps({"added_tokens": [{"id": 1}]}))
+    with pytest.raises(ValueError, match="unsupported JSON tokenizer"):
+        load_tokenizer_file(str(bad))
+
+
+def test_config_num_languages_delegates_to_special_tokens():
+    """cfg.num_languages shares the SpecialTokens derivation — the naive
+    vocab arithmetic returned -50741 for the toy 'test' config."""
+    from audio_processor_tpu.models.whisper.config import get_config
+    from audio_processor_tpu.models.whisper.decode import SpecialTokens
+
+    for name in ("test", "tiny", "tiny.en", "large-v3"):
+        cfg = get_config(name)
+        assert cfg.num_languages == SpecialTokens.for_config(cfg).num_languages
+        assert cfg.num_languages > 0
+
+
+def test_convert_handles_torch_bf16_tensors():
+    """bf16-saved fine-tunes convert (numpy can't represent torch bf16;
+    _t upcasts before .numpy())."""
+    import numpy as np
+    import torch
+
+    from audio_processor_tpu.models.whisper.convert import _t
+
+    x = torch.ones((2, 3), dtype=torch.bfloat16) * 1.5
+    out = _t(x)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, 1.5)
