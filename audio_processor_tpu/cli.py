@@ -152,11 +152,19 @@ def cmd_transcribe(args) -> None:
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
 
+    used_stems: dict[str, int] = {}
+
     def emit(path: str, out: dict) -> None:
         if args.output_dir:
             # openai's CLI file-writing mode: <output_dir>/<stem>.<fmt>,
-            # every known format when --output-format all
+            # every known format when --output-format all.  Same-basename
+            # inputs (a.wav + a.m4a, or same name from two dirs) uniquify
+            # instead of silently overwriting each other's transcripts.
             stem = os.path.splitext(os.path.basename(path))[0]
+            n = used_stems.get(stem, 0)
+            used_stems[stem] = n + 1
+            if n:
+                stem = f"{stem}.{n + 1}"
             targets = (
                 ("txt", "srt", "vtt", "tsv", "json") if fmt == "all"
                 else (("txt" if fmt == "text" else fmt),)
@@ -190,9 +198,11 @@ def cmd_transcribe(args) -> None:
         # batched decode (Transcriber.transcribe_batch) — identical
         # per-file results, far better slab occupancy for short clips.
         # --verbose rides the batch too (per-file live callback).
-        audios = [ingest.load_audio(p) for p in args.audio]
+        # PATHS go in directly: transcribe_batch loads them one at a time
+        # (pre-loading every file doubled peak host memory on long
+        # multi-recording batches)
         outs = t.transcribe_batch(
-            audios, remove_silence=not args.keep_silence,
+            list(args.audio), remove_silence=not args.keep_silence,
             on_segment=(
                 (lambda fi, seg: on_segment(
                     dict(seg, text=f"{args.audio[fi]}:{seg['text']}")))
@@ -310,9 +320,11 @@ def cmd_stream(args) -> None:
         if args.model_path
         else Transcriber.random_init(args.model, **kw)
     )
+    if args.block_s <= 0:
+        sys.exit(f"--block-s must be positive, got {args.block_s}")
     st = StreamingTranscriber(t, partial_step_s=args.partial_step_s)
     audio = ingest.load_audio(args.audio)
-    block = int(args.block_s * 16_000)
+    block = max(1, int(args.block_s * ingest.TARGET_SR))
 
     def emit(seg):
         print(
@@ -491,7 +503,10 @@ def cmd_finetune_whisper(args) -> None:
             first_loss = last_loss
         if step % max(1, args.steps // 10) == 0 or step == args.steps - 1:
             print(f"step {step:5d}  loss {last_loss:.4f}", file=sys.stderr)
-    print(f"loss {first_loss:.4f} -> {last_loss:.4f} over {args.steps} steps")
+    if first_loss is not None:
+        print(f"loss {first_loss:.4f} -> {last_loss:.4f} over {args.steps} steps")
+    else:
+        print(f"no training steps ran (--steps {args.steps})", file=sys.stderr)
     if args.out:
         convert.save_params(
             args.out, jax.device_get(state.params), cfg,

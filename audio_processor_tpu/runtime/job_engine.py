@@ -121,6 +121,7 @@ class JobEngine:
         store=None,
     ):
         self.store = store if store is not None else make_store(store_url)
+        self.max_workers = max_workers
         self.executor = ThreadPoolExecutor(
             max_workers=max_workers, thread_name_prefix="job-worker"
         )
@@ -170,6 +171,18 @@ class JobEngine:
         """
         if self._shutdown:
             raise RuntimeError("engine is shut down")
+        with self._futures_lock:
+            saturated = len(self._futures) >= self.max_workers
+        if saturated:
+            # every worker slot is occupied: this job WAITS — surface that
+            # as 'queued' (the constants vocabulary the reference defines
+            # but never uses); _run_job flips it to 'processing' on pickup
+            self.store.update(
+                job_id,
+                status=JOB_STATUS["QUEUED"],
+                message="Queued; waiting for a worker",
+                updated_at=_utcnow(),
+            )
         future = self.executor.submit(self._run_job, job_id, fn, failure_result)
         with self._futures_lock:
             self._futures[job_id] = future
@@ -482,7 +495,7 @@ class JobEngine:
                 "status": rec["status"],
             }
         self.store.request_cancel(job_id)
-        if rec["status"] == JOB_STATUS["PENDING"]:
+        if rec["status"] in (JOB_STATUS["PENDING"], JOB_STATUS["QUEUED"]):
             # not started yet: try to cancel the future and finalise now
             with self._futures_lock:
                 fut = self._futures.get(job_id)

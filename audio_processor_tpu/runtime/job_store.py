@@ -25,7 +25,11 @@ import threading
 import time
 from ..utils.constants import JOB_STATUS
 
-ACTIVE_STATUSES = (JOB_STATUS["PENDING"], JOB_STATUS["PROCESSING"])
+ACTIVE_STATUSES = (
+    JOB_STATUS["QUEUED"],
+    JOB_STATUS["PENDING"],
+    JOB_STATUS["PROCESSING"],
+)
 TERMINAL_STATUSES = (
     JOB_STATUS["COMPLETED"],
     JOB_STATUS["FAILED"],
@@ -233,12 +237,13 @@ class RedisJobStore:
 
     def list(self) -> list[dict]:
         ids = self.client.zrange(self._index, 0, -1)
-        out = []
-        for job_id in ids:
-            raw = self.client.get(self._key(job_id))
-            if raw:
-                out.append(json.loads(raw))
-        return out
+        if not ids:
+            return []
+        # one MGET, not one GET per job: list() backs the hot /api/health
+        # and /api/jobs paths, and N sequential round trips at ~1 ms RTT
+        # is hundreds of ms per probe at a few hundred retained jobs
+        raws = self.client.mget([self._key(i) for i in ids])
+        return [json.loads(raw) for raw in raws if raw]
 
     def request_cancel(self, job_id: str) -> None:
         self.client.set(self._cancel_key(job_id), "1")

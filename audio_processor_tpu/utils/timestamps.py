@@ -98,20 +98,29 @@ def compose_intervals(
 
 def parse_clip_timestamps(spec: str, duration: float) -> list[tuple[float, float]]:
     """openai-whisper's --clip_timestamps string: comma-separated
-    start,end pairs in seconds; a trailing lone start runs to the end."""
+    start,end pairs in seconds; a trailing lone start runs to the end.
+
+    Pairs pass through UN-clamped: Transcriber.transcribe owns the
+    clamping and raises its selects-no-audio error — pre-dropping
+    out-of-range clips here returned [] (falsy), which transcribe read
+    as 'no clips requested' and silently transcribed the WHOLE file.
+    The e < s check applies only to USER-supplied pairs: the synthesized
+    run-to-end terminator is duration, which a lone start beyond the
+    file would otherwise trip with an error blaming an end the user
+    never typed.
+    """
     vals = [float(v) for v in spec.split(",") if v.strip() != ""]
     if not vals:
         return []
-    if len(vals) % 2 == 1:
-        vals.append(duration)
+    lone_start = len(vals) % 2 == 1
+    if lone_start:
+        vals.append(max(duration, vals[-1]))
     clips = []
-    for s, e in zip(vals[0::2], vals[1::2]):
-        if e < s:
+    for i, (s, e) in enumerate(zip(vals[0::2], vals[1::2])):
+        user_pair = not (lone_start and i == len(vals) // 2 - 1)
+        if user_pair and e < s:
             raise ValueError(f"clip end before start in {spec!r}: {s},{e}")
-        s = max(0.0, min(s, duration))
-        e = max(0.0, min(e, duration))
-        if e > s:
-            clips.append((s, e))
+        clips.append((s, e))
     if clips != sorted(clips):
         raise ValueError(f"clip_timestamps must be sorted: {spec!r}")
     return clips

@@ -27,6 +27,10 @@ class FakeRedis:
         with self._lock:
             return self._data.get(key)
 
+    def mget(self, keys):
+        with self._lock:
+            return [self._data.get(k) for k in keys]
+
     def set(self, key, value):
         with self._lock:
             self._data[key] = value

@@ -582,9 +582,28 @@ def test_parse_clip_timestamps():
 
     assert parse_clip_timestamps("10,20,30,40", 100.0) == [(10.0, 20.0), (30.0, 40.0)]
     assert parse_clip_timestamps("90", 100.0) == [(90.0, 100.0)]  # lone start
-    assert parse_clip_timestamps("50,200", 100.0) == [(50.0, 100.0)]  # clamp
+    # pairs pass through UN-clamped: Transcriber.transcribe owns clamping
+    # and the selects-no-audio error — pre-dropping out-of-range clips
+    # returned [] (falsy), silently transcribing the WHOLE file
+    assert parse_clip_timestamps("50,200", 100.0) == [(50.0, 200.0)]
+    assert parse_clip_timestamps("60,70", 50.0) == [(60.0, 70.0)]
+    # a lone start BEYOND the file must not blame a synthesized end
+    assert parse_clip_timestamps("100", 50.0) == [(100.0, 100.0)]
     with pytest.raises(ValueError, match="sorted"):
         parse_clip_timestamps("30,40,10,20", 100.0)
+    with pytest.raises(ValueError, match="end before start"):
+        parse_clip_timestamps("20,10", 100.0)
+
+
+def test_out_of_range_clips_raise_not_full_transcript(transcriber, rng):
+    """clips entirely past the recording raise transcribe's selects-no-
+    audio error instead of silently transcribing the whole file."""
+    from audio_processor_tpu.utils.timestamps import parse_clip_timestamps
+
+    audio = rng.normal(0, 0.1, 5 * 16_000).astype(np.float32)
+    clips = parse_clip_timestamps("60,70", 5.0)
+    with pytest.raises(ValueError, match="selects no audio"):
+        transcriber.transcribe(audio, clip_timestamps=clips)
 
 
 def test_compose_intervals_splits_at_boundaries():

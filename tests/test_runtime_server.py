@@ -747,3 +747,37 @@ def test_prune_old_jobs_and_metrics_cache(tmp_path):
         assert "injected" not in m3["jobs_by_status"]
     finally:
         engine.shutdown(wait=False)
+
+
+def test_saturated_pool_marks_jobs_queued():
+    """With every worker slot occupied, a submitted job surfaces as
+    'queued' (the reference defines the status but never uses it), flips
+    to processing on pickup, and stays cancellable."""
+    import threading
+    import time as _t
+
+    from audio_processor_tpu.runtime.job_engine import JobEngine
+
+    engine = JobEngine(max_workers=1)
+    release = threading.Event()
+    try:
+        engine.create_job("busy")
+        engine.submit("busy", lambda ctx: release.wait(10) or {"ok": True})
+        _t.sleep(0.1)  # let the worker pick it up
+        engine.create_job("waiting")
+        engine.submit("waiting", lambda ctx: {"ok": True})
+        st = engine.get_job_status("waiting")
+        assert st["status"] == "queued", st
+        # queued jobs are active (health count, orphan sweep) + cancellable
+        assert any(j["id"] == "waiting" for j in engine.list_jobs("active"))
+        out = engine.cancel_job("waiting")
+        assert out["success"]
+        deadline = _t.time() + 5
+        while _t.time() < deadline:
+            if engine.get_job_status("waiting")["status"] == "cancelled":
+                break
+            _t.sleep(0.02)
+        assert engine.get_job_status("waiting")["status"] == "cancelled"
+    finally:
+        release.set()
+        engine.shutdown(wait=True)
