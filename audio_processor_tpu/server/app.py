@@ -24,8 +24,6 @@ _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TEMPLATE_DIR = os.path.join(_PKG_ROOT, "webui", "templates")
 STATIC_DIR = os.path.join(_PKG_ROOT, "webui", "static")
 
-_app_singleton: App | None = None
-
 
 # template renderer bound to this package's webui dir — ONE definition
 # (the framework's App.render_template), not a parallel re-implementation
@@ -36,15 +34,40 @@ def render(name: str, **ctx) -> Response:
     return _render_app.render_template(name, **ctx)
 
 
+# paths exempt from BOTH credential restore and key-gating — one list, so
+# an exemption added to one behavior cannot silently miss the other
 _SKIP_RESTORE_PREFIXES = (
     "/static/", "/api/auth/", "/login", "/callback", "/api/health",
     "/health", "/v1/"
 )
 
 
+def _session_secret(secret_key: str | None) -> str:
+    """SECRET_KEY, or a RANDOM per-process secret when unset.
+
+    A well-known fallback ('dev-secret') lets anyone forge an
+    authenticated session cookie — silently defeating APTPU_API_KEYS and
+    per-user job scoping.  A random secret keeps cookies unforgeable;
+    the cost (sessions reset on restart and don't share across gunicorn
+    workers) is logged so operators set SECRET_KEY for real deployments.
+    """
+    secret = secret_key or os.environ.get("SECRET_KEY")
+    if secret:
+        return secret
+    import logging
+    import secrets
+
+    logging.getLogger(__name__).warning(
+        "SECRET_KEY is not set — using a random per-process session "
+        "secret (sessions reset on restart and do not share across "
+        "workers); set SECRET_KEY for production"
+    )
+    return secrets.token_hex(32)
+
+
 def create_app(services: Any, secret_key: str | None = None) -> App:
     app = App(
-        secret_key=secret_key or os.environ.get("SECRET_KEY", "dev-secret"),
+        secret_key=_session_secret(secret_key),
         static_dir=STATIC_DIR,
         template_dir=TEMPLATE_DIR,
     )
@@ -63,12 +86,8 @@ def create_app(services: Any, secret_key: str | None = None) -> App:
         keys = configured_keys()
         if not keys:
             return None
-        open_prefixes = (
-            "/static/", "/api/auth/", "/login", "/callback",
-            "/api/health", "/health", "/v1/",
-        )
         if request.path == "/" or any(
-            request.path.startswith(p) for p in open_prefixes
+            request.path.startswith(p) for p in _SKIP_RESTORE_PREFIXES
         ):
             return None
         if request.session and request.session.get("authenticated"):

@@ -36,6 +36,8 @@ const Tasks = {
   tasks: [],            // {jobId, name, status, progress, message, createdAt, result, history:[{t,progress}]}
   pollTimer: null,
   sseStreams: {},       // jobId -> EventSource (SSE preferred, polling fallback)
+  sseLast: {},          // jobId -> ms timestamp of the last SSE frame
+  misses: {},           // jobId -> consecutive polls where the server had no such job
 
   init() {
     this.tasks = TaskStore.load();
@@ -78,14 +80,22 @@ const Tasks = {
     try {
       const es = new EventSource(`/api/job/${jobId}/events`);
       es.onmessage = (ev) => {
+        this.sseLast[jobId] = Date.now();
         try {
           const job = JSON.parse(ev.data);
           this.applyUpdate(jobId, job);
         } catch (e) { /* malformed frame: polling still covers us */ }
       };
-      es.addEventListener("end", () => { es.close(); delete this.sseStreams[jobId]; });
-      es.onerror = () => { es.close(); delete this.sseStreams[jobId]; };
+      es.addEventListener("end", () => {
+        es.close(); delete this.sseStreams[jobId]; delete this.sseLast[jobId];
+        // a stream that ended while the task is still active means the
+        // job vanished server-side (pruned/restart): let polling confirm
+        // and finalize instead of spinning forever
+        this.pollNow();
+      });
+      es.onerror = () => { es.close(); delete this.sseStreams[jobId]; delete this.sseLast[jobId]; };
       this.sseStreams[jobId] = es;
+      this.sseLast[jobId] = Date.now();
     } catch (e) { /* SSE unavailable: polling fallback */ }
   },
 
@@ -112,11 +122,18 @@ const Tasks = {
   },
 
   async pollNow() {
-    // polling covers only tasks without a live SSE stream
-    const active = this.active().filter((t) => !this.sseStreams[t.jobId]);
+    // polling covers tasks without a live SSE stream, plus streams that
+    // have gone SILENT (a buffering proxy can hold an open EventSource
+    // with no frames ever delivered — onerror never fires)
+    const now = Date.now();
+    const active = this.active().filter(
+      (t) => !this.sseStreams[t.jobId]
+        || now - (this.sseLast[t.jobId] || 0) > 4 * POLL_INTERVAL_MS
+    );
     if (!active.length) return;
     const ids = active.map((t) => t.jobId);
     let jobs = null;
+    const unknown = new Set();  // network/server errors: NOT evidence the job is gone
     try {
       const resp = await fetch("/api/jobs/status/batch", {
         method: "POST",
@@ -133,14 +150,30 @@ const Tasks = {
           try {
             const r = await fetch(`/api/job/${id}`);
             if (r.ok) jobs[id] = (await r.json()).job;
-          } catch (e) { /* offline */ }
+            else if (r.status !== 404) unknown.add(id);  // 5xx: inconclusive
+          } catch (e) { unknown.add(id); /* offline: inconclusive */ }
         }));
       }
     }
     let changed = false;
     for (const task of active) {
       const job = jobs[task.jobId];
-      if (!job) continue;
+      if (!job) {
+        if (unknown.has(task.jobId)) { this.renderTask(task); continue; }
+        // the server ANSWERED and doesn't know this job (pruned, restart
+        // with a volatile store): after a few consecutive misses finalize
+        // the task instead of polling a dead id every 3 s for 30 days
+        this.misses[task.jobId] = (this.misses[task.jobId] || 0) + 1;
+        if (this.misses[task.jobId] >= 3) {
+          task.status = "failed";
+          task.message = "Job no longer exists on the server";
+          this.closeStream(task.jobId);
+          changed = true;
+          this.renderTask(task);
+        }
+        continue;
+      }
+      delete this.misses[task.jobId];
       if (job.status !== task.status || job.progress !== task.progress || job.message !== task.message) {
         task.status = job.status;
         task.progress = job.progress;
@@ -158,7 +191,8 @@ const Tasks = {
 
   eta(task) {
     const h = task.history;
-    if (h.length < 2 || task.progress >= 100) return "";
+    const terminal = ["completed", "failed", "cancelled"].includes(task.status);
+    if (terminal || h.length < 2 || task.progress >= 100) return "";
     const first = h[0], last = h[h.length - 1];
     const dp = last.progress - first.progress;
     const dt = (last.t - first.t) / 1000;
@@ -185,7 +219,7 @@ const Tasks = {
     // release the server's capped SSE slot (removed/reloaded tasks would
     // otherwise hold it until job completion)
     const es = this.sseStreams[jobId];
-    if (es) { es.close(); delete this.sseStreams[jobId]; }
+    if (es) { es.close(); delete this.sseStreams[jobId]; delete this.sseLast[jobId]; }
   },
 
   closeAllStreams() {
@@ -405,9 +439,14 @@ document.addEventListener("DOMContentLoaded", () => {
   };
   document.addEventListener("auth:changed", (ev) => {
     if (ev.detail.authenticated) Files.refresh();
-    Tasks.closeAllStreams(); // the new user's tasks re-subscribe on poll
+    Tasks.closeAllStreams();
     Tasks.tasks = TaskStore.load();
     Tasks.renderAll();
+    // re-subscribe the restored user's active tasks to SSE explicitly —
+    // polling never opens streams, so session resume (the normal page
+    // load for a logged-in user) otherwise stayed on polling forever
+    Tasks.active().forEach((t) => Tasks.subscribe(t.jobId));
+    Tasks.pollNow();
   });
 });
 
