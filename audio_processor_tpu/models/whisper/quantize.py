@@ -1,9 +1,13 @@
 """Post-training int8 weight quantization for the decode path.
 
 The decode loop re-reads every decoder weight once per token; int8
-per-output-channel quantization halves that stream (~230 MB -> ~115 MB per
-step for whisper-small) with the dequant scale folded AFTER the matmul —
-the MXU consumes int8 directly, no materialised dequantised copy.
+per-output-channel quantization halves that HBM stream (~230 MB ->
+~115 MB per step for whisper-small) with the dequant scale (stored
+(..., 1, out)) folded AFTER the matmul.  The consumer (model.linear)
+casts w8 to the activation dtype right before the dot — the memory win
+is the int8 stream from HBM; whether a dequantised copy materialises in
+VMEM depends on XLA fusing the convert into the dot (it usually does),
+NOT on an int8 MXU path.
 
 model.linear() understands the quantized form {"w8", "scale"[, "b"]}
 transparently, so quantized and float params mix freely in one tree

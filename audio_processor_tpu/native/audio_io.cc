@@ -245,7 +245,7 @@ int64_t aptpu_decode_wav(const uint8_t* data, int64_t size, int64_t target_sr,
     std::memcpy(out, resampled.data(), n * sizeof(float));
   }
   return n;
-} catch (...) {  // bad_alloc etc. must not cross the C ABI -> terminate
+} catch (...) {  // bad_alloc etc. must not cross the C ABI -> error return
   return -1;
 }
 

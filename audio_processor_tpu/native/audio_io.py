@@ -26,7 +26,17 @@ _build_attempted = False
 
 def _load():
     global _lib, _build_attempted
-    with _lock:
+    # fast path without the lock (assignment is atomic; the value never
+    # changes once set)
+    if _lib is not None:
+        return _lib
+    # non-blocking for concurrent callers: the first-ever call may run a
+    # `make` compile (up to 120 s) — other request threads must NOT queue
+    # behind it (they fall back to the pure-Python decoder immediately and
+    # pick up the .so on a later call)
+    if not _lock.acquire(blocking=False):
+        return None
+    try:
         if _lib is not None:
             return _lib
         if not os.path.exists(_LIB_PATH) and not _build_attempted:
@@ -76,6 +86,8 @@ def _load():
         ]
         _lib = lib
         return _lib
+    finally:
+        _lock.release()
 
 
 def available() -> bool:

@@ -51,22 +51,26 @@ def load_audio(
 
     max_samples = None if max_s is None else int(max_s * target_sr)
     ext = os.path.splitext(path)[1].lower()
+    wav_error: Exception | None = None
     if ext in (".wav", ".wave"):
-        # fastest path: native C++ decode+resample in one pass.  The
-        # native WAV ABI has no prefix form — WAV decode is a single
-        # memcpy-grade pass, so decode-then-slice is fine; the pure-
-        # Python fallback slices the payload before conversion.
-        try:
-            from ..native import audio_io
+        # fastest path: native C++ decode+resample in one pass — but ONLY
+        # for unbounded loads: the native ABI has no prefix form, so a
+        # bounded probe (detect_language's 30 s) through it would read +
+        # decode + resample the WHOLE multi-hour file; the pure-Python
+        # reader slices the payload before conversion instead.
+        if max_s is None:
+            try:
+                from ..native import audio_io
 
-            if audio_io.available():
-                samples, _ = audio_io.decode(path, target_sr)
-                return cap(samples)
-        except Exception as exc:  # noqa: BLE001 — fall back to pure Python
-            logger.debug("native decode unavailable (%s)", exc)
+                if audio_io.available():
+                    samples, _ = audio_io.decode(path, target_sr)
+                    return cap(samples)
+            except Exception as exc:  # noqa: BLE001 — fall back to python
+                logger.debug("native decode unavailable (%s)", exc)
         try:
             return cap(_load_wav(path, target_sr, max_s=max_s))
         except ValueError as exc:
+            wav_error = exc
             logger.warning("WAV decode failed (%s); trying media decoders", exc)
     # compressed containers: in-process codec-library decode first
     media_error: Exception | None = None
@@ -87,6 +91,13 @@ def load_audio(
         raise ValueError(
             f"cannot decode {path!r}: no decodable audio stream"
         ) from media_error
+    if wav_error is not None:
+        # the file IS a WAV that failed for a specific reason (unsupported
+        # format code, truncated chunk) — surface THAT, not a misleading
+        # "not a WAV file"
+        raise ValueError(
+            f"cannot decode {path!r}: {wav_error}"
+        ) from wav_error
     raise ValueError(
         f"cannot decode {path!r}: not a WAV file and no ffmpeg on host"
     )
@@ -124,6 +135,16 @@ def _load_wav(
 def _resample_np(samples: np.ndarray, rate: int, target_sr: int) -> np.ndarray:
     if rate == target_sr:
         return samples.astype(np.float32)
+    # prefer the native host resampler: ingest is a HOST stage, and the
+    # jax fallback dispatches a device op — on a dead accelerator
+    # transport that hangs a plain WAV load forever
+    try:
+        from ..native import audio_io
+
+        if audio_io.available():
+            return audio_io.resample(samples, rate, target_sr)
+    except Exception as exc:  # noqa: BLE001 — fall back to jax
+        logger.debug("native resample unavailable (%s)", exc)
     import jax.numpy as jnp
 
     return np.asarray(frontend.resample(jnp.asarray(samples, jnp.float32), rate, target_sr))
@@ -146,12 +167,16 @@ def _load_via_ffmpeg(
 
 
 def convert_to_wav(path: str, out_dir: str | None = None) -> str:
-    """Materialise a 16 kHz mono 16-bit WAV next to (or in out_dir) —
-    the reference's convert_to_wav contract (audio_processor.py:901-930)."""
+    """Materialise a 16 kHz mono 16-bit WAV in out_dir (default: a fresh
+    temp dir) — the reference's convert_to_wav contract
+    (audio_processor.py:901-930).  Never overwrites the source: a .wav
+    input with out_dir pointing at its own directory would otherwise
+    replace a 24-bit/48 kHz original with the lossy downmix."""
     audio = load_audio(path)
     out_dir = out_dir or tempfile.mkdtemp(prefix="aptpu_audio_")
-    out_path = os.path.join(
-        out_dir, os.path.splitext(os.path.basename(path))[0] + ".wav"
-    )
+    stem = os.path.splitext(os.path.basename(path))[0]
+    out_path = os.path.join(out_dir, stem + ".wav")
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        out_path = os.path.join(out_dir, stem + ".16k.wav")
     wavio.write_wav(out_path, audio, TARGET_SR)
     return out_path

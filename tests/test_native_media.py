@@ -139,7 +139,12 @@ def test_ingest_max_s_bounds_every_decoder(tmp_path):
         full = ingest.load_audio(path)
         part = ingest.load_audio(path, max_s=2.0)
         assert len(part) == 2 * 16_000
-        np.testing.assert_array_equal(part, full[: 2 * 16_000])
+        # the final filter-width of samples may differ slightly: a capped
+        # decode resamples WITHOUT future context past the cut
+        np.testing.assert_array_equal(part[:-16], full[: 2 * 16_000 - 16])
+        np.testing.assert_allclose(
+            part[-16:], full[2 * 16_000 - 16 : 2 * 16_000], atol=5e-3
+        )
     # pure-Python WAV reader slices the payload pre-conversion
     x, rate = wavio.read_wav_mono(wav, max_s=2.0)
     assert len(x) == 2 * 44_100
