@@ -1,13 +1,18 @@
-"""Headline benchmark: end-to-end transcription RTFx on real TPU.
+"""Driver benchmark: all five BASELINE.json configs, one JSON line each.
 
-Config #3 of BASELINE.json: Whisper-small batched KV-cache decode over
-30 s chunks of 1 hour of audio.  Weights are random (no checkpoints in the
-image) but the compute is identical to a converted checkpoint; to keep the
-decode workload honest EOT is suppressed so every chunk decodes the full
-token budget (real meetings average ~60-100 tokens/30 s — we force 96).
+Configs 1/2/4/5 run first as bounded subprocesses (benchmarks/
+run_configs.py); the HEADLINE — config #3, Whisper-small batched KV-cache
+decode over 30 s chunks of 1 hour of audio — runs in-process and prints
+LAST, so a driver that parses only the final line still records the
+headline RTFx.  Pass --headline-only to skip the subsidiary configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the BASELINE.md target of 30x real-time
+Headline workload: weights are random (no checkpoints in the image) but
+the compute is identical to a converted checkpoint; to keep the decode
+workload honest EOT is suppressed so every chunk decodes the full token
+budget (real meetings average ~60-100 tokens/30 s — we force 96).
+
+Each line is {"metric", "value", "unit", "vs_baseline"?}.  vs_baseline for
+the headline is measured against the BASELINE.md target of 30x real-time
 (the reference itself implies ~5.5x: 660 s for a ~1 h meeting, app.js:25-34).
 """
 from __future__ import annotations
@@ -48,6 +53,11 @@ def main() -> None:
                     "rows, so pair with a smaller --batch (e.g. 24 x beam 5)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip BASELINE configs 1/2/4/5, run only the "
+                    "headline config-3 measurement")
+    ap.add_argument("--config-timeout", type=float, default=1200.0,
+                    help="per-subsidiary-config wall deadline (seconds)")
     args = ap.parse_args()
 
     import os as _os
@@ -90,6 +100,40 @@ def main() -> None:
             "error": f"device probe failed: {e}",
         }), flush=True)
         _os._exit(1)  # a hung probe thread blocks a normal exit
+
+    if not args.headline_only:
+        # BASELINE configs 1/2/4/5 first, each in a fresh bounded process
+        # (isolates compile caches + HBM residue and caps the damage of a
+        # hang); the headline prints LAST for last-line drivers.
+        import subprocess
+
+        script = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "benchmarks", "run_configs.py",
+        )
+        for c in ("1", "2", "4", "5"):
+            try:
+                r = subprocess.run(
+                    [sys.executable, script, c],
+                    capture_output=True, text=True,
+                    timeout=args.config_timeout,
+                )
+                emitted = False
+                for ln in r.stdout.splitlines():
+                    if ln.startswith("{"):
+                        print(ln, flush=True)
+                        emitted = True
+                if r.returncode != 0 or not emitted:
+                    tail = (r.stderr or r.stdout or "")[-300:]
+                    print(json.dumps({
+                        "metric": f"config{c}", "value": 0.0,
+                        "unit": "error", "error": tail,
+                    }), flush=True)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({
+                    "metric": f"config{c}", "value": 0.0, "unit": "error",
+                    "error": f"timeout after {args.config_timeout:.0f}s",
+                }), flush=True)
 
     from audio_processor_tpu.models.whisper import decode as decode_lib
     from audio_processor_tpu.models.whisper import model as model_lib

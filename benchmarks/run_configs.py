@@ -119,7 +119,12 @@ def config_2():
 
 
 def config_3():
-    os.system(f"{sys.executable} {os.path.join(os.path.dirname(__file__), '..', 'bench.py')}")
+    # --headline-only: bench.py otherwise re-runs configs 1/2/4/5 itself
+    os.system(
+        f"{sys.executable} "
+        f"{os.path.join(os.path.dirname(__file__), '..', 'bench.py')} "
+        "--headline-only"
+    )
 
 
 def config_4():
