@@ -184,11 +184,17 @@ def attention(q, k, v, mask=None):
     return out.astype(q.dtype)
 
 
-def self_attention(p, x, n_head, mask=None):
+def self_attention(p, x, n_head, mask=None, fused=False):
     q = _split_heads(linear(p["q"], x), n_head)
     k = _split_heads(linear(p["k"], x), n_head)
     v = _split_heads(linear(p["v"], x), n_head)
-    o = attention(q, k, v, mask)
+    if fused and mask is None:
+        # serving-only Pallas kernel (no VJP — training uses the einsum)
+        from ...ops.pallas.encoder_attention import fused_self_attention
+
+        o = fused_self_attention(q, k, v)
+    else:
+        o = attention(q, k, v, mask)
     return linear(p["out"], _merge_heads(o))
 
 
@@ -222,8 +228,14 @@ def encode(
     mel: jnp.ndarray,
     *,
     compute_dtype=jnp.float32,
+    fused_attn: bool = False,
 ) -> jnp.ndarray:
-    """mel (B, n_mels, 3000) -> encoder states (B, 1500, d)."""
+    """mel (B, n_mels, 3000) -> encoder states (B, 1500, d).
+
+    fused_attn selects the Pallas fused self-attention
+    (ops/pallas/encoder_attention) — SERVING ONLY: the kernel has no VJP,
+    so gradient paths (training/train_step) must keep the default einsum.
+    """
     p = params["encoder"]
     x = jnp.swapaxes(mel, -1, -2).astype(compute_dtype)  # (B, T, n_mels)
     x = gelu(_conv1d(p["conv1"], x, stride=1))
@@ -231,7 +243,10 @@ def encode(
     x = x + p["pos_emb"].astype(x.dtype)
 
     def block_fn(x, bp):
-        x = x + self_attention(bp["attn"], layer_norm(bp["attn_ln"], x), cfg.n_audio_head)
+        x = x + self_attention(
+            bp["attn"], layer_norm(bp["attn_ln"], x), cfg.n_audio_head,
+            fused=fused_attn,
+        )
         x = x + mlp(bp, layer_norm(bp["mlp_ln"], x))
         return x, None
 

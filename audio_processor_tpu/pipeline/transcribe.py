@@ -253,6 +253,14 @@ class Transcriber:
     hallucination_silence_threshold: float | None = None
     # fused Pallas log-mel kernel instead of the XLA-fused jnp frontend
     use_pallas_frontend: bool = False
+    # fused Pallas encoder self-attention (ops/pallas/encoder_attention).
+    # Default OFF: measured 684 ms vs XLA's 501 ms per 128-chunk encode
+    # slab on v5e (docs/performance.md "encoder attention probe") — XLA
+    # already fuses this pattern well and the kernel's Dh=64 contraction
+    # underuses the MXU.  Kept as an A/B lever; only takes effect on a
+    # TPU backend (no CPU lowering worth using, and no VJP — training
+    # never routes through here)
+    use_pallas_encoder_attn: bool = False
     # chunks per device pass: long meetings process in equal slabs so HBM
     # stays bounded and every slab reuses ONE compiled program.  None =
     # auto: 128 (the measured v5e sweet spot for whisper-small with the
@@ -503,7 +511,11 @@ class Transcriber:
             else:
                 mel = frontend.log_mel_spectrogram(audio, n_mels=self.cfg.n_mels)
             return model_lib.encode(
-                p, self.cfg, mel, compute_dtype=jnp.dtype(self.compute_dtype)
+                p, self.cfg, mel, compute_dtype=jnp.dtype(self.compute_dtype),
+                fused_attn=(
+                    self.use_pallas_encoder_attn
+                    and jax.default_backend() == "tpu"
+                ),
             )
 
         self._frontend_encode = jax.jit(_fe)

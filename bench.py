@@ -53,6 +53,10 @@ def main() -> None:
                     "rows, so pair with a smaller --batch (e.g. 24 x beam 5)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the timed region")
+    ap.add_argument("--fused-encoder", action="store_true",
+                    help="use the Pallas fused encoder self-attention "
+                    "(measured SLOWER than the XLA einsum path on v5e — "
+                    "kept as an A/B lever; see docs/performance.md)")
     ap.add_argument("--headline-only", action="store_true",
                     help="skip BASELINE configs 1/2/4/5, run only the "
                     "headline config-3 measurement")
@@ -178,12 +182,17 @@ def main() -> None:
     suppress_mask = jnp.asarray(suppress)
     sot_seq = tuple(st.sot_sequence())
 
+    fused_attn = args.fused_encoder and jax.default_backend() == "tpu"
+
     @jax.jit
     def encode_batch(params, audio_i16):
         # audio ships as int16 (native bit depth): halves host->HBM bytes
         audio = audio_i16.astype(jnp.float32) / 32768.0
         mel = frontend.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
-        return model_lib.encode(params, cfg, mel, compute_dtype=jnp.dtype(args.dtype))
+        return model_lib.encode(
+            params, cfg, mel, compute_dtype=jnp.dtype(args.dtype),
+            fused_attn=fused_attn,
+        )
 
     def run_batch(audio):
         states = encode_batch(params, audio)
@@ -241,7 +250,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{f', beam {args.beam}' if args.beam else ''}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''}{', f32 weights' if args.f32_weights else ''})",
+                "metric": f"RTFx whisper-{args.model} e2e (log-mel+encode+{args.tokens_per_chunk}-token KV decode, batch {bs}, {args.dtype}, cross-KV {'off' if args.no_int8_kv else f'int{args.kv_bits}'}{', fused-enc' if fused_attn else ''}{f', beam {args.beam}' if args.beam else ''}{', self-KV int8' if args.self_kv_int8 else ''}{', int8 weights' if args.int8_weights else ''}{', f32 weights' if args.f32_weights else ''})",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 30.0, 3),
