@@ -15,7 +15,7 @@ def test_bench_emits_one_json_line(tmp_path):
         [
             sys.executable, os.path.join(repo, "bench.py"),
             "--model", "test", "--audio-minutes", "1",
-            "--batch", "2", "--tokens-per-chunk", "4",
+            "--batch", "2", "--tokens-per-chunk", "4", "--headline-only",
         ],
         capture_output=True, text=True, timeout=600, cwd=repo, env=env,
     )
@@ -38,6 +38,7 @@ def test_bench_beam_mode_emits_one_json_line(tmp_path):
             sys.executable, os.path.join(repo, "bench.py"),
             "--model", "test", "--audio-minutes", "1",
             "--batch", "2", "--tokens-per-chunk", "4", "--beam", "2",
+            "--headline-only",
         ],
         capture_output=True, text=True, timeout=600, cwd=repo, env=env,
     )
