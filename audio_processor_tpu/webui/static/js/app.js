@@ -9,6 +9,59 @@ const RETENTION_MS = 30 * 24 * 3600 * 1000;
 const RECORDINGS_FOLDER = "WearNote_Recordings";
 const DOCUMENTS_FOLDER = "WearNote_Recordings/Documents";
 
+/* ---------------------------------------------------------------- dialogs */
+/* First-party modal + toast (the reference uses SweetAlert2 for its cancel
+ * confirm / success / error dialogs, app.js:1839-1944 — this UI ships no
+ * CDN dependencies, so the same flows are ~60 lines of our own). */
+
+const UI = {
+  confirm({ title, text, confirmLabel = "OK", cancelLabel = "Keep", danger = false }) {
+    return new Promise((resolve) => {
+      const overlay = document.createElement("div");
+      overlay.className = "modal-overlay";
+      const box = document.createElement("div");
+      box.className = "modal";
+      const h = document.createElement("h3");
+      h.textContent = title;
+      const p = document.createElement("p");
+      p.textContent = text;
+      const row = document.createElement("div");
+      row.className = "modal-actions";
+      const keep = document.createElement("button");
+      keep.className = "btn btn-ghost";
+      keep.textContent = cancelLabel;
+      const go = document.createElement("button");
+      go.className = danger ? "btn btn-danger" : "btn btn-primary";
+      go.textContent = confirmLabel;
+      row.append(keep, go);
+      box.append(h, p, row);
+      overlay.appendChild(box);
+      const close = (v) => { overlay.remove(); document.removeEventListener("keydown", onKey); resolve(v); };
+      const onKey = (ev) => { if (ev.key === "Escape") close(false); };
+      keep.onclick = () => close(false);
+      go.onclick = () => close(true);
+      overlay.onclick = (ev) => { if (ev.target === overlay) close(false); };
+      document.addEventListener("keydown", onKey);
+      document.body.appendChild(overlay);
+      keep.focus(); // reference focuses the safe button (focusCancel: true)
+    });
+  },
+
+  toast(message, kind = "info", ms = 3000) {
+    let host = document.getElementById("toast-host");
+    if (!host) {
+      host = document.createElement("div");
+      host.id = "toast-host";
+      document.body.appendChild(host);
+    }
+    const t = document.createElement("div");
+    t.className = `toast toast-${kind}`;
+    t.textContent = message;
+    host.appendChild(t);
+    setTimeout(() => { t.classList.add("toast-out"); setTimeout(() => t.remove(), 300); }, ms);
+  },
+};
+
 /* ------------------------------------------------------------------ store */
 
 const TaskStore = {
@@ -204,13 +257,31 @@ const Tasks = {
   },
 
   async cancel(jobId) {
-    if (!confirm("Cancel this task?")) return;
+    const ok = await UI.confirm({
+      title: "Cancel this task?",
+      text: "The job stops at the next stage boundary. This cannot be undone.",
+      confirmLabel: "Cancel task",
+      cancelLabel: "Keep running",
+      danger: true,
+    });
+    if (!ok) return;
     try {
       const resp = await fetch(`/api/job/${jobId}/cancel`, { method: "POST" });
       const data = await resp.json();
-      if (!data.success) alert("Cancel failed: " + (data.error || "unknown"));
+      if (data.success) {
+        const task = this.byId(jobId);
+        if (task) {
+          task.status = "cancelled";
+          task.message = "Cancelled";
+          TaskStore.save(this.tasks);
+          this.renderTask(task);
+        }
+        UI.toast("Task cancelled", "ok");
+      } else {
+        UI.toast("Cancel failed: " + (data.error || "unknown"), "err", 5000);
+      }
     } catch (e) {
-      alert("Cancel failed: " + e);
+      UI.toast("Cancel failed: " + e, "err", 5000);
     }
     this.pollNow();
   },
@@ -433,8 +504,9 @@ document.addEventListener("DOMContentLoaded", () => {
     try {
       await Tasks.create(f.id, f.name, [...Files.selectedPdfs]);
       Files.selectedPdfs.clear();
+      UI.toast("Task submitted", "ok");
     } catch (e) {
-      alert("Failed to submit: " + e.message);
+      UI.toast("Failed to submit: " + e.message, "err", 5000);
     }
   };
   document.addEventListener("auth:changed", (ev) => {

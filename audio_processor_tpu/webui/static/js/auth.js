@@ -33,11 +33,20 @@ const Auth = {
     if (this.authenticated && this.user) {
       name.textContent = this.user.name || this.user.email || this.user.id;
       name.classList.remove("hidden");
-      if (this.user.picture) {
-        avatar.src = this.user.picture;
-        avatar.onerror = () => avatar.classList.add("hidden"); // CORS fallback
-        avatar.classList.remove("hidden");
-      }
+      // avatar with CORS fallback (reference: static/js/auth.js:177-229):
+      // googleusercontent URLs get a small fixed size, the request sends no
+      // referrer (Google 403s some referrered loads), and a failed load
+      // swaps in an inline placeholder instead of vanishing
+      let pic = this.user.picture || "";
+      if (pic.includes("googleusercontent.com")) pic = pic.replace(/=s\d+-c$/, "=s64-c");
+      avatar.referrerPolicy = "no-referrer";
+      avatar.onerror = () => {
+        avatar.onerror = null;
+        avatar.src = this.placeholderAvatar();
+        avatar.style.opacity = "0.7";
+      };
+      avatar.src = pic || this.placeholderAvatar();
+      avatar.classList.remove("hidden");
       logoutBtn.classList.remove("hidden");
       loginBtn.classList.add("hidden");
     } else {
@@ -46,6 +55,15 @@ const Auth = {
       logoutBtn.classList.add("hidden");
       loginBtn.classList.remove("hidden");
     }
+  },
+
+  placeholderAvatar() {
+    // inline SVG: initial letter on an accent disc — no image asset needed
+    const ch = ((this.user && (this.user.name || this.user.email)) || "?")[0].toUpperCase();
+    const svg = `<svg xmlns="http://www.w3.org/2000/svg" width="64" height="64">` +
+      `<circle cx="32" cy="32" r="32" fill="#4f8cff"/>` +
+      `<text x="32" y="42" font-size="30" font-family="sans-serif" fill="#fff" text-anchor="middle">${ch}</text></svg>`;
+    return "data:image/svg+xml," + encodeURIComponent(svg);
   },
 
   async logout() {

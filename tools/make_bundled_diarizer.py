@@ -57,9 +57,33 @@ def sample_f0s(rng, n=3, min_ratio=1.22):
             return tuple(float(x) for x in f)
 
 
-def make_meeting(rng, f0s, duration_s=24.0, sr=16_000):
+def _reverb(rng, x, rt_s, sr=16_000):
+    """Exponential-decay noise impulse response (short room tail).  RT is
+    kept well under the 0.25 s DER collar so eval labels stay honest."""
+    from scipy.signal import fftconvolve
+
+    n_ir = int(3 * rt_s * sr)
+    ir = rng.normal(0, 1, n_ir) * np.exp(-np.arange(n_ir) / (rt_s * sr))
+    ir[0] = 1.0
+    ir /= np.sqrt(np.sum(ir * ir))
+    return fftconvolve(x, ir)[: len(x)].astype(np.float32)
+
+
+def augment(rng, x, reverb_prob=0.5, noise=(0.002, 0.012), gain=(0.5, 1.4)):
+    """Nuisance augmentation the serving nets must be invariant to:
+    short reverb, variable noise floor, level variation (round-3 verdict
+    next-step #1: widen the synthetic corpus beyond clean fixed-level
+    mixtures)."""
+    if rng.random() < reverb_prob:
+        x = _reverb(rng, x, float(rng.uniform(0.03, 0.08)))
+    x = x + rng.normal(0, float(rng.uniform(*noise)), len(x)).astype(np.float32)
+    return (x * float(rng.uniform(*gain))).astype(np.float32)
+
+
+def make_meeting(rng, f0s, duration_s=24.0, sr=16_000, noise=0.003,
+                 reverb=False, gap=(0.3, 0.6)):
     """Held-out meeting: non-overlapping turns with gaps + reference turns."""
-    audio = rng.normal(0, 0.003, int(duration_s * sr)).astype(np.float32)
+    audio = rng.normal(0, noise, int(duration_s * sr)).astype(np.float32)
     ref = []
     t, i = 0.3, 0
     while t < duration_s - 2.0:
@@ -69,8 +93,10 @@ def make_meeting(rng, f0s, duration_s=24.0, sr=16_000):
         audio[a:b] += dt.synth_voice(rng, f0s[spk], b - a, sr)
         ref.append({"start": round(t, 3), "end": round(t + dur, 3),
                     "speaker": f"REF_{spk}"})
-        t += dur + float(rng.uniform(0.3, 0.6))
+        t += dur + float(rng.uniform(*gap))
         i += 1
+    if reverb:
+        audio = _reverb(rng, audio, 0.05)
     return audio, ref
 
 
@@ -81,9 +107,15 @@ def train_segmentation(rng, steps, batch, lr=1e-3):
     state = dt.init_train_state(SEG_CFG, jax.random.PRNGKey(0), lr=lr)
     t0 = time.time()
     for step in range(steps):
-        f0s = sample_f0s(rng)  # fresh voices every batch
-        xs, ys = zip(*(dt.synth_mixture(rng, SEG_CFG, f0s=f0s)
-                       for _ in range(batch)))
+        # fresh voices every batch; 2 or 3 concurrent speakers, more
+        # overlap than the old corpus, plus reverb/noise/gain nuisances
+        f0s = sample_f0s(rng, n=int(rng.integers(2, 4)))
+        pairs = [
+            dt.synth_mixture(rng, SEG_CFG, f0s=f0s, overlap_prob=0.3)
+            for _ in range(batch)
+        ]
+        xs = [augment(rng, x) for x, _ in pairs]
+        ys = [y for _, y in pairs]
         state, loss = dt.train_step(
             state, SEG_CFG, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
             member_j, lut_j, lr=lr,
@@ -91,9 +123,12 @@ def train_segmentation(rng, steps, batch, lr=1e-3):
         if step % max(1, steps // 20) == 0 or step == steps - 1:
             print(f"seg step {step:5d}  loss {float(loss):.4f}  "
                   f"({time.time() - t0:.0f}s)", flush=True)
-    # calibrate the binarisation threshold on fresh held-out mixtures
-    xs, ys = zip(*(dt.synth_mixture(rng, SEG_CFG, f0s=sample_f0s(rng))
-                   for _ in range(16)))
+    # calibrate the binarisation threshold on fresh held-out mixtures,
+    # augmented like the training distribution (what serving will see)
+    pairs = [dt.synth_mixture(rng, SEG_CFG, f0s=sample_f0s(rng))
+             for _ in range(16)]
+    xs = [augment(rng, x) for x, _ in pairs]
+    ys = [y for _, y in pairs]
     probs = np.asarray(seg_tpu.segment_windows(
         state.params, SEG_CFG, jnp.asarray(np.stack(xs))))
     onset, err = dt.calibrate_onset(probs, np.stack(ys))
@@ -109,7 +144,8 @@ def train_embedding(rng, steps, batch, n_bank=24, lr=1e-3):
     for step in range(steps):
         labels = rng.integers(0, n_bank, batch)
         crops = np.stack([
-            et.synth_speaker_crop(rng, float(f0_bank[s]), EMB_CFG)
+            augment(rng, et.synth_speaker_crop(rng, float(f0_bank[s]), EMB_CFG),
+                    reverb_prob=0.3, noise=(0.002, 0.010))
             for s in labels
         ])
         state, loss = et.train_step(
@@ -155,21 +191,42 @@ def calibrate_threshold(seg_params, onset, emb_params, meetings=6):
     return best_thr
 
 
-def validate(seg_params, onset, emb_params, thr, trials=5, gate=0.20):
+def validate(seg_params, onset, emb_params, thr, trials=5,
+             gate=0.15, stress_gate=0.30):
+    """Two held-out splits (round-3 verdict next-step #1):
+    - clean: 3-speaker meetings like the old validator, gate TIGHTENED
+      from 0.20 to `gate` (median),
+    - stress: 4 speakers, 3x the noise floor, room reverb, shorter gaps —
+      must stay under `stress_gate` (median)."""
     d = _diarizer(seg_params, onset, emb_params, thr)
     rng = np.random.default_rng(987654)  # held out from training rngs
-    ders = []
-    for trial in range(trials):
-        audio, ref = make_meeting(rng, sample_f0s(rng))
-        turns = d.diarize(audio)
-        der = diarization_error_rate(ref, turns, collar_s=0.25) if turns else 1.0
-        n_spk = len({t["speaker"] for t in turns})
-        print(f"validation trial {trial}: DER {der:.3f}, {n_spk} speakers")
-        ders.append(der)
-    med = float(np.median(ders))
-    print(f"median held-out DER {med:.3f} (gate {gate})")
-    if med > gate:
-        raise SystemExit(f"DER {med:.3f} exceeds the {gate} gate — not saving")
+
+    def run_split(name, cases, split_gate):
+        ders = []
+        for trial, (audio, ref) in enumerate(cases):
+            turns = d.diarize(audio)
+            der = (diarization_error_rate(ref, turns, collar_s=0.25)
+                   if turns else 1.0)
+            n_spk = len({t["speaker"] for t in turns})
+            print(f"{name} trial {trial}: DER {der:.3f}, {n_spk} speakers")
+            ders.append(der)
+        med = float(np.median(ders))
+        print(f"median {name} DER {med:.3f} (gate {split_gate})")
+        if med > split_gate:
+            raise SystemExit(
+                f"{name} DER {med:.3f} exceeds the {split_gate} gate — "
+                "not saving"
+            )
+        return med
+
+    clean = [make_meeting(rng, sample_f0s(rng)) for _ in range(trials)]
+    med = run_split("held-out", clean, gate)
+    stress = [
+        make_meeting(rng, sample_f0s(rng, n=4, min_ratio=1.18), noise=0.009,
+                     reverb=True, gap=(0.15, 0.4))
+        for _ in range(trials)
+    ]
+    run_split("stress", stress, stress_gate)
     return med
 
 
