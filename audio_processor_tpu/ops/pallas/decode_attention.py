@@ -166,6 +166,30 @@ def _unpack_nibbles_u(p8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return lo, hi
 
 
+def _unpack_nibbles_u_fast(p8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """v3.2 unpack: mask/shift in the PACKED int32 domain (4 bytes per
+    vector lane, via pltpu.bitcast) BEFORE the expanding convert, instead
+    of after it.
+
+    The v3.1 chain runs convert(int8->int32) first, so every mask/shift
+    touches one EXPANDED byte per lane (~6 lane-ops/byte).  Here the AND /
+    shift / AND run on int32 views (0.75 lane-ops/byte) and only the two
+    int8->f32 converts remain per-byte (~2.75 total) — the kernel is
+    VPU-bound on exactly these ops (docs/performance.md), so this is step
+    time.  Correct for ANY byte order inside the int32 lane: `& 0x0F0F0F0F`
+    is per-byte-symmetric, a 4-bit shift only leaks the neighbouring
+    byte's LOW nibble into masked-off bits, and the bitcast back to int8
+    restores original byte positions.  Returns f32 (the MXU operand type)
+    rather than v3.1's int32, saving the separate converts at the call
+    sites."""
+    x32 = pltpu.bitcast(p8, jnp.int32)
+    lo = pltpu.bitcast(x32 & 0x0F0F0F0F, jnp.int8).astype(jnp.float32)
+    hi = pltpu.bitcast(
+        jax.lax.shift_right_logical(x32, 4) & 0x0F0F0F0F, jnp.int8
+    ).astype(jnp.float32)
+    return lo, hi
+
+
 def _deinterleaved_valid_mask(tq: int, tpad: int, valid_len: int):
     """(Tq, Tpad) bool mask for the pi=[evens, odds] time order."""
     half = tpad // 2
@@ -174,11 +198,15 @@ def _deinterleaved_valid_mask(tq: int, tpad: int, valid_len: int):
     return orig < valid_len
 
 
-def _int4_head_attention(q_h, k4_h, v4_h, *, valid_len: int, scale: float):
+def _int4_head_attention(
+    q_h, k4_h, v4_h, *, valid_len: int, scale: float, fast_unpack: bool = False
+):
     """One head's offset-binary split-matmul attention.
 
     q_h (Tq, Dh) f32; k4_h (Dh, Tpad/2) packed; v4_h (Tpad/2, Dh) packed.
     Returns (Tq, Dh) f32 in integer units (caller applies the V scale).
+    fast_unpack selects the packed-domain v3.2 unpack (TPU Mosaic only —
+    interpret mode keeps the portable v3.1 chain).
     """
     tq = q_h.shape[0]
     half = k4_h.shape[1]
@@ -186,16 +214,22 @@ def _int4_head_attention(q_h, k4_h, v4_h, *, valid_len: int, scale: float):
     n_odd = valid_len // 2  # high nibbles hold times 1,3,5,...
     neg = jnp.float32(-1e30)
 
-    lo_k, hi_k = _unpack_nibbles_u(k4_h)
+    def unpack_f32(p8):
+        # int8->int32 bitcast packs 4 values along the sublane (second-
+        # minor) dim; toy shapes that don't divide keep the v3.1 chain
+        if fast_unpack and p8.shape[-2] % 4 == 0:
+            return _unpack_nibbles_u_fast(p8)
+        lo, hi = _unpack_nibbles_u(p8)
+        return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+    lo_k, hi_k = unpack_f32(k4_h)
     # q.(u-8) = q.u - 8*sum(q): the offset folds into one scalar per row
     corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)  # (Tq, 1)
     s_lo = (
-        jnp.dot(q_h, lo_k.astype(jnp.float32), preferred_element_type=jnp.float32)
-        - corr
+        jnp.dot(q_h, lo_k, preferred_element_type=jnp.float32) - corr
     ) * scale
     s_hi = (
-        jnp.dot(q_h, hi_k.astype(jnp.float32), preferred_element_type=jnp.float32)
-        - corr
+        jnp.dot(q_h, hi_k, preferred_element_type=jnp.float32) - corr
     ) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, half), 1)
     s_lo = jnp.where(col < n_even, s_lo, neg)
@@ -209,21 +243,23 @@ def _int4_head_attention(q_h, k4_h, v4_h, *, valid_len: int, scale: float):
     denom = jnp.sum(p_lo, axis=-1, keepdims=True) + jnp.sum(
         p_hi, axis=-1, keepdims=True
     )
-    lo_v, hi_v = _unpack_nibbles_u(v4_h)
+    lo_v, hi_v = unpack_f32(v4_h)
     acc = jnp.dot(
-        p_lo, lo_v.astype(jnp.float32), preferred_element_type=jnp.float32
-    ) + jnp.dot(p_hi, hi_v.astype(jnp.float32), preferred_element_type=jnp.float32)
+        p_lo, lo_v, preferred_element_type=jnp.float32
+    ) + jnp.dot(p_hi, hi_v, preferred_element_type=jnp.float32)
     # p.(u-8) = p.u - 8*denom, and probs sum to denom -> a constant -8 shift
     return acc / denom - 8.0
 
 
-def _kernel_int4(q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int, n_head: int):
+def _kernel_int4(q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int,
+                 n_head: int, fast_unpack: bool):
     dh = q_ref.shape[3]
     scale = 1.0 / math.sqrt(dh)
     for h in range(n_head):
         q_h = q_ref[0, :, h, :].astype(jnp.float32)  # (Tq, Dh)
         out_ref[0, :, h, :] = _int4_head_attention(
-            q_h, k4_ref[0, h], v4_ref[0, h], valid_len=valid_len, scale=scale
+            q_h, k4_ref[0, h], v4_ref[0, h], valid_len=valid_len, scale=scale,
+            fast_unpack=fast_unpack,
         )
 
 
@@ -238,7 +274,10 @@ def cross_attention_int4(
 ) -> jnp.ndarray:
     b, tq, h, dh = q.shape
     thalf = k4.shape[3]
-    kernel = functools.partial(_kernel_int4, valid_len=valid_len, n_head=h)
+    kernel = functools.partial(
+        _kernel_int4, valid_len=valid_len, n_head=h,
+        fast_unpack=not interpret,  # packed-domain unpack needs Mosaic
+    )
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -256,7 +295,8 @@ def cross_attention_int4(
 
 
 def _kernel_int4_stacked(
-    layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int, n_head: int
+    layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int,
+    n_head: int, fast_unpack: bool,
 ):
     """Same math as _kernel_int4; k4/v4 blocks carry (1, 1, H, ...) leading
     dims because the LAYER is selected by the BlockSpec index_map from the
@@ -266,7 +306,8 @@ def _kernel_int4_stacked(
     for h in range(n_head):
         q_h = q_ref[0, :, h, :].astype(jnp.float32)  # (Tq, Dh)
         out_ref[0, :, h, :] = _int4_head_attention(
-            q_h, k4_ref[0, 0, h], v4_ref[0, 0, h], valid_len=valid_len, scale=scale
+            q_h, k4_ref[0, 0, h], v4_ref[0, 0, h], valid_len=valid_len,
+            scale=scale, fast_unpack=fast_unpack,
         )
 
 
@@ -292,7 +333,8 @@ def cross_attention_int4_stacked(
     b, tq, h, dh = q.shape
     thalf = k4_all.shape[4]
     kernel = functools.partial(
-        _kernel_int4_stacked, valid_len=valid_len, n_head=h
+        _kernel_int4_stacked, valid_len=valid_len, n_head=h,
+        fast_unpack=not interpret,  # packed-domain unpack needs Mosaic
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
