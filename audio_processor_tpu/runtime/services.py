@@ -292,7 +292,7 @@ def build_services(
                     "no diarization checkpoint configured (APTPU_DIARIZER_PATH "
                     "unset) — serving a RANDOM segmentation net%s",
                     " (embedding net is the trained APTPU_EMBEDDING_PATH "
-                    "checkpoint)" if emb_kw else " and RANDOM embedding weights",
+                    "checkpoint)" if emb_path else " and RANDOM embedding weights",
                 )
                 diarizer = Diarizer.random_init(**emb_kw)
         # speaker-count constraints (pyannote's num/min/max_speakers)
