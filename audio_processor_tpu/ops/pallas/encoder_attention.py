@@ -38,8 +38,8 @@ f32 score tile 3 MB — ~4 MB total, a quarter of the ~16 MB budget.
 
 No custom VJP: this is a SERVING kernel.  Training (training/train_step)
 differentiates through the einsum path — model.encode only selects the
-fused path when explicitly asked (fused_attn=True) or when auto-detection
-sees a TPU backend outside of a grad trace.
+fused path when explicitly asked (fused_attn=True), and the Transcriber
+only asks on a TPU backend.
 """
 from __future__ import annotations
 
