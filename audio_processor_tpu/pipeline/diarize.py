@@ -48,6 +48,28 @@ class Diarizer:
     emb_cfg: emb_lib.EmbeddingConfig
     window_step_s: float = 5.0
     onset: float = 0.5  # binarisation threshold on speaker activation
+    # pyannote-3.1 Binarize hysteresis: a region STARTS when activation
+    # crosses `onset` and CONTINUES while it stays above `offset`
+    # (pyannote.audio.utils.signal.Binarize(onset, offset)).  None = no
+    # hysteresis (offset == onset), the pre-round-4 behavior.  Dips under
+    # a noisy floor stop fragmenting/deleting true turns (the stress-split
+    # miss mode).
+    offset: float | None = None
+    # pyannote Binarize min_duration_off: fill within-speaker gaps shorter
+    # than this (seconds) BEFORE the min-length filter, so one turn with a
+    # brief dip survives as one turn instead of two sub-minimum fragments.
+    min_duration_off: float = 0.0
+    # pyannote Binarize min_duration_on: drop final turns shorter than
+    # this.  Composes with min_speech_s (the stricter wins) — kept apart
+    # because min_speech_s also gates crop selection.
+    min_duration_on: float = 0.0
+    # TPU-rebuild extension (no pyannote equivalent): a speaker that is
+    # NOT the top-activated cluster of a frame must clear this HIGHER bar
+    # to count as concurrent speech there.  Kills the reverb/harmonic
+    # "ghost second speaker" overlap false alarms the stress split
+    # surfaced while leaving genuinely-voiced overlap (which activates
+    # strongly) intact.  None = disabled.
+    overlap_onset: float | None = None
     min_speech_s: float = 0.4  # ignore local speakers with less speech
     cluster_threshold: float = 0.7
     min_speakers: int = 1
@@ -141,6 +163,8 @@ class Diarizer:
         onset = dt.load_onset(seg_path)
         if onset is not None:
             kw.setdefault("onset", onset)
+        for k, v in dt.load_decode_meta(seg_path).items():
+            kw.setdefault(k, v)
         if "emb_params" in kw:
             kw.setdefault("emb_trained", True)
             kw.setdefault("emb_cfg", emb_lib.EmbeddingConfig())
@@ -428,14 +452,23 @@ class Diarizer:
             acc[f0:f1, lab] += p[: f1 - f0]
             cnt[f0:f1, lab] += 1.0
         mean = np.divide(acc, cnt, out=np.zeros_like(acc), where=cnt > 0)
-        on = mean > self.onset
 
-        # --- frames -> turns
+        # --- overlap gate: frames where a cluster is active but NOT the
+        # frame's top cluster must clear overlap_onset (see field doc)
+        if self.overlap_onset is not None and n_clusters > 1:
+            mean = _overlap_gate(mean, self.overlap_onset)
+
+        # --- frames -> turns (hysteresis + gap-fill + min-length)
+        offset = self.onset if self.offset is None else self.offset
+        min_gap = int(round(self.min_duration_off / fs))
+        min_len_s = max(self.min_speech_s, self.min_duration_on)
         turns = []
         for c in range(n_clusters):
-            for f0, f1 in _runs(on[:, c]):
+            for f0, f1 in _binarize(
+                mean[:, c], self.onset, offset, min_gap
+            ):
                 start, end = f0 * fs, f1 * fs
-                if end - start < self.min_speech_s:
+                if end - start < min_len_s:
                     continue
                 turns.append(
                     {
@@ -465,3 +498,36 @@ def _runs(mask: np.ndarray):
     starts = np.concatenate([[idx[0]], idx[splits + 1]])
     ends = np.concatenate([idx[splits], [idx[-1]]]) + 1
     yield from zip(starts, ends)
+
+
+def _overlap_gate(mean: np.ndarray, overlap_onset: float) -> np.ndarray:
+    """Zero out per-frame activations of clusters that are neither the
+    frame's top cluster nor above `overlap_onset` (Diarizer field doc:
+    the reverb/harmonic ghost-second-speaker FA mode).  (F, C) -> (F, C)."""
+    top = mean.argmax(axis=1)
+    not_top = np.ones_like(mean, bool)
+    not_top[np.arange(len(mean)), top] = False
+    return np.where(not_top & (mean <= overlap_onset), 0.0, mean)
+
+
+def _binarize(track: np.ndarray, onset: float, offset: float, min_gap: int):
+    """pyannote-3.1 Binarize semantics on one activation track.
+
+    Hysteresis: a (start, end) frame run is every contiguous region above
+    `offset` that contains at least one frame above `onset` (equivalent to
+    pyannote.audio.utils.signal.Binarize's scan: turn on crossing onset,
+    stay on until falling below offset).  Runs separated by fewer than
+    `min_gap` frames then merge (min_duration_off).  Yields index pairs.
+    """
+    ext = track > min(offset, onset)
+    core = track > onset
+    runs = [(f0, f1) for f0, f1 in _runs(ext) if core[f0:f1].any()]
+    if min_gap > 0 and len(runs) > 1:
+        merged = [runs[0]]
+        for f0, f1 in runs[1:]:
+            if f0 - merged[-1][1] < min_gap:
+                merged[-1] = (merged[-1][0], f1)
+            else:
+                merged.append((f0, f1))
+        runs = merged
+    yield from runs

@@ -211,13 +211,16 @@ def save_params(
     params: Params,
     cfg: seg.TpuSegmentationConfig,
     onset: float | None = None,
+    decode: dict | None = None,
 ) -> None:
     """Trained segmentation params + config -> one .npz.
 
     ``onset`` (from calibrate_onset) rides the checkpoint as metadata so
     the serving Diarizer binarises at the calibrated threshold instead of
     the 0.5 default (pyannote ships its thresholds inside the pipeline
-    config the same way)."""
+    config the same way).  ``decode`` may carry further calibrated
+    Binarize knobs (offset / min_duration_on / min_duration_off /
+    overlap_onset — see pipeline.diarize.Diarizer) the same way."""
     from .pytree_io import flatten_tree
 
     flat = {f"p.{k}": v for k, v in flatten_tree(params).items()}
@@ -229,7 +232,17 @@ def save_params(
     flat["cfg.window_s"] = np.asarray(cfg.window_s)
     if onset is not None:
         flat["meta.onset"] = np.asarray(float(onset))
+    for k, v in (decode or {}).items():
+        if k not in DECODE_META_KEYS:
+            raise ValueError(f"unknown decode meta key {k!r}")
+        if v is not None:
+            flat[f"meta.{k}"] = np.asarray(float(v))
     np.savez(path, **flat)
+
+
+DECODE_META_KEYS = (
+    "offset", "min_duration_on", "min_duration_off", "overlap_onset",
+)
 
 
 def load_onset(path: str) -> float | None:
@@ -238,6 +251,17 @@ def load_onset(path: str) -> float | None:
         if "meta.onset" in data.files:
             return float(data["meta.onset"])
     return None
+
+
+def load_decode_meta(path: str) -> dict:
+    """Calibrated Binarize knobs stored by save_params (absent keys are
+    omitted, so Diarizer defaults apply)."""
+    out = {}
+    with np.load(path) as data:
+        for k in DECODE_META_KEYS:
+            if f"meta.{k}" in data.files:
+                out[k] = float(data[f"meta.{k}"])
+    return out
 
 
 def load_params(path: str) -> tuple[Params, seg.TpuSegmentationConfig]:

@@ -499,3 +499,76 @@ def test_hard_decode_matches_powerset_argmax(rng):
     assert soft[0, 0, 0] > 0.5          # marginal crosses onset
     assert hard[0, 0].sum() == 0        # pyannote decodes silence
     assert set(np.unique(hard)) <= {0.0, 1.0}
+
+
+def test_binarize_hysteresis():
+    """pyannote-3.1 Binarize semantics: a region above `offset` counts
+    only if it crosses `onset` somewhere; dips between offset and onset
+    do NOT split a turn (the stress-split miss mode the knob targets)."""
+    from audio_processor_tpu.pipeline.diarize import _binarize
+
+    t = np.array([0.1, 0.6, 0.4, 0.45, 0.7, 0.2, 0.42, 0.44, 0.1])
+    # no hysteresis: the 0.4/0.45 dip splits the turn
+    assert list(_binarize(t, 0.5, 0.5, 0)) == [(1, 2), (4, 5)]
+    # offset 0.35: the dip stays on; the trailing 0.42/0.44 hump never
+    # crosses onset so it is NOT a region
+    assert list(_binarize(t, 0.5, 0.35, 0)) == [(1, 5)]
+    # min_duration_off: merge runs separated by a short gap
+    t2 = np.array([0.6, 0.6, 0.1, 0.1, 0.6, 0.6])
+    assert list(_binarize(t2, 0.5, 0.5, 0)) == [(0, 2), (4, 6)]
+    assert list(_binarize(t2, 0.5, 0.5, 3)) == [(0, 6)]
+    assert list(_binarize(np.zeros(4), 0.5, 0.3, 2)) == []
+
+
+def test_decode_meta_roundtrip(tmp_path):
+    """Calibrated Binarize knobs ride the segmentation checkpoint and
+    become Diarizer defaults via from_tpu_segmentation (pyannote ships
+    its pipeline thresholds inside the model card the same way)."""
+    from audio_processor_tpu.models.diarization import segmentation_tpu as seg_tpu
+    from audio_processor_tpu.training import diarization_trainer as dt
+
+    seg_cfg = seg_tpu.TpuSegmentationConfig(window_s=2.0, d_model=32,
+                                            n_head=2, n_layer=1)
+    seg_params = seg_tpu.init_params(seg_cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "seg.npz")
+    dt.save_params(path, seg_params, seg_cfg, onset=0.55,
+                   decode={"offset": 0.3, "min_duration_off": 0.2,
+                           "overlap_onset": 0.6})
+    assert dt.load_decode_meta(path) == {
+        "offset": 0.3, "min_duration_off": 0.2, "overlap_onset": 0.6,
+    }
+    d = Diarizer.from_tpu_segmentation(path)
+    assert d.onset == pytest.approx(0.55)
+    assert d.offset == pytest.approx(0.3)
+    assert d.min_duration_off == pytest.approx(0.2)
+    assert d.overlap_onset == pytest.approx(0.6)
+    # explicit caller knobs still win
+    d2 = Diarizer.from_tpu_segmentation(path, offset=0.1, overlap_onset=None)
+    assert d2.offset == pytest.approx(0.1)
+    assert d2.overlap_onset is None
+    # None values are simply omitted; unknown keys are rejected
+    dt.save_params(str(tmp_path / "s2.npz"), seg_params, seg_cfg,
+                   decode={"offset": None})
+    assert dt.load_decode_meta(str(tmp_path / "s2.npz")) == {}
+    with pytest.raises(ValueError):
+        dt.save_params(str(tmp_path / "s3.npz"), seg_params, seg_cfg,
+                       decode={"bogus": 1.0})
+
+
+def test_overlap_onset_gates_non_top_cluster():
+    """A second concurrent cluster below overlap_onset is suppressed; the
+    frame's top cluster is never gated, and genuinely-voiced overlap
+    above the bar survives (reverb-ghost FA mode)."""
+    from audio_processor_tpu.pipeline.diarize import _overlap_gate
+
+    mean = np.array([
+        [0.9, 0.55],   # ghost at 0.55: gated at overlap_onset=0.6
+        [0.9, 0.65],   # genuine overlap at 0.65: survives
+        [0.4, 0.45],   # 0.45 is the TOP cluster here: never gated
+    ])
+    gated = _overlap_gate(mean, 0.6)
+    assert gated[0, 1] == 0.0
+    assert gated[1, 1] == pytest.approx(0.65)
+    assert gated[2, 1] == pytest.approx(0.45)
+    assert gated[2, 0] == 0.0  # non-top below the bar
+    assert gated[0, 0] == pytest.approx(0.9)

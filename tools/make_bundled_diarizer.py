@@ -158,13 +158,39 @@ def train_embedding(rng, steps, batch, n_bank=24, lr=1e-3):
     return state.params
 
 
-def _diarizer(seg_params, onset, emb_params, thr):
+def _diarizer(seg_params, onset, emb_params, thr, decode=None):
     return Diarizer(
         seg_params=seg_params, seg_cfg=SEG_CFG, seg_fn=seg_tpu.segment_windows,
         emb_params=emb_params, emb_cfg=EMB_CFG,
         window_step_s=2.0, onset=onset, cluster_threshold=thr,
-        seg_trained=True, emb_trained=True,
+        seg_trained=True, emb_trained=True, **(decode or {}),
     )
+
+
+def _cal_meetings(meetings=4):
+    """The calibration splits (seed DISJOINT from training and from the
+    validation gates): clean 3-speaker and stress 4-speaker/noise/reverb."""
+    rng = np.random.default_rng(424243)
+    clean = [make_meeting(rng, sample_f0s(rng)) for _ in range(meetings)]
+    stress = [
+        make_meeting(rng, sample_f0s(rng, n=4, min_ratio=1.18), noise=0.009,
+                     reverb=True, gap=(0.15, 0.4))
+        for _ in range(meetings)
+    ]
+    return clean, stress
+
+
+def _worst_gate_ratio(d, clean, stress, clean_gate=0.15, stress_gate=0.30):
+    """max(split median / split gate) — <1 means both gates would pass."""
+    meds = []
+    for cases in (clean, stress):
+        ders = []
+        for audio, ref in cases:
+            turns = d.diarize(audio)
+            ders.append(diarization_error_rate(ref, turns, collar_s=0.25)
+                        if turns else 1.0)
+        meds.append(float(np.median(ders)))
+    return max(meds[0] / clean_gate, meds[1] / stress_gate), meds
 
 
 def calibrate_threshold(seg_params, onset, emb_params, meetings=4):
@@ -180,13 +206,7 @@ def calibrate_threshold(seg_params, onset, emb_params, meetings=4):
     which then over-clustered reverberant audio (6-8 clusters on 4
     speakers, stress DER 0.47).  Ties within 0.005 resolve to the MIDDLE
     of the plateau."""
-    rng = np.random.default_rng(424243)
-    clean = [make_meeting(rng, sample_f0s(rng)) for _ in range(meetings)]
-    stress = [
-        make_meeting(rng, sample_f0s(rng, n=4, min_ratio=1.18), noise=0.009,
-                     reverb=True, gap=(0.15, 0.4))
-        for _ in range(meetings)
-    ]
+    clean, stress = _cal_meetings(meetings)
     grid = [round(float(t), 2) for t in np.arange(0.25, 0.95, 0.05)]
     scores = []
     for thr in grid:
@@ -212,14 +232,43 @@ def calibrate_threshold(seg_params, onset, emb_params, meetings=4):
     return grid[pick]
 
 
-def validate(seg_params, onset, emb_params, thr, trials=5,
+def calibrate_binarize(seg_params, onset, emb_params, thr, meetings=4):
+    """Sweep the Binarize post-processing knobs (pipeline.diarize: the
+    pyannote-3.1 hysteresis offset + min_duration_off, plus this
+    rebuild's overlap_onset gate) on the SAME calibration meetings,
+    minimising the gate-normalised worse split.  The stress split's two
+    residual error modes after the threshold sweep are exactly what
+    these knobs target: activation dips under a noisy floor fragment or
+    delete true turns (miss -> hysteresis), and reverb/harmonic ghosts
+    cross the onset as a spurious concurrent speaker (overlap FA ->
+    overlap_onset)."""
+    clean, stress = _cal_meetings(meetings)
+    grid = [
+        {"offset": off, "min_duration_off": mdoff, "overlap_onset": ovl}
+        for off in (None, round(onset - 0.15, 2), round(onset - 0.25, 2))
+        for mdoff in (0.0, 0.3)
+        for ovl in (None, 0.6, 0.7)
+    ]
+    best = None
+    for decode in grid:
+        d = _diarizer(seg_params, onset, emb_params, thr, decode)
+        ratio, meds = _worst_gate_ratio(d, clean, stress)
+        print(f"  binarize {decode}: clean {meds[0]:.3f}  "
+              f"stress {meds[1]:.3f}  worst/gate {ratio:.2f}", flush=True)
+        if best is None or ratio < best[0] - 1e-9:
+            best = (ratio, decode)
+    print(f"calibrated binarize {best[1]} (worst/gate {best[0]:.2f})")
+    return best[1]
+
+
+def validate(seg_params, onset, emb_params, thr, decode=None, trials=5,
              gate=0.15, stress_gate=0.30):
     """Two held-out splits (round-3 verdict next-step #1):
     - clean: 3-speaker meetings like the old validator, gate TIGHTENED
       from 0.20 to `gate` (median),
     - stress: 4 speakers, 3x the noise floor, room reverb, shorter gaps —
       must stay under `stress_gate` (median)."""
-    d = _diarizer(seg_params, onset, emb_params, thr)
+    d = _diarizer(seg_params, onset, emb_params, thr, decode)
     rng = np.random.default_rng(987654)  # held out from training rngs
 
     def run_split(name, cases, split_gate):
@@ -288,12 +337,13 @@ def main():
         et.save_params(cache_emb, emb_params, EMB_CFG)
         print(f"cached candidate params to {args.cache_dir}", flush=True)
     thr = calibrate_threshold(seg_params, onset, emb_params)
-    validate(seg_params, onset, emb_params, thr)
+    decode = calibrate_binarize(seg_params, onset, emb_params, thr)
+    validate(seg_params, onset, emb_params, thr, decode)
 
     os.makedirs(args.out_dir, exist_ok=True)
     seg_path = os.path.join(args.out_dir, Diarizer.BUNDLED_SEG)
     emb_path = os.path.join(args.out_dir, Diarizer.BUNDLED_EMB)
-    dt.save_params(seg_path, seg_params, SEG_CFG, onset=onset)
+    dt.save_params(seg_path, seg_params, SEG_CFG, onset=onset, decode=decode)
     et.save_params(emb_path, emb_params, EMB_CFG, cluster_threshold=thr)
     for p in (seg_path, emb_path):
         print(f"saved {p} ({os.path.getsize(p) / 1e6:.1f} MB)")
