@@ -513,15 +513,20 @@ def _overlap_gate(mean: np.ndarray, overlap_onset: float) -> np.ndarray:
 def _binarize(track: np.ndarray, onset: float, offset: float, min_gap: int):
     """pyannote-3.1 Binarize semantics on one activation track.
 
-    Hysteresis: a (start, end) frame run is every contiguous region above
-    `offset` that contains at least one frame above `onset` (equivalent to
-    pyannote.audio.utils.signal.Binarize's scan: turn on crossing onset,
-    stay on until falling below offset).  Runs separated by fewer than
-    `min_gap` frames then merge (min_duration_off).  Yields index pairs.
+    Hysteresis, matching pyannote.audio.utils.signal.Binarize's scan
+    exactly: a region turns ON at an `onset` up-crossing and stays on
+    until the track falls below `offset` — the region does NOT extend
+    backwards over a leading above-offset ramp that never crossed onset.
+    Runs separated by fewer than `min_gap` frames then merge
+    (min_duration_off).  Yields index pairs.
     """
     ext = track > min(offset, onset)
     core = track > onset
-    runs = [(f0, f1) for f0, f1 in _runs(ext) if core[f0:f1].any()]
+    runs = []
+    for f0, f1 in _runs(ext):
+        on = np.flatnonzero(core[f0:f1])
+        if on.size:  # start at the onset crossing, not the offset one
+            runs.append((f0 + int(on[0]), f1))
     if min_gap > 0 and len(runs) > 1:
         merged = [runs[0]]
         for f0, f1 in runs[1:]:

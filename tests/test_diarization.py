@@ -518,6 +518,11 @@ def test_binarize_hysteresis():
     assert list(_binarize(t2, 0.5, 0.5, 0)) == [(0, 2), (4, 6)]
     assert list(_binarize(t2, 0.5, 0.5, 3)) == [(0, 6)]
     assert list(_binarize(np.zeros(4), 0.5, 0.3, 2)) == []
+    # pyannote scan parity: a leading above-offset ramp that has not yet
+    # crossed onset is NOT part of the region (the region turns on at the
+    # onset crossing), while the trailing above-offset tail IS
+    t3 = np.array([0.4, 0.45, 0.6, 0.4, 0.1])
+    assert list(_binarize(t3, 0.5, 0.35, 0)) == [(2, 4)]
 
 
 def test_decode_meta_roundtrip(tmp_path):
