@@ -1,0 +1,277 @@
+"""Kernel v3.4 probe: batch-blocked grid + sublane-batched softmax A/B.
+
+After v3.2 (packed-domain unpack) the stacked int4 kernel's residual is
+the per-head softmax/convert/layout chain plus the DMA floor
+(benchmarks/RESULTS.md round-4 table).  Structural observation: the grid
+is (B,) — ONE batch row per grid step — so every (1, Tpad/2) score /
+mask / max / exp / sum op runs at 1/8 sublane occupancy, and each step
+DMAs a smallish ~0.8 MB KV block.  v3.4 blocks BB batch rows per grid
+step:
+
+  v3.4a  same per-(row, head) math, bigger DMA blocks — isolates the
+         DMA-block-size + per-grid-step overhead effect.
+  v3.4b  per head, the BB rows' scores/softmax run as ONE (BB, Tpad/2)
+         batched chain (full sublane occupancy for the exp-dominated
+         part); the matvecs stay per-row (different K/V per row, so the
+         MXU can't batch them anyway).
+  v3.4c  v3.4b + batched dot_general for the score and V matvecs
+         (batch dims in-kernel) — whether Mosaic lowers this well is
+         exactly what the probe measures.
+
+All variants are bit-exact vs v3.2 (same f32 math, same order per row);
+the probe asserts it on-chip before timing.
+
+Usage:  python benchmarks/kernel_v34_probe.py [--batch 128] [--steps 64]
+        [--bb 8] [--variants v32,a,b,c]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_processor_tpu.ops.pallas import decode_attention as da
+
+L, H, DH, TA = 12, 12, 64, 1500
+TPAD = 1536
+
+
+# ---------------------------------------------------------------------------
+# v3.4 kernels
+# ---------------------------------------------------------------------------
+
+def _kernel_v34a(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
+                 n_head, bb):
+    """Batch-blocked DMA, unchanged per-(row, head) math."""
+    dh = q_ref.shape[3]
+    scale = 1.0 / math.sqrt(dh)
+    for b in range(bb):
+        for h in range(n_head):
+            q_h = q_ref[b, :, h, :].astype(jnp.float32)  # (Tq, Dh)
+            out_ref[b, :, h, :] = da._int4_head_attention(
+                q_h, k4_ref[0, b, h], v4_ref[0, b, h], valid_len=valid_len,
+                scale=scale, fast_unpack=True,
+            )
+
+
+def _batched_softmax_halves(s_lo, s_hi, n_even, n_odd):
+    """Joint softmax over the two de-interleaved halves, rows batched.
+
+    s_lo/s_hi (BB, half) f32 -> (p_lo, p_hi, denom)."""
+    bbn, half = s_lo.shape
+    neg = jnp.float32(-1e30)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bbn, half), 1)
+    s_lo = jnp.where(col < n_even, s_lo, neg)
+    s_hi = jnp.where(col < n_odd, s_hi, neg)
+    m = jnp.maximum(
+        jnp.max(s_lo, axis=-1, keepdims=True),
+        jnp.max(s_hi, axis=-1, keepdims=True),
+    )
+    p_lo = jnp.exp(s_lo - m)
+    p_hi = jnp.exp(s_hi - m)
+    denom = jnp.sum(p_lo, axis=-1, keepdims=True) + jnp.sum(
+        p_hi, axis=-1, keepdims=True
+    )
+    return p_lo, p_hi, denom
+
+
+def _kernel_v34b(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
+                 n_head, bb):
+    """Per head: per-row matvecs, BATCHED (BB, half) softmax chain."""
+    dh = q_ref.shape[3]
+    scale = jnp.float32(1.0 / math.sqrt(dh))
+    n_even = (valid_len + 1) // 2
+    n_odd = valid_len // 2
+    for h in range(n_head):
+        q_h = q_ref[:, 0, h, :].astype(jnp.float32)  # (BB, Dh)
+        corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)  # (BB, 1)
+        lo_k, hi_k = da._unpack_nibbles_u_fast(k4_ref[0, :, h])  # (BB,Dh,half)
+        s_lo = jnp.stack(
+            [jnp.dot(q_h[b], lo_k[b], preferred_element_type=jnp.float32)
+             for b in range(bb)]
+        )
+        s_hi = jnp.stack(
+            [jnp.dot(q_h[b], hi_k[b], preferred_element_type=jnp.float32)
+             for b in range(bb)]
+        )
+        s_lo = (s_lo - corr) * scale
+        s_hi = (s_hi - corr) * scale
+        p_lo, p_hi, denom = _batched_softmax_halves(s_lo, s_hi, n_even, n_odd)
+        lo_v, hi_v = da._unpack_nibbles_u_fast(v4_ref[0, :, h])  # (BB,half,Dh)
+        for b in range(bb):
+            acc = jnp.dot(
+                p_lo[b : b + 1], lo_v[b], preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                p_hi[b : b + 1], hi_v[b], preferred_element_type=jnp.float32
+            )
+            out_ref[b, :, h, :] = acc / denom[b] - 8.0
+
+
+def _kernel_v34c(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
+                 n_head, bb):
+    """Per head: BATCHED dot_general matvecs + batched softmax chain."""
+    dh = q_ref.shape[3]
+    scale = jnp.float32(1.0 / math.sqrt(dh))
+    n_even = (valid_len + 1) // 2
+    n_odd = valid_len // 2
+    bdims = (((1,), (1,)), ((0,), (0,)))  # (BB,Dh) x (BB,Dh,half) -> (BB,half)
+    vdims = (((1,), (1,)), ((0,), (0,)))  # (BB,half) x (BB,half,Dh) -> (BB,Dh)
+    for h in range(n_head):
+        q_h = q_ref[:, 0, h, :].astype(jnp.float32)  # (BB, Dh)
+        corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)
+        lo_k, hi_k = da._unpack_nibbles_u_fast(k4_ref[0, :, h])
+        s_lo = jax.lax.dot_general(
+            q_h, lo_k, bdims, preferred_element_type=jnp.float32
+        )
+        s_hi = jax.lax.dot_general(
+            q_h, hi_k, bdims, preferred_element_type=jnp.float32
+        )
+        s_lo = (s_lo - corr) * scale
+        s_hi = (s_hi - corr) * scale
+        p_lo, p_hi, denom = _batched_softmax_halves(s_lo, s_hi, n_even, n_odd)
+        lo_v, hi_v = da._unpack_nibbles_u_fast(v4_ref[0, :, h])
+        acc = jax.lax.dot_general(
+            p_lo, lo_v, vdims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            p_hi, hi_v, vdims, preferred_element_type=jnp.float32
+        )
+        out_ref[:, 0, h, :] = acc / denom - 8.0
+
+
+_V34_KERNELS = {"a": _kernel_v34a, "b": _kernel_v34b, "c": _kernel_v34c}
+
+
+def _stacked_call_v34(q, k_all, v_all, layer, *, valid_len, variant, bb):
+    b, tq, h, dh = q.shape
+    assert tq == 1 and b % bb == 0
+    kernel = functools.partial(
+        _V34_KERNELS[variant], valid_len=valid_len, n_head=h, bb=bb
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
+            pl.BlockSpec((1, bb) + k_all.shape[2:], lambda i, l: (l[0], i, 0, 0, 0)),
+            pl.BlockSpec((1, bb) + v_all.shape[2:], lambda i, l: (l[0], i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, dh), jnp.float32),
+        # bb-row KV blocks double-buffer past the default 16 MB scoped-VMEM
+        # limit (v5e VMEM is 128 MB); lift it for the blocked variants
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), q, k_all, v_all)
+
+
+def _stacked_call_v32(q, k_all, v_all, layer, *, valid_len):
+    b, tq, h, dh = q.shape
+    kernel = functools.partial(
+        da._kernel_int4_stacked, valid_len=valid_len, n_head=h,
+        fast_unpack=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1) + k_all.shape[2:], lambda i, l: (l[0], i, 0, 0, 0)),
+            pl.BlockSpec((1, 1) + v_all.shape[2:], lambda i, l: (l[0], i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, dh), jnp.float32),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), q, k_all, v_all)
+
+
+def _time_variant(name, call, q0, kc, vc, steps):
+    @jax.jit
+    def run(q, kc, vc):
+        def step(i, q):
+            acc = jax.lax.fori_loop(
+                0, L,
+                lambda l, a: a + call(q, kc, vc, l),
+                jnp.zeros_like(q),
+            )
+            return q * 0.999 + acc * 1e-6  # data dependence across steps
+
+        return jax.lax.fori_loop(0, steps, step, q)
+
+    t0 = time.perf_counter()
+    out = np.asarray(run(q0, kc, vc))  # compile + warm
+    print(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = np.asarray(run(q0, kc, vc))
+        best = min(best, time.perf_counter() - t0)
+    ms = best / steps * 1e3
+    print(f"{name:10s} {ms:7.2f} ms / {L}-layer step   checksum "
+          f"{float(np.sum(out)):.6e}", flush=True)
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--bb", type=int, default=8)
+    ap.add_argument("--variants", default="v32,a,b,c")
+    args = ap.parse_args()
+    b, bb = args.batch, args.bb
+
+    rng = np.random.default_rng(0)
+    k8 = rng.integers(-7, 8, size=(L, b, H, DH, TPAD)).astype(np.int8)
+    v8 = rng.integers(-7, 8, size=(L, b, H, TPAD, DH)).astype(np.int8)
+    k4, v4 = da.pack_int4_time(jnp.asarray(k8), jnp.asarray(v8))
+    k4, v4 = jax.device_put(k4), jax.device_put(v4)
+    q0 = jnp.asarray(rng.normal(size=(b, 1, H, DH)).astype(np.float32))
+
+    # exactness first: every variant must match v3.2 on one layer
+    ref = np.asarray(_stacked_call_v32(q0, k4, v4, jnp.int32(0), valid_len=TA))
+    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    calls = {}
+    for v in variants:
+        if v == "v32":
+            calls[v] = functools.partial(_stacked_call_v32, valid_len=TA)
+            continue
+        calls[v] = functools.partial(
+            _stacked_call_v34, valid_len=TA, variant=v, bb=bb
+        )
+        got = np.asarray(calls[v](q0, k4, v4, jnp.int32(0)))
+        err = np.abs(got - ref).max()
+        print(f"v3.4{v} (bb={bb}) max abs err vs v3.2: {err:.3e}", flush=True)
+        assert err < 1e-4, f"variant {v} diverges"
+
+    times = {}
+    for v, call in calls.items():
+        label = v if v == "v32" else f"v3.4{v}/bb{bb}"
+        times[v] = _time_variant(label, call, q0, k4, v4, args.steps)
+    base = times.get("v32")
+    if base:
+        for v, t in times.items():
+            if v != "v32":
+                print(f"v3.4{v}: {base / t:.3f}x vs v3.2")
+
+
+if __name__ == "__main__":
+    main()
