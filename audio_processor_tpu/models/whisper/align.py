@@ -224,6 +224,14 @@ def cross_attention_map_and_probs(
     """
     p = params["decoder"]
     x, acc = _teacher_forced_scan(params, cfg, tokens, audio_states)
+    probs = _token_probs_from_hidden(p, x, tokens, vocab_cap)
+    return acc, probs
+
+
+def _token_probs_from_hidden(p, x, tokens, vocab_cap):
+    """Final decoder hidden states -> per-position next-token probabilities
+    (B, T): probs[:, i] = P(tokens[i] | tokens[:i], audio); position 0 gets
+    1.0 (no prefix).  Shared by the pooled and per-alignment-head passes."""
     xn = layer_norm(p["ln"], x)
     emb = p["token_emb"].astype(jnp.float32)  # (V, d)
     if vocab_cap is not None:
@@ -244,10 +252,81 @@ def cross_attention_map_and_probs(
         step, None,
         (jnp.swapaxes(xn[:, :-1], 0, 1), jnp.swapaxes(tokens[:, 1:], 0, 1)),
     )  # (T-1, B)
-    probs = jnp.concatenate(
+    return jnp.concatenate(
         [jnp.ones((b, 1), jnp.float32), jnp.exp(nxt).T], axis=1
     )
-    return acc, probs
+
+
+@partial(jax.jit, static_argnames=("cfg", "vocab_cap", "want_probs"))
+def alignment_head_maps(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, T)
+    audio_states: jnp.ndarray,  # (B, Ta, d)
+    vocab_cap: int | None = None,
+    want_probs: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Teacher-forced pass -> PER-alignment-head cross-attention maps
+    (K, B, T, Ta) in cfg.alignment_heads order, plus optional per-token
+    probabilities (B, T).
+
+    openai's find_alignment normalises (z-score) and median-filters EACH
+    alignment head's map separately and only then means across heads
+    (whisper/timing.py) — a nonlinear per-head chain the pooled
+    cross_attention_map accumulator cannot reproduce.  This pass keeps the
+    K selected maps separate (K is small — openai ships 6-10 pairs per
+    checkpoint) so word_timestamps can run openai's exact order; layers
+    scan with a (K+1)-slot carry where each layer scatter-writes its
+    selected heads (slot K is a dummy for layers with fewer selections).
+    """
+    if not cfg.alignment_heads:
+        raise ValueError("alignment_head_maps requires cfg.alignment_heads")
+    p = params["decoder"]
+    b, t = tokens.shape
+    x = p["token_emb"][tokens].astype(jnp.float32)
+    x = x + p["pos_emb"][:t].astype(jnp.float32)
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+    audio_states = audio_states.astype(jnp.float32)
+
+    heads = tuple(cfg.alignment_heads)
+    k_sel = len(heads)
+    per_layer: list[list[tuple[int, int]]] = [
+        [(slot, h) for slot, (l, h) in enumerate(heads) if l == li]
+        for li in range(cfg.n_text_layer)
+    ]
+    kmax = max((len(v) for v in per_layer), default=0) or 1
+    slot_arr = np.full((cfg.n_text_layer, kmax), k_sel, np.int32)  # K = dummy
+    head_arr = np.zeros((cfg.n_text_layer, kmax), np.int32)
+    for li, v in enumerate(per_layer):
+        for jj, (slot, h) in enumerate(v):
+            slot_arr[li, jj] = slot
+            head_arr[li, jj] = h
+
+    def block_fn(carry, scanned):
+        x, maps = carry
+        bp, slots, hs = scanned
+        x, probs = _decoder_block(bp, cfg, x, audio_states, causal)
+        for jj in range(kmax):  # static unroll (kmax is tiny)
+            sel = jax.lax.dynamic_index_in_dim(
+                probs, hs[jj], axis=1, keepdims=False
+            )  # (B, T, Ta)
+            maps = jax.lax.dynamic_update_slice(
+                maps, sel[None], (slots[jj], 0, 0, 0)
+            )
+        return (x, maps), None
+
+    maps0 = jnp.zeros(
+        (k_sel + 1, b, t, audio_states.shape[1]), jnp.float32
+    )
+    (x, maps), _ = jax.lax.scan(
+        block_fn,
+        (x, maps0),
+        (p["blocks"], jnp.asarray(slot_arr), jnp.asarray(head_arr)),
+    )
+    maps = maps[:k_sel]
+    if not want_probs:
+        return maps, None
+    return maps, _token_probs_from_hidden(p, x, tokens, vocab_cap)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -367,7 +446,15 @@ def dtw_path_from_cost(cost: np.ndarray) -> np.ndarray:
     standard backtrace of whisper's DTW; openai feeds the negated
     normalised attention matrix directly, word_timestamps below does the
     same).  Uses the native C++ kernel when built (the python DP is
-    ~1 s/row on this host); both produce identical paths."""
+    ~1 s/row on this host); both produce identical paths.
+
+    The decision rule and accumulator dtype replicate openai-whisper's
+    dtw_cpu (whisper/timing.py) bit-exactly: float32 accumulation,
+    diagonal/down steps only when STRICTLY cheaper than both alternatives,
+    otherwise a right step — openai's comparison chain falls through to
+    the right-step branch on ties, and word boundaries inherit that exact
+    path shape (tests/test_parity_align.py pins it against a numpy port
+    of dtw_cpu)."""
     try:
         from ...native import audio_io
 
@@ -376,7 +463,8 @@ def dtw_path_from_cost(cost: np.ndarray) -> np.ndarray:
     except Exception:  # noqa: BLE001 — fall back to python DP
         pass
     t, ta = cost.shape
-    acc = np.full((t + 1, ta + 1), np.inf)
+    cost = cost.astype(np.float32)
+    acc = np.full((t + 1, ta + 1), np.inf, np.float32)
     acc[0, 0] = 0.0
     trace = np.zeros((t + 1, ta + 1), np.int8)
     for i in range(1, t + 1):
@@ -385,9 +473,14 @@ def dtw_path_from_cost(cost: np.ndarray) -> np.ndarray:
             c0 = acc[i - 1, j - 1]  # diagonal
             c1 = acc[i - 1, j]  # down (next token, same frame)
             c2 = acc[i, j - 1]  # right (same token, next frame)
-            best = min(c0, c1, c2)
+            if c0 < c1 and c0 < c2:
+                best, step = c0, 0
+            elif c1 < c0 and c1 < c2:
+                best, step = c1, 1
+            else:
+                best, step = c2, 2
             acc[i, j] = row[j - 1] + best
-            trace[i, j] = 0 if best == c0 else (1 if best == c1 else 2)
+            trace[i, j] = step
     # backtrace
     i, j = t, ta
     starts = np.zeros(t, np.int64)
@@ -427,14 +520,21 @@ def word_timestamps(
     (``content_frames`` per row — openai's num_frames//2 crop) and row-
     renormalised (softmax over the crop), z-scored per frame column
     (openai's std/mean over the token axis), median-filtered (width 7)
-    along frames, and DTW'd on the negated matrix.  The trailing <|eot|>
-    row rides the DTW so the LAST word's end comes from the alignment
-    (openai's jump_times at the final boundary), not a fixed tail.
+    along frames, and DTW'd on the negated matrix cropped to openai's
+    row window ``matrix[len(sot_sequence):-1]`` — rows [<|notimestamps|>,
+    *text], i.e. row k is the position PREDICTING text[k].  The final row
+    (the one predicting <|eot|>) rides the DTW so the LAST word's end
+    comes from the alignment (openai's jump_times at the final boundary),
+    not a fixed tail.
 
-    One documented divergence: openai z-scores/median-filters each
-    alignment head's map then means across heads; the device pass here
-    accumulates the head mean first (O(B·T·Ta) memory instead of
-    O(B·H·T·Ta)) and applies the same normalisation to the pooled matrix.
+    When ``cfg.alignment_heads`` is set (every converted openai
+    checkpoint), the chain is openai's EXACTLY: each selected head's map
+    is z-scored and median-filtered separately and the heads are averaged
+    last (alignment_head_maps) — tests/test_parity_align.py pins
+    word-for-word identity against an independent torch+numpy port of
+    find_alignment.  Only the calibration fallback (alignment_heads=None,
+    no openai equivalent) pools the head mean on-device first (O(B·T·Ta)
+    memory) and normalises the pooled matrix.
 
     Word boundaries follow openai-whisper exactly: tokens group into
     complete unicode units, then into space-delimited words — except for
@@ -485,7 +585,20 @@ def word_timestamps(
                        audio_states.dtype)], axis=0,
         )
     tok_dev = jnp.asarray(forced, jnp.int32)
-    if with_probabilities:
+    per_head = bool(cfg.alignment_heads)
+    if per_head:
+        # openai's exact order: each alignment head is z-scored and
+        # median-filtered separately, heads mean LAST (see
+        # alignment_head_maps) — K separate maps come back to the host
+        maps, probs_dev = alignment_head_maps(
+            params, cfg, tok_dev, audio_states,
+            vocab_cap=st.eot, want_probs=with_probabilities,
+        )
+        attn = np.asarray(maps)[:, :b]  # (K, b, T, Ta)
+        tok_probs = (
+            np.asarray(probs_dev)[:b] if with_probabilities else None
+        )
+    elif with_probabilities:
         attn, tok_probs = cross_attention_map_and_probs(
             params, cfg, tok_dev, audio_states, vocab_cap=st.eot
         )
@@ -511,14 +624,24 @@ def word_timestamps(
         # per-frame z-score statistics come from the FULL fed token axis
         # (prefix rows included, exactly openai's std_mean BEFORE its row
         # crop — the prefix rows' early-frame mass shifts the per-column
-        # stats); rows crop to text+terminator only afterwards.  Width-
-        # bucket EOT padding rows stay out of the stats.
-        mfull = attn[row_i][: lo + len(text) + 1, :nf]
+        # stats).  Width-bucket EOT padding rows stay out of the stats.
+        if per_head:
+            w = attn[:, row_i, : lo + len(text) + 1, :nf]  # (K, rows, nf)
+        else:
+            w = attn[row_i][None, : lo + len(text) + 1, :nf]
         # crop + renormalise == softmax over the content frames only
-        mfull = mfull / np.maximum(mfull.sum(-1, keepdims=True), 1e-9)
-        mean = mfull.mean(axis=-2, keepdims=True)
-        std = np.maximum(mfull.std(axis=-2, keepdims=True), 1e-9)
-        m = _median_filter(((mfull - mean) / std)[lo:], 7)
+        w = w / np.maximum(w.sum(-1, keepdims=True), 1e-9)
+        mean = w.mean(axis=-2, keepdims=True)
+        # openai's torch.std_mean(unbiased=False); the 1e-9 clamp guards a
+        # constant column (openai would emit nan there)
+        std = np.maximum(w.std(axis=-2, keepdims=True), 1e-9)
+        w = _median_filter((w - mean) / std, 7)
+        # openai's row window is matrix[len(sot_sequence):-1] =
+        # [<|notimestamps|>, *text]: row k is the position PREDICTING
+        # text[k] (query = the token BEFORE it); the final row (query =
+        # last text token) predicts <|eot|> and carries the last word's
+        # end boundary.
+        m = w.mean(axis=0)[lo - 1 : lo + len(text)]
         starts = dtw_path_from_cost(-m)
         offset = float(chunk_offsets_s[row_i])
         # openai's split: unicode units -> (language-dependent) words;

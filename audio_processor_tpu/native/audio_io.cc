@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -318,23 +319,30 @@ int64_t aptpu_resample(const float* in, int64_t n_in, int64_t sr_in,
 // Steps: diagonal / down (next row, same col) / right (same row, next col) —
 // the same recurrence as models/whisper/align.dtw_path's python DP, which
 // runs ~1 s per row on the host; this is ~1 ms.
+//
+// Decision rule and accumulator dtype replicate openai-whisper's dtw_cpu
+// (whisper/timing.py) BIT-EXACTLY: float32 accumulation, diagonal/down only
+// when STRICTLY smaller than both alternatives, otherwise right — on ties
+// openai falls through to the right-step branch, and the word-timestamp
+// parity gate (tests/test_parity_align.py) pins that exact path shape.
 int aptpu_dtw(const float* cost, int64_t t, int64_t ta, int64_t* out) try {
   if (t <= 0 || ta <= 0) return -1;
-  const double INF = 1e30;
-  std::vector<double> prev(ta + 1, INF), cur(ta + 1, INF);
+  const float INF = std::numeric_limits<float>::infinity();
+  std::vector<float> prev(ta + 1, INF), cur(ta + 1, INF);
   std::vector<int8_t> trace((t + 1) * (ta + 1), 0);
-  prev[0] = 0.0;
+  prev[0] = 0.0f;
   for (int64_t i = 1; i <= t; ++i) {
     cur[0] = INF;
     const float* row = cost + (i - 1) * ta;
     for (int64_t j = 1; j <= ta; ++j) {
-      const double c0 = prev[j - 1];  // diagonal
-      const double c1 = prev[j];      // down
-      const double c2 = cur[j - 1];   // right
-      double best = c0;
-      int8_t tr = 0;
-      if (c1 < best) { best = c1; tr = 1; }
-      if (c2 < best) { best = c2; tr = 2; }
+      const float c0 = prev[j - 1];  // diagonal
+      const float c1 = prev[j];      // down
+      const float c2 = cur[j - 1];   // right
+      float best;
+      int8_t tr;
+      if (c0 < c1 && c0 < c2) { best = c0; tr = 0; }
+      else if (c1 < c0 && c1 < c2) { best = c1; tr = 1; }
+      else { best = c2; tr = 2; }
       cur[j] = row[j - 1] + best;
       trace[i * (ta + 1) + j] = tr;
     }
