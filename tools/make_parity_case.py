@@ -89,9 +89,16 @@ def main() -> int:
         ],
         "reference_engine": f"openai-whisper {whisper.__version__} / {args.model}",
     }
-    case_path = os.path.join(args.out, "case.json")
+    # per-model case file (verify_parity.py gates several variants from
+    # one directory); the plain case.json name stays as an alias for the
+    # first/only prepared model so the documented single-model flow works
+    case_path = os.path.join(args.out, f"case-{args.model}.json")
     with open(case_path, "w") as f:
         json.dump(case, f, indent=2, ensure_ascii=False)
+    legacy = os.path.join(args.out, "case.json")
+    if not os.path.exists(legacy):
+        with open(legacy, "w") as f:
+            json.dump(case, f, indent=2, ensure_ascii=False)
     print(f"wrote {case_path}; set APTPU_PARITY_CHECKPOINT={case_path}")
     return 0
 

@@ -46,15 +46,24 @@ sys.path.insert(0, REPO)
 # prepare: download + convert (network machine only)
 # ---------------------------------------------------------------------------
 
-def _prepare_whisper(args) -> str | None:
-    case = os.path.join(args.out, "case.json")
+def _whisper_case_path(out: str, model: str) -> str:
+    """Per-model case file, with the pre-round-5 single-model name as a
+    fallback so existing prepared directories keep verifying."""
+    case = os.path.join(out, f"case-{model}.json")
+    legacy = os.path.join(out, "case.json")
+    return case if os.path.exists(case) or not os.path.exists(legacy) else legacy
+
+
+def _prepare_whisper(args, model: str) -> str | None:
+    case = _whisper_case_path(args.out, model)
     if os.path.exists(case):
-        print(f"whisper case already prepared: {case}")
+        print(f"whisper {model} case already prepared: {case}")
         return case
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_parity_case.py"),
-         "--wav", args.wav, "--model", args.whisper, "--out", args.out],
+         "--wav", args.wav, "--model", model, "--out", args.out],
     )
+    case = _whisper_case_path(args.out, model)
     return case if r.returncode == 0 and os.path.exists(case) else None
 
 
@@ -135,8 +144,11 @@ def _run_gate(test: str, env_var: str, case: str | None) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--whisper", default="tiny",
-                    help="openai-whisper variant to gate (tiny/small/...)")
+    ap.add_argument("--whisper", default="tiny,medium,large-v3-turbo",
+                    help="comma-separated openai-whisper variants to gate — "
+                    "the default pins the reference's serving model "
+                    "(medium, audio_processor.py:863), its fallback tier, "
+                    "and the large-v3-turbo family in ONE --prepare run")
     ap.add_argument("--pyannote", default="3.1",
                     help="pyannote speaker-diarization version")
     ap.add_argument("--wav", help="real speech WAV (prepare step only)")
@@ -150,25 +162,28 @@ def main() -> int:
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    wcase = os.path.join(args.out, "case.json")
+    models = [m.strip() for m in args.whisper.split(",") if m.strip()]
+    wcases = {m: _whisper_case_path(args.out, m) for m in models}
     dcase = os.path.join(args.out, "diar_case.json")
 
     if args.prepare:
         if not args.wav:
             ap.error("--prepare needs --wav (a real speech recording)")
-        wcase = _prepare_whisper(args) or wcase
+        for m in models:
+            wcases[m] = _prepare_whisper(args, m) or wcases[m]
         dcase = _prepare_pyannote(args) or dcase
 
     results = {
-        "whisper": _run_gate(
+        f"whisper:{m}": _run_gate(
             "tests/test_parity_generate.py::test_real_checkpoint_transcript",
-            "APTPU_PARITY_CHECKPOINT", wcase,
-        ),
-        "diarization": _run_gate(
-            "tests/test_parity_diarization.py::test_real_checkpoint_der",
-            "APTPU_PARITY_DIARIZER", dcase,
-        ),
+            "APTPU_PARITY_CHECKPOINT", wcases[m],
+        )
+        for m in models
     }
+    results["diarization"] = _run_gate(
+        "tests/test_parity_diarization.py::test_real_checkpoint_der",
+        "APTPU_PARITY_DIARIZER", dcase,
+    )
     out = os.path.join(REPO, "PARITY.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
