@@ -665,14 +665,21 @@ def cmd_wer(args) -> None:
 
 
 def cmd_der(args) -> None:
-    """DER between two turn-list JSON files (`cli diarize --json` shape)."""
-    from .utils.metrics import diarization_error_rate
+    """DER between two turn-list JSON files (`cli diarize --json` shape),
+    with the NIST miss/false-alarm/confusion decomposition — a single DER
+    number hides HOW the diarizer fails."""
+    from .utils.metrics import diarization_error_rate_detailed
 
     with open(args.reference) as f:
         ref = json.load(f)
     with open(args.hypothesis) as f:
         hyp = json.load(f)
-    print(f"DER: {diarization_error_rate(ref, hyp, collar_s=args.collar):.4f}")
+    d = diarization_error_rate_detailed(ref, hyp, collar_s=args.collar)
+    print(
+        f"DER: {d['der']:.4f} (miss {d['miss']:.4f}, false alarm "
+        f"{d['false_alarm']:.4f}, confusion {d['confusion']:.4f}; "
+        f"{d['hyp_speakers']} hyp vs {d['ref_speakers']} ref speakers)"
+    )
 
 
 def main(argv: list[str] | None = None) -> None:
