@@ -431,6 +431,11 @@ const Files = {
 
   async refresh() {
     if (!Auth.authenticated) return;
+    // shimmer placeholder rows while Drive answers (style.css .skeleton)
+    document.getElementById("audio-file-list").innerHTML =
+      '<li class="skeleton"></li>'.repeat(3);
+    document.getElementById("pdf-file-list").innerHTML =
+      '<li class="skeleton"></li>';
     const params = new URLSearchParams();
     if (document.getElementById("recordings-filter").checked) {
       params.set("recordingsFilter", "enabled");
