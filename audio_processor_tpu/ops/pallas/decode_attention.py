@@ -38,11 +38,21 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def interpret_requested() -> bool:
+    """True when APTPU_KERNEL_INTERPRET=1: off-TPU callers (the driver's
+    CPU-mesh multichip dryrun) run the REAL kernels through the Pallas
+    interpreter instead of the jnp reference twins, so the production
+    kernel path — including the shard_map TP variant — is what gets
+    certified."""
+    return os.environ.get("APTPU_KERNEL_INTERPRET", "") == "1"
 
 
 def _kernel(q_ref, k_ref, v_ref, out_ref, *, valid_len: int, n_head: int):
@@ -294,21 +304,107 @@ def cross_attention_int4(
     )(q, k4, v4)
 
 
+def _batched_softmax_halves(s_lo, s_hi, n_even, n_odd):
+    """Joint softmax over the two de-interleaved halves, rows batched.
+
+    s_lo/s_hi (R, half) f32 -> (p_lo, p_hi, denom).  Identical math (and
+    op order per row) to the per-row chain in _int4_head_attention, so
+    batching rows is bit-exact — but the (R, half) elementwise chain runs
+    at full sublane occupancy instead of (1, half)'s 1/8."""
+    rows, half = s_lo.shape
+    neg = jnp.float32(-1e30)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, half), 1)
+    s_lo = jnp.where(col < n_even, s_lo, neg)
+    s_hi = jnp.where(col < n_odd, s_hi, neg)
+    m = jnp.maximum(
+        jnp.max(s_lo, axis=-1, keepdims=True),
+        jnp.max(s_hi, axis=-1, keepdims=True),
+    )
+    p_lo = jnp.exp(s_lo - m)
+    p_hi = jnp.exp(s_hi - m)
+    denom = jnp.sum(p_lo, axis=-1, keepdims=True) + jnp.sum(
+        p_hi, axis=-1, keepdims=True
+    )
+    return p_lo, p_hi, denom
+
+
+def _unpack_f32(p8, fast_unpack: bool):
+    """The kernel-side nibble unpack: packed-domain (v3.2, Mosaic only)
+    when fast_unpack and the sublane dim divides the int32 bitcast; the
+    portable v3.1 chain otherwise (interpret mode / toy shapes)."""
+    if fast_unpack and p8.shape[-2] % 4 == 0:
+        return _unpack_nibbles_u_fast(p8)
+    lo, hi = _unpack_nibbles_u(p8)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
 def _kernel_int4_stacked(
     layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len: int,
-    n_head: int, fast_unpack: bool,
+    n_head: int, fast_unpack: bool, bb: int = 1,
 ):
-    """Same math as _kernel_int4; k4/v4 blocks carry (1, 1, H, ...) leading
-    dims because the LAYER is selected by the BlockSpec index_map from the
-    scalar-prefetched layer id (layer_ref is otherwise unused here)."""
+    """k4/v4 blocks carry (1, BB, H, ...) leading dims because the LAYER is
+    selected by the BlockSpec index_map from the scalar-prefetched layer id
+    (layer_ref is otherwise unused here).  bb is the batch-block size.
+
+    v3.4b (round 5): with bb rows per grid step and Tq == 1 (the decode
+    loop), each head runs its bb rows' mask/max/exp/sum chain as ONE
+    (bb, half) batched block instead of bb (1, half) chains — the (B,)
+    grid ran every softmax op at 1/8 sublane occupancy, which v3.2's
+    measurements showed was the residual VPU bound.  The per-row matvecs
+    and op order are unchanged, so the result is bit-exact vs bb=1
+    (verified on-chip by benchmarks/kernel_v34_probe.py: 3.04 -> 2.52
+    ms/12-layer step at batch 64, x1.205).  Prefill (Tq > 1) and odd
+    batches keep the per-row path."""
+    tq = q_ref.shape[1]
     dh = q_ref.shape[3]
     scale = 1.0 / math.sqrt(dh)
+    if bb == 1 or tq != 1:
+        for b in range(bb):
+            for h in range(n_head):
+                q_h = q_ref[b, :, h, :].astype(jnp.float32)  # (Tq, Dh)
+                out_ref[b, :, h, :] = _int4_head_attention(
+                    q_h, k4_ref[0, b, h], v4_ref[0, b, h],
+                    valid_len=valid_len, scale=scale,
+                    fast_unpack=fast_unpack,
+                )
+        return
+    n_even = (valid_len + 1) // 2  # low nibbles hold times 0,2,4,...
+    n_odd = valid_len // 2  # high nibbles hold times 1,3,5,...
+    scale = jnp.float32(scale)
     for h in range(n_head):
-        q_h = q_ref[0, :, h, :].astype(jnp.float32)  # (Tq, Dh)
-        out_ref[0, :, h, :] = _int4_head_attention(
-            q_h, k4_ref[0, 0, h], v4_ref[0, 0, h], valid_len=valid_len,
-            scale=scale, fast_unpack=fast_unpack,
+        q_h = q_ref[:, 0, h, :].astype(jnp.float32)  # (bb, Dh)
+        corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)  # (bb, 1)
+        lo_k, hi_k = _unpack_f32(k4_ref[0, :, h], fast_unpack)  # (bb,Dh,half)
+        # keep operands 2-D: Mosaic's dot lowering rejects rank-1 lhs
+        s_lo = jnp.concatenate(
+            [jnp.dot(q_h[b: b + 1], lo_k[b], preferred_element_type=jnp.float32)
+             for b in range(bb)], axis=0,
         )
+        s_hi = jnp.concatenate(
+            [jnp.dot(q_h[b: b + 1], hi_k[b], preferred_element_type=jnp.float32)
+             for b in range(bb)], axis=0,
+        )
+        s_lo = (s_lo - corr) * scale
+        s_hi = (s_hi - corr) * scale
+        p_lo, p_hi, denom = _batched_softmax_halves(s_lo, s_hi, n_even, n_odd)
+        lo_v, hi_v = _unpack_f32(v4_ref[0, :, h], fast_unpack)  # (bb,half,Dh)
+        for b in range(bb):
+            acc = jnp.dot(
+                p_lo[b: b + 1], lo_v[b], preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                p_hi[b: b + 1], hi_v[b], preferred_element_type=jnp.float32
+            )
+            # p.(u-8) = p.u - 8*denom, probs sum to denom -> constant -8
+            out_ref[b, :, h, :] = acc / denom[b] - 8.0
+
+
+def _pick_bb(b: int) -> int:
+    """Largest batch-block in {8,4,2,1} dividing b (production batches are
+    pow2; odd leftovers just run unblocked)."""
+    for bb in (8, 4, 2):
+        if b % bb == 0:
+            return bb
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("valid_len", "interpret"))
@@ -329,28 +425,46 @@ def cross_attention_int4_stacked(
     full 75 MB copy of the layer's K and V every decode step per layer
     (measured 1.8 ms/step of pure copying at batch 64 whisper-small,
     ~31% of the step).
-    """
+
+    v3.4b (round 5): the grid is (B/BB,) with BB batch rows per grid step
+    instead of (B,), and each head's BB softmax chains run as one
+    (BB, half) batched block (see _kernel_int4_stacked) — bit-exact,
+    measured x1.205 on-chip (benchmarks/kernel_v34_probe.py; pure
+    batch-blocking without the batched softmax, v3.4a, measured 0.98x —
+    the win is sublane occupancy, not DMA block size).  Interpret mode
+    (CPU tests/dryrun) uses the same blocking, so the bb>1 kernel body
+    gets hermetic coverage too."""
     b, tq, h, dh = q.shape
     thalf = k4_all.shape[4]
+    bb = _pick_bb(b)
     kernel = functools.partial(
         _kernel_int4_stacked, valid_len=valid_len, n_head=h,
         fast_unpack=not interpret,  # packed-domain unpack needs Mosaic
+        bb=bb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h, dh, thalf), lambda i, l: (l[0], i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, h, thalf, dh), lambda i, l: (l[0], i, 0, 0, 0)),
+            pl.BlockSpec((bb, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
+            pl.BlockSpec((1, bb, h, dh, thalf), lambda i, l: (l[0], i, 0, 0, 0)),
+            pl.BlockSpec((1, bb, h, thalf, dh), lambda i, l: (l[0], i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((bb, tq, h, dh), lambda i, l: (i, 0, 0, 0)),
     )
+    # bb-row KV blocks double-buffer past the default 16 MB scoped-VMEM
+    # limit (v5e VMEM is 128 MB)
+    params = {}
+    if bb > 1:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, tq, h, dh), jnp.float32),
         interpret=interpret,
+        **params,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), q, k4_all, v4_all)
 
 

@@ -101,13 +101,15 @@ def _kernel_v34b(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
         q_h = q_ref[:, 0, h, :].astype(jnp.float32)  # (BB, Dh)
         corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)  # (BB, 1)
         lo_k, hi_k = da._unpack_nibbles_u_fast(k4_ref[0, :, h])  # (BB,Dh,half)
-        s_lo = jnp.stack(
-            [jnp.dot(q_h[b], lo_k[b], preferred_element_type=jnp.float32)
-             for b in range(bb)]
+        # keep operands 2-D: Mosaic's dot lowering rejects rank-1 lhs
+        # (empty non-contracting dims fail TPU_DotDimensionNumbersAttr)
+        s_lo = jnp.concatenate(
+            [jnp.dot(q_h[b: b + 1], lo_k[b], preferred_element_type=jnp.float32)
+             for b in range(bb)], axis=0,
         )
-        s_hi = jnp.stack(
-            [jnp.dot(q_h[b], hi_k[b], preferred_element_type=jnp.float32)
-             for b in range(bb)]
+        s_hi = jnp.concatenate(
+            [jnp.dot(q_h[b: b + 1], hi_k[b], preferred_element_type=jnp.float32)
+             for b in range(bb)], axis=0,
         )
         s_lo = (s_lo - corr) * scale
         s_hi = (s_hi - corr) * scale
@@ -241,8 +243,44 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--bb", type=int, default=8)
     ap.add_argument("--variants", default="v32,a,b,c")
+    ap.add_argument("--prod", action="store_true",
+                    help="validate + time the PRODUCTION "
+                    "cross_attention_int4_stacked (post-v3.4b integration) "
+                    "against the jnp reference on-chip, then exit")
     args = ap.parse_args()
     b, bb = args.batch, args.bb
+
+    if args.prod:
+        rng = np.random.default_rng(0)
+        k8 = rng.integers(-7, 8, size=(L, b, H, DH, TPAD)).astype(np.int8)
+        v8 = rng.integers(-7, 8, size=(L, b, H, TPAD, DH)).astype(np.int8)
+        k4, v4 = da.pack_int4_time(jnp.asarray(k8), jnp.asarray(v8))
+        k4, v4 = jax.device_put(k4), jax.device_put(v4)
+        q0 = jnp.asarray(rng.normal(size=(b, 1, H, DH)).astype(np.float32))
+        for l in (0, L - 1):
+            # baseline = the audited bb=1 v3.2 kernel ON-CHIP, expected
+            # bit-exact (same per-row op order).  NOT the jnp reference:
+            # on-TPU its f32 einsums run as bf16 MXU passes (~7e-2 err),
+            # so it can only gate interpret-mode runs.
+            ref = np.asarray(
+                _stacked_call_v32(q0, k4, v4, jnp.int32(l), valid_len=TA)
+            )
+            got = np.asarray(
+                da.cross_attention_int4_stacked(
+                    q0, k4, v4, jnp.int32(l), valid_len=TA
+                )
+            )
+            err = np.abs(got - ref).max()
+            print(f"prod stacked (B={b}) layer {l} max abs err vs on-chip "
+                  f"v3.2: {err:.3e}", flush=True)
+            assert err == 0.0, f"production kernel diverges on layer {l}"
+        call = functools.partial(
+            lambda qq, kk, vv, ll: da.cross_attention_int4_stacked(
+                qq, kk, vv, ll, valid_len=TA
+            )
+        )
+        _time_variant(f"prod/B{b}", call, q0, k4, v4, args.steps)
+        return
 
     rng = np.random.default_rng(0)
     k8 = rng.integers(-7, 8, size=(L, b, H, DH, TPAD)).astype(np.int8)
