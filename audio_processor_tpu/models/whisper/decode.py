@@ -483,7 +483,13 @@ def decoder_forward_cached(
                 from ...ops.pallas import decode_attention as da
 
                 on_tpu = jax.default_backend() == "tpu"
-                if kv_bits == 4 and on_tpu:
+                # off-TPU the real kernels can still run through the Pallas
+                # interpreter (APTPU_KERNEL_INTERPRET=1) — the driver's
+                # multichip dryrun uses this to certify the production
+                # shard_map TP kernel path on the virtual CPU mesh instead
+                # of silently swapping in the jnp reference
+                interp = (not on_tpu) and da.interpret_requested()
+                if kv_bits == 4 and (on_tpu or interp):
                     # stacked-cache kernel: the layer id rides scalar
                     # prefetch, so NO per-layer copy of K/V materialises.
                     # On a model-parallel mesh the kernel runs per-shard
@@ -493,12 +499,12 @@ def decoder_forward_cached(
                     if tp_mesh is not None:
                         ox = da.cross_attention_int4_stacked_tp(
                             tp_mesh, qx, cache.cross_k, cache.cross_v, l,
-                            valid_len=cfg.n_audio_ctx,
+                            valid_len=cfg.n_audio_ctx, interpret=interp,
                         )
                     else:
                         ox = da.cross_attention_int4_stacked(
                             qx, cache.cross_k, cache.cross_v, l,
-                            valid_len=cfg.n_audio_ctx,
+                            valid_len=cfg.n_audio_ctx, interpret=interp,
                         )
                 else:
                     ck = jax.lax.dynamic_index_in_dim(
