@@ -310,18 +310,59 @@ def trim_silence_host(
     )
     # collapse to kept intervals, merging gaps shorter than min_gap_s
     min_gap = int(min_gap_s * sample_rate / hop)
-    idx = np.flatnonzero(mask)
-    if idx.size == 0:
+    bounds = mask_to_intervals(mask, len(audio), hop=hop, min_gap_frames=min_gap)
+    if bounds is None:
         return audio, [(0.0, len(audio) / sample_rate)]
-    splits = np.flatnonzero(np.diff(idx) > min_gap)
-    starts = np.concatenate([[idx[0]], idx[splits + 1]])
-    ends = np.concatenate([idx[splits], [idx[-1]]]) + 1
     pieces, intervals = [], []
-    for s, e in zip(starts, ends):
-        s_smp, e_smp = int(s) * hop, min(int(e) * hop, len(audio))
+    for s_smp, e_smp in bounds:
         pieces.append(audio[s_smp:e_smp])
         intervals.append((s_smp / sample_rate, e_smp / sample_rate))
     return np.concatenate(pieces) if pieces else audio, intervals
+
+
+def mask_to_intervals(
+    mask: np.ndarray,
+    n_samples: int,
+    hop: int = HOP_LENGTH,
+    min_gap_frames: int = 100,
+) -> list[tuple[int, int]] | None:
+    """Per-hop keep mask -> kept (start, end) SAMPLE intervals, merging
+    gaps shorter than min_gap_frames.  None when nothing is kept (caller
+    keeps everything — an all-silent file stays intact).  Shared by the
+    host trim path above and the on-device gather path below, so both
+    cut identical regions."""
+    idx = np.flatnonzero(np.asarray(mask))
+    if idx.size == 0:
+        return None
+    splits = np.flatnonzero(np.diff(idx) > min_gap_frames)
+    starts = np.concatenate([[idx[0]], idx[splits + 1]])
+    ends = np.concatenate([idx[splits], [idx[-1]]]) + 1
+    return [
+        (int(s) * hop, min(int(e) * hop, n_samples))
+        for s, e in zip(starts, ends)
+    ]
+
+
+def gather_kept_intervals(
+    audio: jnp.ndarray,
+    starts: jnp.ndarray,  # (K,) int32 original start sample per interval
+    cum_ends: jnp.ndarray,  # (K,) int32 cumulative kept samples, cum_ends[-1] = total
+    n_out: int,
+) -> jnp.ndarray:
+    """Concatenate kept intervals ON DEVICE into a zero-padded (n_out,)
+    buffer — the device half of silence trimming (SURVEY §7.1's fused
+    frontend): the big waveform never round-trips to the host; only the
+    tiny per-hop mask does.  Intervals are padded to a static K by
+    repeating the last entry with zero incremental length (cum_ends
+    plateaus), which this gather treats as empty."""
+    j = jnp.arange(n_out, dtype=jnp.int32)
+    i = jnp.searchsorted(cum_ends, j, side="right")
+    i = jnp.clip(i, 0, starts.shape[0] - 1)
+    prev = jnp.where(i > 0, cum_ends[jnp.maximum(i - 1, 0)], 0)
+    idx = starts[i] + (j - prev)
+    valid = j < cum_ends[-1]
+    picked = jnp.take(audio, jnp.clip(idx, 0, audio.shape[-1] - 1), axis=-1)
+    return jnp.where(valid, picked, 0.0)
 
 
 def _silence_keep_mask_np(

@@ -126,6 +126,45 @@ def test_trim_silence_removes_long_gaps():
     assert all(b >= a - 1e-9 for a, b in zip(pts, pts[1:]))
 
 
+def test_device_gather_matches_host_trim():
+    """The on-device trim half (silence_mask -> mask_to_intervals ->
+    gather_kept_intervals) must concatenate exactly the samples
+    trim_silence_host keeps — the device-frontend bench variant
+    (benchmarks/run_configs.py config 2) and the host path cut identical
+    regions."""
+    import jax.numpy as jnp
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    audio = np.zeros(8 * sr, dtype=np.float32)
+    for a, b in ((1.0, 2.2), (4.5, 5.1), (6.8, 7.4)):
+        seg = np.arange(int((b - a) * sr)) / sr
+        audio[int(a * sr): int(a * sr) + len(seg)] = (
+            0.5 * np.sin(2 * np.pi * 280 * seg)
+        )
+    audio += rng.normal(0, 1e-4, len(audio)).astype(np.float32)
+
+    trimmed, _ = frontend.trim_silence_host(audio, sr)
+
+    mask = np.asarray(frontend.silence_mask(jnp.asarray(audio)))
+    bounds = frontend.mask_to_intervals(mask, len(audio), min_gap_frames=100)
+    assert bounds is not None
+    lens = np.array([e - s for s, e in bounds], np.int64)
+    n_kept = int(lens.sum())
+    assert n_kept == len(trimmed)
+    k_pad = 4  # pad the interval table like the bench does
+    starts = np.full(k_pad, bounds[-1][0], np.int32)
+    cum = np.full(k_pad, n_kept, np.int32)
+    starts[: len(bounds)] = [s for s, _ in bounds]
+    cum[: len(bounds)] = np.cumsum(lens)
+    n_out = 1 << int(np.ceil(np.log2(n_kept + 1)))
+    out = np.asarray(frontend.gather_kept_intervals(
+        jnp.asarray(audio), jnp.asarray(starts), jnp.asarray(cum), n_out
+    ))
+    np.testing.assert_array_equal(out[:n_kept], trimmed)
+    assert not out[n_kept:].any()
+
+
 def test_wav_roundtrip(tmp_path, speech_like_audio):
     p = str(tmp_path / "x.wav")
     wavio.write_wav(p, speech_like_audio, 16000)
