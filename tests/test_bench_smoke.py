@@ -65,7 +65,9 @@ def test_config5_full_pipeline_wiring(tmp_path):
             sys.executable, os.path.join(repo, "benchmarks", "run_configs.py"),
             "5", "--model", "test", "--seconds", "12", "--jobs", "2",
         ],
-        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+        # generous: ~2 min uncontended, but the 1-core build VM runs this
+        # alongside TPU benches in round automation
+        capture_output=True, text=True, timeout=1200, cwd=repo, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]

@@ -169,7 +169,12 @@ def _diarizer(seg_params, onset, emb_params, thr, decode=None):
 
 def _cal_meetings(meetings=4):
     """The calibration splits (seed DISJOINT from training and from the
-    validation gates): clean 3-speaker and stress 4-speaker/noise/reverb."""
+    validation gates), mirroring the gate conditions: clean 3-speaker,
+    stress 4-speaker/noise/reverb, and many (5-8 speakers, 60 s) — the
+    round-5 gates added 5-8-speaker and long-meeting splits, so the
+    knobs must be chosen under those conditions too (the 21-min split is
+    left out of calibration for cost; its dominant failure mode,
+    cluster overcount, is shared with `many`)."""
     rng = np.random.default_rng(424243)
     clean = [make_meeting(rng, sample_f0s(rng)) for _ in range(meetings)]
     stress = [
@@ -177,20 +182,30 @@ def _cal_meetings(meetings=4):
                      reverb=True, gap=(0.15, 0.4))
         for _ in range(meetings)
     ]
-    return clean, stress
+    many = [
+        make_meeting(rng, sample_f0s(rng, n=5 + i % 4, min_ratio=1.12),
+                     duration_s=60.0, noise=0.005, gap=(0.2, 0.5))
+        for i in range(meetings)
+    ]
+    return clean, stress, many
 
 
-def _worst_gate_ratio(d, clean, stress, clean_gate=0.15, stress_gate=0.30):
-    """max(split median / split gate) — <1 means both gates would pass."""
+# split gates, shared by calibration (normalisation) and validation
+CLEAN_GATE, STRESS_GATE, MANY_GATE, LONG_GATE = 0.15, 0.25, 0.35, 0.25
+
+
+def _worst_gate_ratio(d, splits):
+    """max(split median / split gate) over [(cases, gate), ...] — <1
+    means every calibrated gate would pass."""
     meds = []
-    for cases in (clean, stress):
+    for cases, _gate in splits:
         ders = []
         for audio, ref in cases:
             turns = d.diarize(audio)
             ders.append(diarization_error_rate(ref, turns, collar_s=0.25)
                         if turns else 1.0)
         meds.append(float(np.median(ders)))
-    return max(meds[0] / clean_gate, meds[1] / stress_gate), meds
+    return max(m / g for m, (_, g) in zip(meds, splits)), meds
 
 
 def calibrate_threshold(seg_params, onset, emb_params, meetings=4):
@@ -198,37 +213,30 @@ def calibrate_threshold(seg_params, onset, emb_params, meetings=4):
     threshold is a property of THIS embedding space (pyannote calibrates
     its pipeline threshold per-embedding-model the same way).
 
-    Calibrates on BOTH condition splits the validator gates (clean
-    3-speaker and stress 4-speaker/noise/reverb) and minimises the WORSE
-    split's median DER.  A clean-only sweep is degenerate here: synthetic
-    voices separate so well that every cut in [0.30, 0.85] ties at the
-    same DER, and the old first-best tie-break picked the strictest cut —
-    which then over-clustered reverberant audio (6-8 clusters on 4
-    speakers, stress DER 0.47).  Ties within 0.005 resolve to the MIDDLE
-    of the plateau."""
-    clean, stress = _cal_meetings(meetings)
+    Calibrates on the condition splits the validator gates (clean,
+    stress, many — see _cal_meetings) and minimises the worst
+    GATE-NORMALISED split median.  A clean-only sweep is degenerate
+    here: synthetic voices separate so well that every cut in
+    [0.30, 0.85] ties at the same DER, and the old first-best tie-break
+    picked the strictest cut — which then over-clustered reverberant
+    audio (6-8 clusters on 4 speakers, stress DER 0.47).  Ties within
+    0.005 resolve to the MIDDLE of the plateau."""
+    clean, stress, many = _cal_meetings(meetings)
+    splits = [(clean, CLEAN_GATE), (stress, STRESS_GATE), (many, MANY_GATE)]
     grid = [round(float(t), 2) for t in np.arange(0.25, 0.95, 0.05)]
     scores = []
     for thr in grid:
         d = _diarizer(seg_params, onset, emb_params, thr)
-        meds = []
-        for cases in (clean, stress):
-            ders = []
-            for audio, ref in cases:
-                turns = d.diarize(audio)
-                ders.append(
-                    diarization_error_rate(ref, turns, collar_s=0.25)
-                    if turns else 1.0
-                )
-            meds.append(float(np.median(ders)))
-        scores.append(max(meds))
+        ratio, meds = _worst_gate_ratio(d, splits)
+        scores.append(ratio)
         print(f"  threshold {thr:.2f}: clean {meds[0]:.3f}  "
-              f"stress {meds[1]:.3f}  worst {scores[-1]:.3f}", flush=True)
+              f"stress {meds[1]:.3f}  many {meds[2]:.3f}  "
+              f"worst/gate {ratio:.3f}", flush=True)
     best = min(scores)
     plateau = [i for i, s in enumerate(scores) if s <= best + 0.005]
     pick = plateau[len(plateau) // 2]
     print(f"calibrated cluster_threshold {grid[pick]:.2f} "
-          f"(worst-split DER {scores[pick]:.3f}, plateau of {len(plateau)})")
+          f"(worst/gate {scores[pick]:.3f}, plateau of {len(plateau)})")
     return grid[pick]
 
 
@@ -242,7 +250,8 @@ def calibrate_binarize(seg_params, onset, emb_params, thr, meetings=4):
     delete true turns (miss -> hysteresis), and reverb/harmonic ghosts
     cross the onset as a spurious concurrent speaker (overlap FA ->
     overlap_onset)."""
-    clean, stress = _cal_meetings(meetings)
+    clean, stress, many = _cal_meetings(meetings)
+    splits = [(clean, CLEAN_GATE), (stress, STRESS_GATE), (many, MANY_GATE)]
     grid = [
         {"offset": off, "min_duration_off": mdoff, "overlap_onset": ovl}
         for off in (None, round(onset - 0.15, 2), round(onset - 0.25, 2))
@@ -252,9 +261,10 @@ def calibrate_binarize(seg_params, onset, emb_params, thr, meetings=4):
     best = None
     for decode in grid:
         d = _diarizer(seg_params, onset, emb_params, thr, decode)
-        ratio, meds = _worst_gate_ratio(d, clean, stress)
+        ratio, meds = _worst_gate_ratio(d, splits)
         print(f"  binarize {decode}: clean {meds[0]:.3f}  "
-              f"stress {meds[1]:.3f}  worst/gate {ratio:.2f}", flush=True)
+              f"stress {meds[1]:.3f}  many {meds[2]:.3f}  "
+              f"worst/gate {ratio:.2f}", flush=True)
         if best is None or ratio < best[0] - 1e-9:
             best = (ratio, decode)
     print(f"calibrated binarize {best[1]} (worst/gate {best[0]:.2f})")
@@ -262,31 +272,50 @@ def calibrate_binarize(seg_params, onset, emb_params, thr, meetings=4):
 
 
 def validate(seg_params, onset, emb_params, thr, decode=None, trials=5,
-             gate=0.15, stress_gate=0.30):
-    """Two held-out splits (round-3 verdict next-step #1):
-    - clean: 3-speaker meetings like the old validator, gate TIGHTENED
-      from 0.20 to `gate` (median),
-    - stress: 4 speakers, 3x the noise floor, room reverb, shorter gaps —
-      must stay under `stress_gate` (median)."""
+             gate=CLEAN_GATE, stress_gate=STRESS_GATE, many_gate=MANY_GATE,
+             long_gate=LONG_GATE,
+             count_exact_gate=0.6, count_within1_gate=0.9):
+    """Four held-out splits + a speaker-count gate (round-4 verdict
+    next-step #5: gates were synthetic 2-4 speakers, <= a few minutes,
+    single-number DER, stress scraping 0.251/0.30):
+    - clean: 3-speaker meetings, median DER <= `gate`,
+    - stress: 4 speakers, 3x noise floor, reverb, short gaps — TIGHTENED
+      to `stress_gate`=0.25 (was 0.30),
+    - many: 5-8 speakers per meeting (60 s), median <= `many_gate`,
+    - long: two 21-minute 4-speaker meetings, median <= `long_gate`,
+    - counts: across all trials the predicted speaker count must be
+      EXACT on >= `count_exact_gate` of meetings and within +-1 on
+      >= `count_within1_gate`.
+    Every trial prints the NIST miss/false-alarm/confusion decomposition
+    so a failure says HOW it failed (utils/metrics.py)."""
+    from audio_processor_tpu.utils.metrics import diarization_error_rate_detailed
+
     d = _diarizer(seg_params, onset, emb_params, thr, decode)
     rng = np.random.default_rng(987654)  # held out from training rngs
+    count_errs: list[int] = []
+    failures: list[str] = []
 
     def run_split(name, cases, split_gate):
         ders = []
         for trial, (audio, ref) in enumerate(cases):
             turns = d.diarize(audio)
-            der = (diarization_error_rate(ref, turns, collar_s=0.25)
-                   if turns else 1.0)
-            n_spk = len({t["speaker"] for t in turns})
-            print(f"{name} trial {trial}: DER {der:.3f}, {n_spk} speakers")
+            det = diarization_error_rate_detailed(ref, turns, collar_s=0.25)
+            der = det["der"] if turns else 1.0
+            count_errs.append(abs(det["hyp_speakers"] - det["ref_speakers"]))
+            print(
+                f"{name} trial {trial}: DER {der:.3f} "
+                f"(miss {det['miss']:.3f} fa {det['false_alarm']:.3f} "
+                f"conf {det['confusion']:.3f}), "
+                f"{det['hyp_speakers']}/{det['ref_speakers']} speakers",
+                flush=True,
+            )
             ders.append(der)
         med = float(np.median(ders))
-        print(f"median {name} DER {med:.3f} (gate {split_gate})")
+        print(f"median {name} DER {med:.3f} (gate {split_gate})", flush=True)
         if med > split_gate:
-            raise SystemExit(
-                f"{name} DER {med:.3f} exceeds the {split_gate} gate — "
-                "not saving"
-            )
+            # run every split before failing: the full per-split picture
+            # (with decompositions) is what decides retrain vs recalibrate
+            failures.append(f"{name} DER {med:.3f} > {split_gate}")
         return med
 
     clean = [make_meeting(rng, sample_f0s(rng)) for _ in range(trials)]
@@ -297,6 +326,32 @@ def validate(seg_params, onset, emb_params, thr, decode=None, trials=5,
         for _ in range(trials)
     ]
     run_split("stress", stress, stress_gate)
+    many = [
+        make_meeting(
+            rng, sample_f0s(rng, n=5 + t % 4, min_ratio=1.12),
+            duration_s=60.0, noise=0.005, gap=(0.2, 0.5),
+        )
+        for t in range(trials)
+    ]
+    run_split("many-speakers(5-8)", many, many_gate)
+    long_ = [
+        make_meeting(rng, sample_f0s(rng, n=4, min_ratio=1.18),
+                     duration_s=1260.0, noise=0.004)
+        for _ in range(2)
+    ]
+    run_split("long(21min)", long_, long_gate)
+
+    exact = float(np.mean([e == 0 for e in count_errs]))
+    within1 = float(np.mean([e <= 1 for e in count_errs]))
+    print(f"speaker-count accuracy: exact {exact:.2f} "
+          f"(gate {count_exact_gate}), within-1 {within1:.2f} "
+          f"(gate {count_within1_gate}) over {len(count_errs)} meetings")
+    if exact < count_exact_gate or within1 < count_within1_gate:
+        failures.append(
+            f"speaker-count accuracy exact {exact:.2f}/within-1 {within1:.2f}"
+        )
+    if failures:
+        raise SystemExit("gates FAILED — not saving:\n  " + "\n  ".join(failures))
     return med
 
 
@@ -304,6 +359,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seg-steps", type=int, default=3000)
     ap.add_argument("--emb-steps", type=int, default=2400)
+    ap.add_argument("--emb-bank", type=int, default=32,
+                    help="AAM pitch-bank classes; 32 spaces adjacent "
+                    "classes ~4.9%% apart in pitch — the round-5 "
+                    "5-8-speaker gates sample speakers as close as 12%%, "
+                    "so the embedding must discriminate finer than the "
+                    "old 24-class bank's 6.7%%")
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -316,10 +377,43 @@ def main():
     ap.add_argument("--from-cache", action="store_true",
                     help="skip training; recalibrate + validate + save from "
                     "the candidate params a previous run cached")
+    ap.add_argument("--validate-only", action="store_true",
+                    help="run the validation gates against the COMMITTED "
+                    "bundled assets (their saved calibration included) "
+                    "and exit — no training, no saving")
+    ap.add_argument("--recalibrate", action="store_true",
+                    help="with --validate-only-style asset loading: rerun "
+                    "the threshold+binarize calibration on the committed "
+                    "assets' params, then validate and SAVE")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     print(f"devices: {jax.devices()}")
+
+    if args.validate_only or args.recalibrate:
+        seg_path = os.path.join(args.out_dir, Diarizer.BUNDLED_SEG)
+        emb_path = os.path.join(args.out_dir, Diarizer.BUNDLED_EMB)
+        seg_params, _ = dt.load_params(seg_path)
+        onset = dt.load_onset(seg_path) or 0.5
+        decode = dt.load_decode_meta(seg_path)
+        emb_params, _ = et.load_params(emb_path)
+        thr = et.load_cluster_threshold(emb_path)
+        print(f"loaded bundled assets (onset {onset}, thr {thr}, "
+              f"decode {decode})")
+        if args.recalibrate:
+            thr = calibrate_threshold(seg_params, onset, emb_params)
+            decode = calibrate_binarize(seg_params, onset, emb_params, thr)
+        validate(seg_params, onset, emb_params, thr, decode)
+        if args.recalibrate:
+            dt.save_params(seg_path, seg_params, SEG_CFG, onset=onset,
+                           decode=decode)
+            et.save_params(emb_path, emb_params, EMB_CFG,
+                           cluster_threshold=thr)
+            for p in (seg_path, emb_path):
+                print(f"saved {p} ({os.path.getsize(p) / 1e6:.1f} MB)")
+        else:
+            print("validate-only: all gates passed")
+        return
 
     cache_seg = os.path.join(args.cache_dir, "cand_seg.npz")
     cache_emb = os.path.join(args.cache_dir, "cand_emb.npz")
@@ -331,7 +425,8 @@ def main():
     else:
         rng = np.random.default_rng(20260817)
         seg_params, onset = train_segmentation(rng, args.seg_steps, args.batch)
-        emb_params = train_embedding(rng, args.emb_steps, max(args.batch, 32))
+        emb_params = train_embedding(rng, args.emb_steps, max(args.batch, 32),
+                                     n_bank=args.emb_bank)
         os.makedirs(args.cache_dir, exist_ok=True)
         dt.save_params(cache_seg, seg_params, SEG_CFG, onset=onset)
         et.save_params(cache_emb, emb_params, EMB_CFG)
