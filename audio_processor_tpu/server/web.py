@@ -614,4 +614,15 @@ class App:
             logger.info(
                 "serving on %s:%d (%d worker threads)", host, port, max_threads
             )
-            srv.serve_forever()
+            self._server = srv
+            try:
+                srv.serve_forever()
+            finally:
+                self._server = None
+
+    def shutdown(self) -> None:
+        """Stop a run() loop started on another thread (test harnesses —
+        production fronts with gunicorn).  No-op when not serving."""
+        srv = getattr(self, "_server", None)
+        if srv is not None:
+            srv.shutdown()

@@ -145,11 +145,16 @@ def test_dev_server_thread_pool_is_bounded():
             with lock:
                 peak = max(peak, n)
 
-    clients = [threading.Thread(target=hit) for _ in range(40)]
-    for c in clients:
-        c.start()
-    for c in clients:
-        c.join(timeout=60)
+    try:
+        clients = [threading.Thread(target=hit) for _ in range(40)]
+        for c in clients:
+            c.start()
+        for c in clients:
+            c.join(timeout=60)
+    finally:
+        # stop the server loop: a leaked serve_forever thread (plus its
+        # selector fd) otherwise lives for the REST of the suite
+        app.shutdown()
     # the semaphore bounds CONCURRENT handlers at 4; a finished handler
     # may linger microseconds between releasing its slot and thread exit,
     # so allow a small transient margin — the point is "bounded", not 40
