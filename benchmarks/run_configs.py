@@ -25,6 +25,13 @@ def _compile_cache():
     try:
         import jax
 
+        # honor JAX_PLATFORMS=cpu like bench.py does: the axon
+        # sitecustomize force-selects the TPU backend via jax.config, so
+        # the env var alone is ignored — without this the "CPU" wiring
+        # smoke test silently fought the TPU for the tunnel
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+
         d = os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
