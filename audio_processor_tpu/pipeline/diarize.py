@@ -75,10 +75,13 @@ class Diarizer:
     min_speakers: int = 1
     max_speakers: int | None = None
     # dissolve clusters owning fewer crops than this (pyannote-3.1's
-    # min_cluster_size): stray crops reassign to the nearest real speaker
+    # min_cluster_size) OR fewer than min_cluster_frac of ALL crops
+    # (this rebuild's meeting-length-relative form — see the cluster
+    # call): stray crops reassign to the nearest real speaker
     # instead of minting a phantom one.  0 = off (the hermetic DER gate
     # runs on short synthetic meetings where every cluster is small)
     min_cluster_size: int = 0
+    min_cluster_frac: float = 0.0
     max_batch: int = 128
     # data-parallel serving mesh (jax.sharding.Mesh or None): segmentation
     # and embedding slabs shard over the mesh's data axis exactly like the
@@ -421,12 +424,23 @@ class Diarizer:
             crops[lo : lo + chunk] = np.take_along_axis(flat, col, axis=1)
 
         embeddings = self._embed_all(crops)
+        # min_cluster_frac scales the dissolution size with the meeting:
+        # an ABSOLUTE min_cluster_size tuned for long meetings would
+        # dissolve real speakers in short ones (a 24 s meeting gives each
+        # speaker only ~4 crops), while long meetings accumulate stray
+        # crops into spurious clusters.  frac * n_crops keeps short
+        # meetings untouched and prunes the long-meeting strays.
+        mcs = max(
+            self.min_cluster_size,
+            int(np.ceil(self.min_cluster_frac * len(embeddings)))
+            if self.min_cluster_frac > 0 else 0,
+        )
         labels = cluster_lib.agglomerative_cluster(
             embeddings,
             threshold=self.cluster_threshold,
             min_clusters=min_spk,
             max_clusters=max_spk,
-            min_cluster_size=self.min_cluster_size,
+            min_cluster_size=mcs,
         )
         n_clusters = int(labels.max()) + 1
 

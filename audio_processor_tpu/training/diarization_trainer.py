@@ -242,6 +242,13 @@ def save_params(
 
 DECODE_META_KEYS = (
     "offset", "min_duration_on", "min_duration_off", "overlap_onset",
+    # pyannote-3.1's min_cluster_size (pipeline.diarize.Diarizer): long
+    # meetings accumulate stray crops into spurious clusters; the
+    # calibrated dissolution size rides the checkpoint like the Binarize
+    # knobs (stored as float; loaded back as int below), as does the
+    # meeting-length-relative min_cluster_frac
+    "min_cluster_size",
+    "min_cluster_frac",
 )
 
 
@@ -260,7 +267,8 @@ def load_decode_meta(path: str) -> dict:
     with np.load(path) as data:
         for k in DECODE_META_KEYS:
             if f"meta.{k}" in data.files:
-                out[k] = float(data[f"meta.{k}"])
+                v = float(data[f"meta.{k}"])
+                out[k] = int(v) if k == "min_cluster_size" else v
     return out
 
 
