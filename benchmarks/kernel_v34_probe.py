@@ -155,7 +155,105 @@ def _kernel_v34c(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
         out_ref[:, 0, h, :] = acc / denom - 8.0
 
 
-_V34_KERNELS = {"a": _kernel_v34a, "b": _kernel_v34b, "c": _kernel_v34c}
+def _block_diag(x, width):
+    """(bb, W) -> (bb, bb*W) with row r's values in columns [r*W, (r+1)*W)
+    and exact zeros elsewhere (tile + iota mask; bb*bb*W elements)."""
+    bb = x.shape[0]
+    tiled = jnp.tile(x, (1, bb))  # [r, c] = x[r, c % W]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, bb * width), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bb, bb * width), 0)
+    return jnp.where(col // width == row, tiled, 0.0)
+
+
+def _kernel_v34d(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
+                 n_head, bb):
+    """v3.4b + BLOCK-DIAGONAL q for the score matvecs: the bb per-row
+    (1, Dh) @ (Dh, half) dots collapse into ONE
+    (bb, bb*Dh) @ (bb*Dh, half) matmul per half (zeros kill the cross
+    terms; the MXU is idle so the 8x FLOP padding is free) — 32 dot ops
+    per head become 4 + 2.  V matvecs stay per-row."""
+    dh = q_ref.shape[3]
+    scale = jnp.float32(1.0 / math.sqrt(dh))
+    n_even = (valid_len + 1) // 2
+    n_odd = valid_len // 2
+    for h in range(n_head):
+        q_h = q_ref[:, 0, h, :].astype(jnp.float32)  # (bb, Dh)
+        corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)
+        q_bd = _block_diag(q_h, dh)  # (bb, bb*Dh)
+        lo_k, hi_k = da._unpack_nibbles_u_fast(k4_ref[0, :, h])  # (bb,Dh,half)
+        half = lo_k.shape[-1]
+        lo_ks = lo_k.reshape(bb * dh, half)
+        hi_ks = hi_k.reshape(bb * dh, half)
+        s_lo = (jnp.dot(q_bd, lo_ks, preferred_element_type=jnp.float32)
+                - corr) * scale
+        s_hi = (jnp.dot(q_bd, hi_ks, preferred_element_type=jnp.float32)
+                - corr) * scale
+        p_lo, p_hi, denom = _batched_softmax_halves(s_lo, s_hi, n_even, n_odd)
+        lo_v, hi_v = da._unpack_nibbles_u_fast(v4_ref[0, :, h])  # (bb,half,Dh)
+        for b in range(bb):
+            acc = jnp.dot(
+                p_lo[b: b + 1], lo_v[b], preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                p_hi[b: b + 1], hi_v[b], preferred_element_type=jnp.float32
+            )
+            out_ref[b, :, h, :] = acc / denom[b] - 8.0
+
+
+def _kernel_v34e(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
+                 n_head, bb):
+    """v3.4d + block-diagonal PROBS for the V matvecs too: the bb
+    (1, half) @ (half, Dh) dots per half collapse into one
+    (bb, bb*half) @ (bb*half, Dh) matmul.  The (bb, bb*half) scatter is
+    2 x 98K VPU elements per head — the probe measures whether that
+    costs more than the 32 dot issues it saves."""
+    dh = q_ref.shape[3]
+    scale = jnp.float32(1.0 / math.sqrt(dh))
+    n_even = (valid_len + 1) // 2
+    n_odd = valid_len // 2
+    for h in range(n_head):
+        q_h = q_ref[:, 0, h, :].astype(jnp.float32)  # (bb, Dh)
+        corr = 8.0 * jnp.sum(q_h, axis=1, keepdims=True)
+        q_bd = _block_diag(q_h, dh)
+        lo_k, hi_k = da._unpack_nibbles_u_fast(k4_ref[0, :, h])
+        half = lo_k.shape[-1]
+        s_lo = (jnp.dot(q_bd, lo_k.reshape(bb * dh, half),
+                        preferred_element_type=jnp.float32) - corr) * scale
+        s_hi = (jnp.dot(q_bd, hi_k.reshape(bb * dh, half),
+                        preferred_element_type=jnp.float32) - corr) * scale
+        p_lo, p_hi, denom = _batched_softmax_halves(s_lo, s_hi, n_even, n_odd)
+        lo_v, hi_v = da._unpack_nibbles_u_fast(v4_ref[0, :, h])  # (bb,half,Dh)
+        acc = jnp.dot(
+            _block_diag(p_lo, half), lo_v.reshape(bb * half, dh),
+            preferred_element_type=jnp.float32,
+        ) + jnp.dot(
+            _block_diag(p_hi, half), hi_v.reshape(bb * half, dh),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:, 0, h, :] = acc / denom - 8.0
+
+
+def _kernel_v34s(layer_ref, q_ref, k4_ref, v4_ref, out_ref, *, valid_len,
+                 n_head, bb):
+    """STREAM-ONLY floor: identical grid/BlockSpecs (so the same KV bytes
+    move HBM->VMEM through the same pipeline) but near-zero compute —
+    the packed blocks are bitcast to int32 and reduced, no unpack, no
+    matmuls, no softmax.  Times the achievable-DMA ceiling for this
+    access pattern; full-kernel time / this time = how close the real
+    kernel runs to its own memory bound (the roofline evidence the
+    round-4 verdict asked for, measured rather than inferred from the
+    819 GB/s paper number)."""
+    acc = jnp.zeros((bb,), jnp.float32)
+    for h in range(n_head):
+        k32 = pltpu.bitcast(k4_ref[0, :, h], jnp.int32)  # (bb, Dh/4, half)
+        v32 = pltpu.bitcast(v4_ref[0, :, h], jnp.int32)  # (bb, half/4, Dh)
+        acc = acc + (
+            jnp.sum(k32, axis=(1, 2)) + jnp.sum(v32, axis=(1, 2))
+        ).astype(jnp.float32)
+    out_ref[:, 0, :, :] = acc[:, None, None]
+
+
+_V34_KERNELS = {"a": _kernel_v34a, "b": _kernel_v34b, "c": _kernel_v34c,
+                "d": _kernel_v34d, "e": _kernel_v34e, "s": _kernel_v34s}
 
 
 def _stacked_call_v34(q, k_all, v_all, layer, *, valid_len, variant, bb):
@@ -307,6 +405,8 @@ def main():
         calls[v] = functools.partial(
             _stacked_call_v34, valid_len=TA, variant=v, bb=bb
         )
+        if v == "s":  # stream-only floor computes garbage by design
+            continue
         for l in check_layers:
             got = np.asarray(calls[v](q0, k4, v4, jnp.int32(l)))
             err = np.abs(got - refs[l]).max()
